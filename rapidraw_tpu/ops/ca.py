@@ -1,0 +1,36 @@
+"""Chromatic aberration correction: radial per-channel resampling.
+
+Port of shader.wgsl:1077-1105 (`apply_ca_correction`): red and blue channels
+are re-sampled at positions shifted toward/away from the image center by a
+distance-proportional amount (nearest-neighbor via round).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def apply_ca_correction(input_rgb: jnp.ndarray, ca_rc, ca_by) -> jnp.ndarray:
+    """input_rgb: (H, W, 3) input-space texture. ca_*: scalar shifts."""
+    h, w, _ = input_rgb.shape
+    cx_f = w / 2.0
+    cy_f = h / 2.0
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones((1, w), jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :] * jnp.ones((h, 1), jnp.float32)
+    to_cx = xs - cx_f
+    to_cy = ys - cy_f
+    # dir * dist == to_center, so the shift is simply to_center * ca
+    red_x = jnp.clip(jnp.round(xs - to_cx * ca_rc).astype(jnp.int32), 0, w - 1)
+    red_y = jnp.clip(jnp.round(ys - to_cy * ca_rc).astype(jnp.int32), 0, h - 1)
+    blue_x = jnp.clip(jnp.round(xs - to_cx * ca_by).astype(jnp.int32), 0, w - 1)
+    blue_y = jnp.clip(jnp.round(ys - to_cy * ca_by).astype(jnp.int32), 0, h - 1)
+
+    r_flat = input_rgb[..., 0].reshape(-1)
+    b_flat = input_rgb[..., 2].reshape(-1)
+    r = jnp.take(r_flat, (red_y * w + red_x).reshape(-1)).reshape(h, w)
+    b = jnp.take(b_flat, (blue_y * w + blue_x).reshape(-1)).reshape(h, w)
+    out = jnp.stack([r, input_rgb[..., 1], b], axis=-1)
+
+    # center pixel (dist == 0) keeps the original sample (shader.wgsl:1085)
+    # — round(x - 0) == x there anyway, so no special case is needed.
+    return out

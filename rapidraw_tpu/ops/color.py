@@ -1,0 +1,211 @@
+"""Color adjustments: white balance, saturation/vibrance, global hue shift,
+HSL 8-band mixer, 3-way color grading, color calibration.
+
+Ports of shader.wgsl:276-293 (hue shift + HSL influence), :549-626 (calibration,
+WB, creative color), :628-717 (HSL panel, color grading).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from rapidraw_tpu.ops import colorspace as cs
+from rapidraw_tpu.ops.common import ch, luma, mat3_apply, mix, smoothstep, wgsl_mod
+
+# (center_degrees, width) per band: Red, Orange, Yellow, Green, Aqua, Blue,
+# Purple, Magenta (shader.wgsl:186-195).
+HSL_RANGES = (
+    (358.0, 35.0),
+    (25.0, 45.0),
+    (60.0, 40.0),
+    (115.0, 90.0),
+    (180.0, 60.0),
+    (225.0, 60.0),
+    (280.0, 55.0),
+    (330.0, 50.0),
+)
+
+
+def apply_white_balance(rgb: jnp.ndarray, temp, tint) -> jnp.ndarray:
+    """Per-channel temperature/tint gains (shader.wgsl:587-593)."""
+    t, n = ch(temp), ch(tint)
+    r = (1.0 + t * 0.2) * (1.0 + n * 0.25)
+    g = (1.0 + t * 0.05) * (1.0 - n * 0.25)
+    b = (1.0 - t * 0.2) * (1.0 + n * 0.25)
+    gains = jnp.concatenate(
+        [jnp.broadcast_to(x, rgb[..., :1].shape) for x in (r, g, b)], axis=-1
+    )
+    return rgb * gains
+
+
+def apply_creative_color(rgb: jnp.ndarray, sat, vib) -> jnp.ndarray:
+    """Saturation + selective vibrance with skin protection (shader.wgsl:595-626)."""
+    l = luma(rgb)[..., None]
+    processed = jnp.where(ch(sat) != 0.0, mix(l, rgb, 1.0 + ch(sat)), rgb)
+
+    c_max = jnp.max(processed, axis=-1)
+    c_min = jnp.min(processed, axis=-1)
+    delta = c_max - c_min
+    current_sat = delta / jnp.maximum(c_max, 0.001)
+
+    # vibrance > 0: protect already-saturated regions and skin tones
+    sat_mask = 1.0 - smoothstep(0.4, 0.9, current_sat)
+    h, _, _ = cs.rgb_to_hsv(processed)
+    hue_dist = jnp.minimum(jnp.abs(h - 25.0), 360.0 - jnp.abs(h - 25.0))
+    is_skin = smoothstep(35.0, 10.0, hue_dist)
+    skin_dampener = mix(1.0, 0.6, is_skin)
+    amount_pos = vib * sat_mask * skin_dampener * 3.0
+
+    # vibrance < 0: desaturate the unsaturated first
+    desat_mask = 1.0 - smoothstep(0.2, 0.8, current_sat)
+    amount_neg = vib * desat_mask
+
+    # NB: the shader computes `luma` once from the *input* color and reuses
+    # it for the vibrance mix (shader.wgsl:597,619,623).
+    amount = jnp.where(vib > 0.0, amount_pos, amount_neg)
+    vibed = mix(l, processed, 1.0 + amount[..., None])
+    skip = (ch(vib) == 0.0) | (delta[..., None] < 0.02)
+    return jnp.where(skip, processed, vibed)
+
+
+def apply_hue_shift(rgb: jnp.ndarray, shift_degrees) -> jnp.ndarray:
+    """Global hue rotation via extended-sRGB HSV (shader.wgsl:276-286)."""
+    srgb = cs.linear_to_srgb_extended(rgb)
+    h, s, v = cs.rgb_to_hsv(srgb)
+    shifted_h = wgsl_mod(h + shift_degrees + 360.0, 360.0)
+    shifted = cs.hsv_to_rgb(shifted_h, s, v)
+    out = cs.srgb_to_linear(shifted)
+    return jnp.where(jnp.abs(ch(shift_degrees)) < 0.01, rgb, out)
+
+
+def _raw_hsl_influence(hue, center, width):
+    """Wrapped-gaussian band influence (shader.wgsl:288-293)."""
+    dist = jnp.minimum(jnp.abs(hue - center), 360.0 - jnp.abs(hue - center))
+    falloff = dist / (width * 0.5)
+    return jnp.exp(-1.5 * falloff * falloff)
+
+
+def apply_hsl_panel(
+    rgb: jnp.ndarray,
+    hsl: jnp.ndarray,
+    mask_hsl: jnp.ndarray | None = None,
+    mask_influence: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """8-band hue/sat/luma mixer (shader.wgsl:628-684).
+
+    Args:
+      rgb: (..., 3) linear.
+      hsl: (8, 3) global band params [hue, sat, lum].
+      mask_hsl: optional (N, 8, 3) per-mask band params.
+      mask_influence: optional (N, ...) influence maps.
+
+    The shader first sums global+mask band params per pixel then computes the
+    3 weighted totals; both reductions are linear, so we contract the band
+    weights against global and mask params separately and never materialize
+    an (H, W, 8, 3) field.
+    """
+    safe = jnp.maximum(rgb, 0.0)
+    h, s, v = cs.rgb_to_hsv(safe)
+    original_luma = luma(safe)
+
+    saturation_mask = smoothstep(0.05, 0.20, s)
+    luminance_weight = smoothstep(0.0, 1.0, s)
+
+    raw_inf = jnp.stack(
+        [_raw_hsl_influence(h, c, w) for c, w in HSL_RANGES], axis=-1
+    )  # (..., 8)
+    total_raw = jnp.sum(raw_inf, axis=-1, keepdims=True)
+    norm_inf = raw_inf / total_raw
+
+    hue_w = norm_inf * saturation_mask[..., None]  # (..., 8)
+    lum_w = norm_inf * luminance_weight[..., None]
+
+    # mul+reduce (not einsum) so the contraction stays exact f32 on TPU
+    def totals(band_params):  # band_params (8,3) -> three (...) maps
+        th = 2.0 * jnp.sum(hue_w * band_params[:, 0], axis=-1)
+        ts = jnp.sum(hue_w * band_params[:, 1], axis=-1)
+        tl = jnp.sum(lum_w * band_params[:, 2], axis=-1)
+        return th, ts, tl
+
+    total_hue, total_sat, total_lum = totals(hsl)
+    if mask_hsl is not None:
+        for n in range(mask_hsl.shape[0]):
+            mh, ms, ml = totals(mask_hsl[n])
+            total_hue = total_hue + mask_influence[n] * mh
+            total_sat = total_sat + mask_influence[n] * ms
+            total_lum = total_lum + mask_influence[n] * ml
+
+    new_sat_raw = s * (1.0 + total_sat)
+    desat_out = (original_luma * (1.0 + total_lum))[..., None] * jnp.ones_like(rgb)
+
+    new_h = wgsl_mod(h + total_hue + 360.0, 360.0)
+    new_s = jnp.clip(new_sat_raw, 0.0, 1.0)
+    hs_shifted = cs.hsv_to_rgb(new_h, new_s, v)
+    new_luma = luma(hs_shifted)
+    target_luma = original_luma * (1.0 + total_lum)
+    lum_fallback = jnp.maximum(0.0, target_luma)[..., None] * jnp.ones_like(rgb)
+    scaled = hs_shifted * (target_luma / jnp.where(new_luma < 0.0001, 1.0, new_luma))[..., None]
+    result = jnp.where(new_luma[..., None] < 0.0001, lum_fallback, scaled)
+    result = jnp.where(new_sat_raw[..., None] < 0.0001, desat_out, result)
+
+    # early-outs (shader.wgsl:630-641): near-gray pixels and zero weights
+    r, g, b = safe[..., 0], safe[..., 1], safe[..., 2]
+    gray = (jnp.abs(r - g) < 0.001) & (jnp.abs(g - b) < 0.001)
+    zero_w = (saturation_mask < 0.001) & (luminance_weight < 0.001)
+    return jnp.where((gray | zero_w)[..., None], safe, result)
+
+
+def apply_color_grading(rgb: jnp.ndarray, cg: jnp.ndarray, blending, balance) -> jnp.ndarray:
+    """3-way (+global) additive color grading (shader.wgsl:686-717).
+
+    cg: (4, 3) rows = shadows, midtones, highlights, global of [hue, sat, lum].
+    """
+    l = luma(jnp.maximum(rgb, 0.0))
+    shadow_crossover = 0.1 + jnp.maximum(0.0, -balance) * 0.5
+    highlight_crossover = 0.5 - jnp.maximum(0.0, balance) * 0.5
+    feather = 0.2 * blending
+    final_shadow_crossover = jnp.minimum(shadow_crossover, highlight_crossover - 0.01)
+    shadow_mask = 1.0 - smoothstep(
+        final_shadow_crossover - feather, final_shadow_crossover + feather, l
+    )
+    highlight_mask = smoothstep(highlight_crossover - feather, highlight_crossover + feather, l)
+    midtone_mask = jnp.maximum(0.0, 1.0 - shadow_mask - highlight_mask)
+
+    strengths = ((0.3, 0.5), (0.6, 0.8), (0.8, 1.0), (1.0, 1.0))
+    masks = (shadow_mask, midtone_mask, highlight_mask, jnp.ones_like(l))
+    graded = rgb
+    for i, ((sat_str, lum_str), m) in enumerate(zip(strengths, masks)):
+        hue, sat, lum = cg[i, 0], cg[i, 1], cg[i, 2]
+        tint_rgb = cs.hsv_to_rgb(hue, jnp.ones_like(hue), jnp.ones_like(hue))
+        contrib = (tint_rgb - 0.5) * (sat * sat_str) * m[..., None]
+        graded = graded + jnp.where(sat > 0.001, contrib, 0.0)
+        graded = graded + (lum * lum_str) * m[..., None]
+    return graded
+
+
+def apply_color_calibration(rgb: jnp.ndarray, cal: jnp.ndarray) -> jnp.ndarray:
+    """Primary-hue skew + per-primary saturation + shadow tint
+    (shader.wgsl:549-585). cal: (7,) = [shadows_tint, r_hue, r_sat, g_hue,
+    g_sat, b_hue, b_sat]."""
+    st, h_r, s_r, h_g, s_g, h_b, s_b = (cal[i] for i in range(7))
+    zero = jnp.zeros(())
+    r_prime = jnp.stack([1.0 - jnp.abs(h_r), jnp.maximum(zero, h_r), jnp.maximum(zero, -h_r)])
+    g_prime = jnp.stack([jnp.maximum(zero, -h_g), 1.0 - jnp.abs(h_g), jnp.maximum(zero, h_g)])
+    b_prime = jnp.stack([jnp.maximum(zero, h_b), jnp.maximum(zero, -h_b), 1.0 - jnp.abs(h_b)])
+    # WGSL mat3x3<f32>(c0,c1,c2) * v = sum_j v[j] * col_j
+    hue_matrix = jnp.stack([r_prime, g_prime, b_prime], axis=1)  # columns
+    c = mat3_apply(hue_matrix, rgb)
+
+    l = luma(jnp.maximum(c, 0.0))
+    sat_vector = c - l[..., None]
+    color_sum = jnp.sum(c, axis=-1, keepdims=True)
+    masks = jnp.where(color_sum > 0.001, c / jnp.where(color_sum == 0.0, 1.0, color_sum), 0.0)
+    total_sat_adj = masks[..., 0] * s_r + masks[..., 1] * s_g + masks[..., 2] * s_b
+    c = c + sat_vector * total_sat_adj[..., None]
+
+    shadow_luma = luma(jnp.maximum(c, 0.0))
+    m = 1.0 - smoothstep(0.0, 0.3, shadow_luma)
+    tint_mult = jnp.stack([1.0 + st * 0.25, 1.0 - st * 0.25, 1.0 + st * 0.25])
+    tinted = mix(c, c * tint_mult, m[..., None])
+    c = jnp.where(jnp.abs(st) > 0.001, tinted, c)
+    return c

@@ -1,0 +1,62 @@
+"""Shared numeric helpers matching WGSL built-in semantics."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Rec.709 luma coefficients (shader.wgsl:214).
+LUMA_COEFF = (0.2126, 0.7152, 0.0722)
+
+
+def luma(rgb: jnp.ndarray) -> jnp.ndarray:
+    """dot(c, LUMA_COEFF) (shader.wgsl:216-218). rgb: (..., 3) -> (...)."""
+    return (
+        rgb[..., 0] * LUMA_COEFF[0]
+        + rgb[..., 1] * LUMA_COEFF[1]
+        + rgb[..., 2] * LUMA_COEFF[2]
+    )
+
+
+def mix(a, b, t):
+    """WGSL mix: a*(1-t) + b*t."""
+    return a * (1.0 - t) + b * t
+
+
+def smoothstep(e0, e1, x):
+    """WGSL smoothstep with a step-function fallback when e0 == e1."""
+    d = e1 - e0
+    d = jnp.where(d == 0.0, 1e-20, d)
+    t = jnp.clip((x - e0) / d, 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def fract(x):
+    return x - jnp.floor(x)
+
+
+def wgsl_mod(x, y):
+    """WGSL % on floats: truncation-based remainder (sign follows x)."""
+    return jnp.fmod(x, y)
+
+
+def ch(p):
+    """Broadcast a spatial-or-scalar param against a channel axis."""
+    return jnp.asarray(p)[..., None]
+
+
+def mat3_apply(m: jnp.ndarray, rgb: jnp.ndarray) -> jnp.ndarray:
+    """out = M @ rgb per pixel, expanded as elementwise VPU math.
+
+    A 3x3 einsum would lower to an MXU matmul which defaults to bf16
+    accumulation on TPU — unacceptable for color matrices; the unrolled
+    form stays in f32 and fuses into the surrounding elementwise chain.
+    """
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    return jnp.stack(
+        [
+            m[0, 0] * r + m[0, 1] * g + m[0, 2] * b,
+            m[1, 0] * r + m[1, 1] * g + m[1, 2] * b,
+            m[2, 0] * r + m[2, 1] * g + m[2, 2] * b,
+        ],
+        axis=-1,
+    )

@@ -1,0 +1,84 @@
+"""Device-side tone-curve evaluation.
+
+The host bakes each curve into fixed-size per-segment Hermite coefficients
+(params/curves.py); here we evaluate them branch-free: every pixel computes
+all MAX_SEGMENTS cubics and masks by interval membership. This is the
+vectorized equivalent of the shader's segment-search loop
+(shader.wgsl:340-378) with identical arithmetic.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from rapidraw_tpu.ops.common import luma
+
+
+def eval_curve(val: jnp.ndarray, seg: jnp.ndarray, ends: jnp.ndarray, enabled) -> jnp.ndarray:
+    """Evaluate one curve.
+
+    Args:
+      val: (...,) channel values in [0, 1].
+      seg: (MAX_SEGMENTS, 6) [x0, y0, x1, y1, m1, m2] (0..255 domain).
+      ends: (4,) [x_first, y_first, x_last, y_last].
+      enabled: scalar; 0 -> identity (count < 2, shader.wgsl:341).
+    """
+    x = val * 255.0
+    xe = x[..., None]  # (..., S)
+    x0, y0, x1, y1, m1, m2 = (seg[:, i] for i in range(6))
+
+    dx = x1 - x0
+    safe_dx = jnp.where(dx <= 0.0, 1.0, dx)
+    t = (xe - x0) / safe_dx
+    t2 = t * t
+    t3 = t2 * t
+    h00 = 2.0 * t3 - 3.0 * t2 + 1.0
+    h10 = t3 - 2.0 * t2 + t
+    h01 = -2.0 * t3 + 3.0 * t2
+    h11 = t3 - t2
+    result_y = h00 * y0 + h10 * m1 * dx + h01 * y1 + h11 * m2 * dx
+    result_y = jnp.where(dx <= 0.0, y0, result_y)  # degenerate segment
+    result_y = jnp.clip(result_y / 255.0, 0.0, 1.0)
+
+    in_seg = (xe > x0) & (xe <= x1)
+    seg_val = jnp.sum(jnp.where(in_seg, result_y, 0.0), axis=-1)
+    any_seg = jnp.any(in_seg, axis=-1)
+
+    out = jnp.where(any_seg, seg_val, ends[3] / 255.0)  # loop fallthrough
+    out = jnp.where(x >= ends[2], ends[3] / 255.0, out)
+    out = jnp.where(x <= ends[0], ends[1] / 255.0, out)
+    return jnp.where(enabled > 0.0, out, val)
+
+
+def apply_all_curves(rgb: jnp.ndarray, curve_set: dict) -> jnp.ndarray:
+    """Luma + RGB point curves with luma preservation (shader.wgsl:1218-1237).
+
+    curve_set: {'seg': (4,S,6), 'ends': (4,4), 'enabled': (4,),
+                'rgb_active': ()} — channel order luma, red, green, blue.
+    rgb_active is traced, so both paths are computed and selected; the cost
+    is a handful of extra curve evaluations.
+    """
+    seg, ends, en = curve_set["seg"], curve_set["ends"], curve_set["enabled"]
+
+    def cv(v, i):
+        return eval_curve(v, seg[i], ends[i], en[i])
+
+    # RGB path: per-channel curves, luma curve drives overall luminance
+    graded = jnp.stack(
+        [cv(rgb[..., 0], 1), cv(rgb[..., 1], 2), cv(rgb[..., 2], 3)], axis=-1
+    )
+    luma_initial = luma(rgb)
+    luma_target = cv(luma_initial, 0)
+    luma_graded = luma(graded)
+    scale = luma_target / jnp.where(luma_graded > 0.001, luma_graded, 1.0)
+    rgb_path = jnp.where(
+        (luma_graded > 0.001)[..., None], graded * scale[..., None], luma_target[..., None]
+    )
+    max_comp = jnp.max(rgb_path, axis=-1, keepdims=True)
+    rgb_path = jnp.where(max_comp > 1.0, rgb_path / max_comp, rgb_path)
+
+    # luma-only path: the luma curve applied to each channel
+    luma_path = jnp.stack(
+        [cv(rgb[..., 0], 0), cv(rgb[..., 1], 0), cv(rgb[..., 2], 0)], axis=-1
+    )
+    return jnp.where(curve_set["rgb_active"] > 0.0, rgb_path, luma_path)

@@ -1,0 +1,247 @@
+"""Blur-pyramid-driven local ops: sharpen/clarity/structure local contrast,
+centre effect, dehaze, glow/bloom, halation.
+
+Ports of shader.wgsl:719-887 (local contrast, centre, dehaze) and
+:1313-1436 (glow, halation). All take the relevant blur-pyramid level in
+*input space* (sRGB for LDR, linear for RAW) exactly as the shader binds
+them (gpu_processing.rs:1402-1405, 1447-1478).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from rapidraw_tpu.ops import colorspace as cs
+from rapidraw_tpu.ops import tone
+from rapidraw_tpu.ops.common import ch, luma, mix, smoothstep
+
+
+def _blur_to_linear(blurred_input_space: jnp.ndarray, is_raw: bool) -> jnp.ndarray:
+    return blurred_input_space if is_raw else cs.srgb_to_linear(blurred_input_space)
+
+
+def apply_local_contrast(
+    rgb: jnp.ndarray,
+    blurred_input_space: jnp.ndarray,
+    amount,
+    is_raw: bool,
+    mode: int,
+    threshold,
+) -> jnp.ndarray:
+    """Log-ratio local contrast (shader.wgsl:719-778).
+
+    mode 0 = sharpness (edge-masked, threshold knob); mode 1 = clarity /
+    structure (plain log-ratio gain). Negative amounts blend toward the blur.
+    """
+    blurred_linear = _blur_to_linear(blurred_input_space, is_raw)
+
+    # negative branch: blur blend
+    blur_amount = -amount * (0.5 if mode == 0 else 1.0)
+    neg_result = mix(rgb, blurred_linear, ch(blur_amount))
+
+    # positive branch
+    center_luma = luma(rgb)
+    shadow_threshold = 0.1 if is_raw else 0.03
+    shadow_protection = smoothstep(0.0, shadow_threshold, center_luma)
+    highlight_protection = 1.0 - smoothstep(0.9, 1.0, center_luma)
+    midtone_mask = shadow_protection * highlight_protection
+
+    blurred_luma = luma(blurred_linear)
+    safe_center = jnp.maximum(center_luma, 0.0001)
+    safe_blurred = jnp.maximum(blurred_luma, 0.0001)
+    log_ratio = jnp.log2(safe_center / safe_blurred)
+
+    if mode == 0:
+        edge_magnitude = jnp.abs(log_ratio)
+        normalized_edge = jnp.clip(edge_magnitude / 3.0, 0.0, 1.0)
+        edge_dampener = 1.0 - jnp.sqrt(normalized_edge)
+        edge_mask = smoothstep(threshold * 0.5, threshold * 1.5, edge_magnitude)
+        effective_amount = amount * edge_dampener * edge_mask * 0.8
+    else:
+        effective_amount = amount * jnp.ones_like(log_ratio)
+
+    contrast_factor = jnp.exp2(log_ratio * effective_amount)
+    boosted = rgb * contrast_factor[..., None]
+    pos_result = mix(rgb, boosted, midtone_mask[..., None])
+    pos_result = jnp.where(midtone_mask[..., None] < 0.001, rgb, pos_result)
+
+    out = jnp.where(ch(amount) < 0.0, neg_result, pos_result)
+    return jnp.where(ch(amount) == 0.0, rgb, out)
+
+
+def _centre_mask(shape_hw: tuple[int, int]) -> jnp.ndarray:
+    """Radial centre weight used by the centré effect (shader.wgsl:790-798)."""
+    h, w = shape_hw
+    ys = (jnp.arange(h, dtype=jnp.float32) / h - 0.5) * 2.0
+    xs = (jnp.arange(w, dtype=jnp.float32) / w - 0.5) * 2.0
+    aspect = h / w
+    d = jnp.sqrt(xs[None, :] ** 2 + (ys[:, None] * aspect) ** 2) * 0.5
+    vignette_mask = smoothstep(0.4 - 0.375, 0.4 + 0.375, d)
+    return 1.0 - vignette_mask
+
+
+def apply_centre_local_contrast(
+    rgb: jnp.ndarray,
+    centre_amount,
+    blurred_input_space: jnp.ndarray,
+    is_raw: bool,
+) -> jnp.ndarray:
+    """Centre-weighted clarity (shader.wgsl:780-809). Uses the clarity blur."""
+    centre_mask = _centre_mask(rgb.shape[-3:-1])
+    clarity_strength = centre_amount * (2.0 * centre_mask - 1.0) * 0.9
+    out = apply_local_contrast(rgb, blurred_input_space, clarity_strength, is_raw, 1, 0.0)
+    out = jnp.where(jnp.abs(clarity_strength)[..., None] > 0.001, out, rgb)
+    return jnp.where(ch(centre_amount) == 0.0, rgb, out)
+
+
+def apply_centre_tonal_and_color(rgb: jnp.ndarray, centre_amount) -> jnp.ndarray:
+    """Centre-weighted exposure/vibrance/saturation (shader.wgsl:811-846)."""
+    centre_mask = _centre_mask(rgb.shape[-3:-1])
+    exposure_boost = centre_mask * centre_amount * 0.5
+    out = tone.apply_filmic_exposure(rgb, exposure_boost)
+    vib_boost = centre_mask * centre_amount * 0.4
+    sat_centre = centre_mask * centre_amount * 0.3
+    sat_edge = -(1.0 - centre_mask) * centre_amount * 0.8
+    from rapidraw_tpu.ops.color import apply_creative_color
+
+    out = apply_creative_color(out, sat_centre + sat_edge, vib_boost)
+    return jnp.where(ch(centre_amount) == 0.0, rgb, out)
+
+
+def apply_dehaze(
+    rgb: jnp.ndarray, blurred_input_space: jnp.ndarray, is_raw: bool, amount
+) -> jnp.ndarray:
+    """Dark-channel-prior dehaze / haze add (shader.wgsl:848-887).
+
+    Uses the structure blur as the regional dark-channel estimate.
+    """
+    blurred_linear = _blur_to_linear(blurred_input_space, is_raw)
+    atmospheric_light = jnp.array([0.95, 0.97, 1.0], dtype=rgb.dtype)
+
+    # positive: remove haze
+    pixel_dark = jnp.min(rgb, axis=-1)
+    regional_dark = jnp.min(blurred_linear, axis=-1)
+    pixel_luma = luma(jnp.maximum(rgb, 0.0))
+    blurred_luma = luma(jnp.maximum(blurred_linear, 0.0))
+    edge_diff = jnp.abs(
+        jnp.sqrt(jnp.maximum(pixel_luma, 0.0)) - jnp.sqrt(jnp.maximum(blurred_luma, 0.0))
+    )
+    halo_protection = smoothstep(0.02, 0.15, edge_diff)
+    spatial_dark = mix(regional_dark, pixel_dark, halo_protection)
+    safe_dark = jnp.maximum(spatial_dark - 0.02, 0.0)
+    mapped_haze = safe_dark / (safe_dark + 0.2)
+    t = jnp.maximum(1.0 - amount * mapped_haze * 0.85, 0.15)
+    recovered = (rgb - atmospheric_light) / t[..., None] + atmospheric_light
+    rec_luma = luma(jnp.maximum(recovered, 0.0))
+    shadow_lift = smoothstep(0.1, 0.0, rec_luma) * (1.0 - t) * 0.15
+    recovered = recovered + shadow_lift[..., None]
+    sat_boost = (1.0 - t) * 0.5
+    final_luma = luma(jnp.maximum(recovered, 0.0))
+    recovered = mix(final_luma[..., None], recovered, (1.0 + sat_boost)[..., None])
+    pos_result = jnp.maximum(recovered, 0.0)
+
+    # negative: add atmospheric haze, deeper where the scene is bright/far
+    safe_dark_n = jnp.maximum(regional_dark - 0.02, 0.0)
+    mapped_depth = safe_dark_n / (safe_dark_n + 0.2)
+    depth_factor = mix(0.4, 1.0, mapped_depth)
+    neg_result = mix(rgb, atmospheric_light, (jnp.abs(amount) * 0.7 * depth_factor)[..., None])
+
+    out = jnp.where(ch(amount) > 0.0, pos_result, neg_result)
+    return jnp.where(ch(amount) == 0.0, rgb, out)
+
+
+def _perceptual_luma(linear_luma: jnp.ndarray) -> jnp.ndarray:
+    """Gamma-2.2 with linear extension above 1.0 (shader.wgsl:1337-1343)."""
+    lo = jnp.power(jnp.maximum(linear_luma, 0.0), 1.0 / 2.2)
+    hi = 1.0 + jnp.power(jnp.maximum(linear_luma - 1.0, 0.0), 1.0 / 2.2)
+    return jnp.where(linear_luma <= 1.0, lo, hi)
+
+
+def _graded_blur_luma(
+    blurred_input_space: jnp.ndarray, is_raw: bool, exp, bright, wh
+) -> jnp.ndarray:
+    """Shared glow/halation source: the blur level pushed through the same
+    exposure/brightness/whites chain as the main pixel (shader.wgsl:1324-1335)."""
+    blurred_linear = _blur_to_linear(blurred_input_space, is_raw)
+    blurred_linear = tone.apply_linear_exposure(blurred_linear, exp)
+    blurred_linear = tone.apply_filmic_exposure(blurred_linear, bright)
+    blurred_linear = tone.apply_tonal_adjustments(
+        blurred_linear, blurred_input_space, is_raw, 0.0, 0.0, wh, 0.0
+    )
+    return blurred_linear
+
+
+def apply_glow_bloom(
+    rgb: jnp.ndarray,
+    blurred_input_space: jnp.ndarray,
+    amount,
+    is_raw: bool,
+    exp,
+    bright,
+    con,
+    wh,
+) -> jnp.ndarray:
+    """Soft bloom from the structure blur (shader.wgsl:1313-1381)."""
+    del con  # shader receives but never uses contrast here
+    blurred_linear = _graded_blur_luma(blurred_input_space, is_raw, exp, bright, wh)
+    linear_luma = luma(jnp.maximum(blurred_linear, 0.0))
+    perceptual_luma = _perceptual_luma(linear_luma)
+
+    luma_cutoff = mix(0.75, 0.08, jnp.clip(amount, 0.0, 1.0))
+    cutoff_fade = smoothstep(luma_cutoff, luma_cutoff + 0.15, perceptual_luma)
+    excess = jnp.maximum(perceptual_luma - luma_cutoff, 0.0)
+    bloom_intensity = jnp.power(smoothstep(0.0, 1.0, excess / 5.5), 0.45)
+
+    color_ratio = blurred_linear / jnp.where(linear_luma > 0.01, linear_luma, 1.0)[..., None]
+    warm = jnp.array([1.03, 1.0, 0.97], dtype=rgb.dtype)
+    dark_default = jnp.array([1.0, 0.99, 0.98], dtype=rgb.dtype)
+    bloom_color = jnp.where(
+        (linear_luma > 0.01)[..., None], color_ratio * warm, dark_default
+    )
+
+    luma_factor = jnp.power(jnp.maximum(linear_luma, 0.0), 0.6)
+    black_gate = jnp.sqrt(smoothstep(0.0, 0.5, linear_luma))
+    bloom_color = bloom_color * (bloom_intensity * luma_factor * cutoff_fade * black_gate)[..., None]
+
+    current_luma = luma(jnp.maximum(rgb, 0.0))
+    protection = 1.0 - smoothstep(1.0, 2.2, current_luma)
+    out = rgb + bloom_color * (ch(amount) * 3.8 * protection[..., None])
+    return jnp.where(ch(amount) <= 0.0, rgb, out)
+
+
+def apply_halation(
+    rgb: jnp.ndarray,
+    blurred_input_space: jnp.ndarray,
+    amount,
+    is_raw: bool,
+    exp,
+    bright,
+    con,
+    wh,
+) -> jnp.ndarray:
+    """Red-orange film halation from the clarity blur (shader.wgsl:1383-1436)."""
+    del con
+    blurred_linear = _graded_blur_luma(blurred_input_space, is_raw, exp, bright, wh)
+    linear_luma = luma(jnp.maximum(blurred_linear, 0.0))
+    perceptual_luma = _perceptual_luma(linear_luma)
+
+    luma_cutoff = mix(0.85, 0.1, jnp.clip(amount, 0.0, 1.0))
+    excess = perceptual_luma - luma_cutoff
+    rng = jnp.maximum(1.5 - luma_cutoff, 0.1)
+    halation_mask = smoothstep(0.0, rng * 0.6, excess)
+
+    core = jnp.array([1.0, 0.15, 0.03], dtype=rgb.dtype)
+    fringe = jnp.array([1.0, 0.32, 0.10], dtype=rgb.dtype)
+    intensity_blend = smoothstep(0.0, 0.7, halation_mask)
+    halation_tint = mix(fringe, core, intensity_blend[..., None])
+    glow_intensity = halation_mask * linear_luma
+    halation_glow = halation_tint * glow_intensity[..., None]
+
+    color_luma = luma(jnp.maximum(rgb, 0.0))
+    desat_strength = halation_mask * 0.12
+    affected = mix(rgb, color_luma[..., None], desat_strength[..., None])
+    contrast_reduced = mix(0.5, affected, (1.0 - halation_mask * 0.06)[..., None])
+    out = contrast_reduced + halation_glow * ch(amount) * 2.5
+
+    skip = (ch(amount) <= 0.0) | (ch(perceptual_luma) <= ch(luma_cutoff))
+    return jnp.where(skip, rgb, out)

@@ -1,0 +1,86 @@
+"""Batch develop: vmap over images + parameter stacking with mask padding.
+
+The reference processes one image at a time behind a mutex
+(gpu_processing.rs GpuProcessor singleton); the TPU framework's unit of work
+is a *batch* of same-shape images with per-image parameters, vmapped and
+sharded across the device mesh (SURVEY.md §2 'Parallelism strategies':
+batch-parallel export needs no collectives).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rapidraw_tpu.params.parse import DevelopConfig, DevelopParams, merge_configs
+from rapidraw_tpu.pipeline.develop import develop
+
+
+def _pad_mask_sets(params: DevelopParams, target_n: int) -> DevelopParams:
+    """Pad a document's mask stack to `target_n` entries (zero adjustments).
+
+    Padded masks get zero influence bitmaps, so they are exact no-ops.
+    """
+    mask = params["mask"]
+    if target_n == 0:
+        return {"glob": params["glob"], "mask": None}
+
+    def pad(x):
+        x = np.asarray(x)
+        n = x.shape[0]
+        if n >= target_n:
+            return x[:target_n]
+        pad_width = [(0, target_n - n)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(x, pad_width)
+
+    if mask is None:
+        # build an all-zero mask set with the right shapes from a template
+        from rapidraw_tpu.params.parse import _shared_set  # noqa: PLC0415
+
+        tmpl = _shared_set({})
+        mask = {}
+        for k, v in tmpl.items():
+            if k == "curves":
+                mask["curves"] = {
+                    ck: np.zeros((0,) + np.asarray(cv).shape, np.float32)
+                    for ck, cv in v.items()
+                }
+            else:
+                mask[k] = np.zeros((0,) + np.asarray(v).shape, np.float32)
+
+    out = {}
+    for k, v in mask.items():
+        if k == "curves":
+            out["curves"] = {ck: pad(cv) for ck, cv in v.items()}
+        else:
+            out[k] = pad(v)
+    return {"glob": params["glob"], "mask": out}
+
+
+def stack_params(
+    params_list: list[DevelopParams], configs: list[DevelopConfig]
+) -> tuple[DevelopParams, DevelopConfig]:
+    """Stack per-image params into batched arrays + the merged static config."""
+    cfg = merge_configs(configs)
+    padded = [_pad_mask_sets(p, cfg.mask_count) for p in params_list]
+    stacked = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *padded)
+    return stacked, cfg
+
+
+def develop_batch(
+    images: jnp.ndarray,
+    params: DevelopParams,
+    cfg: DevelopConfig,
+    masks: jnp.ndarray | None = None,
+    lut: jnp.ndarray | None = None,
+    flare: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Develop (B, H, W, 3) images with per-image stacked params.
+
+    masks: (B, N, H, W) or None; lut/flare shared across the batch.
+    """
+    fn = lambda img, p, mk: develop(img, p, cfg, masks=mk, lut=lut, flare=flare)
+    if masks is None and cfg.mask_count == 0:
+        return jax.vmap(lambda img, p: fn(img, p, None))(images, params)
+    return jax.vmap(fn)(images, params, masks)
