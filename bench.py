@@ -55,17 +55,27 @@ def main() -> None:
     params, cfg = stack_params([p for p, _ in parsed], [c for _, c in parsed])
 
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.random((BATCH, H, W, 3), dtype=np.float32))
+    images = jnp.asarray(rng.random((BATCH, 3, H, W), dtype=np.float32))
 
     fn = jax.jit(lambda imgs, p: develop_batch(imgs, p, cfg), donate_argnums=())
     out = fn(images, params)
-    out.block_until_ready()  # compile + warm
+    _ = float(out[0, 0, 0, 0])  # compile + warm (readback forces real sync)
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(images, params)
-        out.block_until_ready()  # serialize: the axon queue lies otherwise
-    dt = time.perf_counter() - t0
+    # Slope method: chain iterations through a data dependency and force a
+    # scalar readback, then difference two iteration counts — on the axon
+    # tunnel, block_until_ready() returns before execution finishes, so
+    # naive timing reports absurd numbers.
+    def run(iters: int) -> float:
+        t0 = time.perf_counter()
+        y = images
+        for _ in range(iters):
+            y = fn(y, params)
+        _ = float(y[0, 0, 0, 0])
+        return time.perf_counter() - t0
+
+    base = run(2)
+    full = run(2 + ITERS)
+    dt = full - base
 
     mpix = BATCH * H * W * ITERS / dt / 1e6
     print(

@@ -1,25 +1,41 @@
-"""Separable Gaussian blur pyramid.
+"""Separable Gaussian blur pyramid — MXU banded-matmul kernels.
 
-Port of blur.wgsl: truncated Gaussian with sigma = radius/2, taps at
-[-radius, radius], clamp-to-edge sampling, normalized by the *full* weight
-sum (edge samples duplicate the border pixel, so the weight total is
+Semantics ported from blur.wgsl: truncated Gaussian with sigma = radius/2,
+taps at [-radius, radius], clamp-to-edge sampling, normalized by the full
+weight sum (edge samples duplicate the border pixel, so the weight total is
 position-independent — blur.wgsl:40-51). Radius = max(1, ceil(base * scale))
 per pyramid level (gpu_processing.rs:1326-1327, 1402-1405).
 
-TPU mapping: edge-pad + two 1-D depthwise convolutions. XLA lowers these to
-vectorized VPU stencils; radii are static per compilation (they depend only
-on image shape), so the kernels are baked as constants.
+TPU design: a 1-D convolution along an axis is a banded Toeplitz matmul.
+A depthwise conv is VPU-bound and catastrophically slow at radius ~150
+(measured 871 ms for one 24MP blur); instead each 128-wide output tile is
+
+    vertical:   out[i] = sum_q  K_q   @ x_block[i + q]
+    horizontal: out[j] = sum_q  x_block[j + q] @ K_q^T
+
+where K_q are 128x128 blocks of the Gaussian band matrix and q runs over
+2*ceil(r/128)+1 *aligned* blocks of the same array — expressing the
+overlapping window as multiple shifted BlockSpecs of one input lets Pallas
+pipeline the HBM->VMEM streams automatically. Planar (3, H, W) layout makes
+both directions transpose-free (a 24MP (H,W,3) transpose costs ~200 ms on
+v5e; this whole pyramid level runs in a few ms).
 """
 
 from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 F16_MAX = 65504.0
+
+_TB = 128  # tile size along the blurred axis (matches K block size)
+_TP = 256  # tile size along the passive axis
 
 
 @functools.lru_cache(maxsize=64)
@@ -30,34 +46,152 @@ def _gauss_weights(radius: int) -> np.ndarray:
     return (w / w.sum()).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=64)
+def _k_blocks(radius: int) -> np.ndarray:
+    """(nb, TB, TB) blocks of the band matrix.
+
+    With pad = ceil(r/TB)*TB elements prepended to the blurred axis,
+    out[i*TB + b] = sum_q sum_t K[q, b, t] * P[(i+q)*TB + t], where
+    K[q, b, t] = w[q*TB + t - pad - b + r].
+    """
+    w = _gauss_weights(radius)
+    hb = -(-radius // _TB)
+    nb = 2 * hb + 1
+    pad = hb * _TB
+    k = np.zeros((nb, _TB, _TB), np.float32)
+    for q in range(nb):
+        for b in range(_TB):
+            base = q * _TB - pad - b + radius
+            t0 = max(0, -base)
+            t1 = min(_TB, 2 * radius + 1 - base)
+            if t1 > t0:
+                k[q, b, t0:t1] = w[base + t0 : base + t1]
+    return k
+
+
+def _dot(a, b):
+    # default MXU precision truncates inputs to bf16 (~2e-3 error on the
+    # blurred planes); HIGHEST keeps f32-accurate accumulation.
+    return jax.lax.dot(
+        a, b, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32
+    )
+
+
+def _make_kernel(nb: int, axis: int):
+    def kernel(*refs):
+        k_ref = refs[0]
+        x_refs = refs[1 : 1 + nb]
+        out_ref = refs[1 + nb]
+        acc = None
+        for q in range(nb):
+            x = x_refs[q][0]
+            d = _dot(k_ref[q], x) if axis == 0 else _dot(x, k_ref[q].T)
+            acc = d if acc is None else acc + d
+        out_ref[0] = acc
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=1)
+def _use_interpret() -> bool:
+    return jax.devices()[0].platform != "tpu"
+
+
+def _blur_axis(x: jnp.ndarray, radius: int, axis: int) -> jnp.ndarray:
+    """Blur (C, N, M) along `axis` (0 -> N, 1 -> M), per-channel edge clamp."""
+    c, n, m = x.shape
+    hb = -(-radius // _TB)
+    nb = 2 * hb + 1
+    pad = hb * _TB
+
+    if axis == 0:
+        grid_b, grid_p = -(-n // _TB), -(-m // _TP)
+        total_b = (grid_b + 2 * hb) * _TB
+        x = jnp.pad(x, ((0, 0), (radius, radius), (0, 0)), mode="edge")
+        x = jnp.pad(
+            x,
+            (
+                (0, 0),
+                (pad - radius, total_b - (pad + radius) - n),
+                (0, -m % _TP),
+            ),
+        )
+        block = (1, _TB, _TP)
+        out_shape = (c, grid_b * _TB, grid_p * _TP)
+        grid = (c, grid_b, grid_p)
+
+        def imap(q):
+            return lambda ci, i, j, q=q: (ci, i + q, j)
+
+        omap = lambda ci, i, j: (ci, i, j)
+    else:
+        grid_b, grid_p = -(-m // _TB), -(-n // _TP)
+        total_b = (grid_b + 2 * hb) * _TB
+        x = jnp.pad(x, ((0, 0), (0, 0), (radius, radius)), mode="edge")
+        x = jnp.pad(
+            x,
+            (
+                (0, 0),
+                (0, -n % _TP),
+                (pad - radius, total_b - (pad + radius) - m),
+            ),
+        )
+        block = (1, _TP, _TB)
+        out_shape = (c, grid_p * _TP, grid_b * _TB)
+        grid = (c, grid_b, grid_p)
+
+        def imap(q):
+            return lambda ci, i, j, q=q: (ci, j, i + q)
+
+        omap = lambda ci, i, j: (ci, j, i)
+
+    k = jnp.asarray(_k_blocks(radius))
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    for q in range(nb):
+        in_specs.append(pl.BlockSpec(block, imap(q), memory_space=pltpu.VMEM))
+
+    out = pl.pallas_call(
+        _make_kernel(nb, axis),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(block, omap, memory_space=pltpu.VMEM),
+        interpret=_use_interpret(),
+    )(k, *([x] * nb))
+    return out[:, :n, :m]
+
+
 def gaussian_blur(img: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """Blur (H, W, C) with the reference's truncated Gaussian.
+    """Blur planar (3, H, W) with the reference's truncated Gaussian.
 
     Input samples are clamped to [0, F16_MAX] exactly as blur.wgsl:35,44 does
-    before accumulation (the pyramid lives in rgba16f textures).
+    before accumulation (the reference pyramid lives in rgba16f textures).
     """
-    h, w, c = img.shape
+    x = jnp.clip(img, 0.0, F16_MAX)
+    x = _blur_axis(x, radius, axis=1)  # horizontal (blur.wgsl pass 1)
+    return _blur_axis(x, radius, axis=0)  # vertical (pass 2)
+
+
+def gaussian_blur_reference(img: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Slow XLA depthwise-conv path, kept as a cross-check oracle for tests.
+
+    NOTE: on TPU, XLA lowers this conv through bf16 — accurate only to ~2e-3;
+    run comparisons on CPU for exactness.
+    """
     x = jnp.clip(img, 0.0, F16_MAX)
     weights = jnp.asarray(_gauss_weights(radius))
-
-    # horizontal pass
-    xp = jnp.pad(x, ((0, 0), (radius, radius), (0, 0)), mode="edge")
+    xp = jnp.pad(x, ((0, 0), (0, 0), (radius, radius)), mode="edge")
     x = _conv1d(xp, weights, axis=1)
-    # vertical pass
-    xp = jnp.pad(x, ((radius, radius), (0, 0), (0, 0)), mode="edge")
-    x = _conv1d(xp, weights, axis=0)
-    return x
+    xp = jnp.pad(x, ((0, 0), (radius, radius), (0, 0)), mode="edge")
+    return _conv1d(xp, weights, axis=0)
 
 
 def _conv1d(img: jnp.ndarray, weights: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Depthwise 1-D convolution of (H, W, C) along `axis` (valid padding)."""
-    h, w, c = img.shape
-    nchw = img.transpose(2, 0, 1)[None]  # (1, C, H, W)
+    """Depthwise 1-D conv of planar (C, H, W) along spatial `axis` (valid)."""
+    c = img.shape[0]
+    nchw = img[None]
     k = weights.size
-    if axis == 1:
-        kernel = weights.reshape(1, 1, 1, k)
-    else:
-        kernel = weights.reshape(1, 1, k, 1)
+    kernel = weights.reshape(1, 1, 1, k) if axis == 1 else weights.reshape(1, 1, k, 1)
     kernel = jnp.broadcast_to(kernel, (c, 1) + kernel.shape[2:])
     out = lax.conv_general_dilated(
         nchw,
@@ -67,4 +201,4 @@ def _conv1d(img: jnp.ndarray, weights: jnp.ndarray, axis: int) -> jnp.ndarray:
         feature_group_count=c,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
-    return out[0].transpose(1, 2, 0)
+    return out[0]

@@ -2,7 +2,7 @@
 
 Port of shader.wgsl:1077-1105 (`apply_ca_correction`): red and blue channels
 are re-sampled at positions shifted toward/away from the image center by a
-distance-proportional amount (nearest-neighbor via round).
+distance-proportional amount (nearest-neighbor via round). Planar (3, H, W).
 """
 
 from __future__ import annotations
@@ -11,8 +11,8 @@ import jax.numpy as jnp
 
 
 def apply_ca_correction(input_rgb: jnp.ndarray, ca_rc, ca_by) -> jnp.ndarray:
-    """input_rgb: (H, W, 3) input-space texture. ca_*: scalar shifts."""
-    h, w, _ = input_rgb.shape
+    """input_rgb: (3, H, W) input-space texture. ca_*: scalar shifts."""
+    _, h, w = input_rgb.shape
     cx_f = w / 2.0
     cy_f = h / 2.0
     ys = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones((1, w), jnp.float32)
@@ -25,12 +25,10 @@ def apply_ca_correction(input_rgb: jnp.ndarray, ca_rc, ca_by) -> jnp.ndarray:
     blue_x = jnp.clip(jnp.round(xs - to_cx * ca_by).astype(jnp.int32), 0, w - 1)
     blue_y = jnp.clip(jnp.round(ys - to_cy * ca_by).astype(jnp.int32), 0, h - 1)
 
-    r_flat = input_rgb[..., 0].reshape(-1)
-    b_flat = input_rgb[..., 2].reshape(-1)
+    r_flat = input_rgb[0].reshape(-1)
+    b_flat = input_rgb[2].reshape(-1)
     r = jnp.take(r_flat, (red_y * w + red_x).reshape(-1)).reshape(h, w)
     b = jnp.take(b_flat, (blue_y * w + blue_x).reshape(-1)).reshape(h, w)
-    out = jnp.stack([r, input_rgb[..., 1], b], axis=-1)
-
     # center pixel (dist == 0) keeps the original sample (shader.wgsl:1085)
-    # — round(x - 0) == x there anyway, so no special case is needed.
-    return out
+    # — round(x - 0) == x there, so no special case is needed.
+    return jnp.stack([r, input_rgb[1], b])

@@ -2,7 +2,7 @@
 HSL 8-band mixer, 3-way color grading, color calibration.
 
 Ports of shader.wgsl:276-293 (hue shift + HSL influence), :549-626 (calibration,
-WB, creative color), :628-717 (HSL panel, color grading).
+WB, creative color), :628-717 (HSL panel, color grading). Planar (3, H, W).
 """
 
 from __future__ import annotations
@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from rapidraw_tpu.ops import colorspace as cs
-from rapidraw_tpu.ops.common import ch, luma, mat3_apply, mix, smoothstep, wgsl_mod
+from rapidraw_tpu.ops.common import bcast3, luma, mix, smoothstep, wgsl_mod
 
 # (center_degrees, width) per band: Red, Orange, Yellow, Green, Aqua, Blue,
 # Purple, Magenta (shader.wgsl:186-195).
@@ -28,23 +28,20 @@ HSL_RANGES = (
 
 def apply_white_balance(rgb: jnp.ndarray, temp, tint) -> jnp.ndarray:
     """Per-channel temperature/tint gains (shader.wgsl:587-593)."""
-    t, n = ch(temp), ch(tint)
-    r = (1.0 + t * 0.2) * (1.0 + n * 0.25)
-    g = (1.0 + t * 0.05) * (1.0 - n * 0.25)
-    b = (1.0 - t * 0.2) * (1.0 + n * 0.25)
-    gains = jnp.concatenate(
-        [jnp.broadcast_to(x, rgb[..., :1].shape) for x in (r, g, b)], axis=-1
-    )
-    return rgb * gains
+    t, n = temp, tint
+    r = rgb[0] * ((1.0 + t * 0.2) * (1.0 + n * 0.25))
+    g = rgb[1] * ((1.0 + t * 0.05) * (1.0 - n * 0.25))
+    b = rgb[2] * ((1.0 - t * 0.2) * (1.0 + n * 0.25))
+    return jnp.stack([r, g, b])
 
 
 def apply_creative_color(rgb: jnp.ndarray, sat, vib) -> jnp.ndarray:
     """Saturation + selective vibrance with skin protection (shader.wgsl:595-626)."""
-    l = luma(rgb)[..., None]
-    processed = jnp.where(ch(sat) != 0.0, mix(l, rgb, 1.0 + ch(sat)), rgb)
+    l = luma(rgb)
+    processed = jnp.where(jnp.asarray(sat) != 0.0, mix(l, rgb, 1.0 + sat), rgb)
 
-    c_max = jnp.max(processed, axis=-1)
-    c_min = jnp.min(processed, axis=-1)
+    c_max = jnp.max(processed, axis=0)
+    c_min = jnp.min(processed, axis=0)
     delta = c_max - c_min
     current_sat = delta / jnp.maximum(c_max, 0.001)
 
@@ -63,8 +60,8 @@ def apply_creative_color(rgb: jnp.ndarray, sat, vib) -> jnp.ndarray:
     # NB: the shader computes `luma` once from the *input* color and reuses
     # it for the vibrance mix (shader.wgsl:597,619,623).
     amount = jnp.where(vib > 0.0, amount_pos, amount_neg)
-    vibed = mix(l, processed, 1.0 + amount[..., None])
-    skip = (ch(vib) == 0.0) | (delta[..., None] < 0.02)
+    vibed = mix(l, processed, 1.0 + amount)
+    skip = (jnp.asarray(vib) == 0.0) | (delta < 0.02)
     return jnp.where(skip, processed, vibed)
 
 
@@ -75,7 +72,7 @@ def apply_hue_shift(rgb: jnp.ndarray, shift_degrees) -> jnp.ndarray:
     shifted_h = wgsl_mod(h + shift_degrees + 360.0, 360.0)
     shifted = cs.hsv_to_rgb(shifted_h, s, v)
     out = cs.srgb_to_linear(shifted)
-    return jnp.where(jnp.abs(ch(shift_degrees)) < 0.01, rgb, out)
+    return jnp.where(jnp.abs(jnp.asarray(shift_degrees)) < 0.01, rgb, out)
 
 
 def _raw_hsl_influence(hue, center, width):
@@ -94,7 +91,7 @@ def apply_hsl_panel(
     """8-band hue/sat/luma mixer (shader.wgsl:628-684).
 
     Args:
-      rgb: (..., 3) linear.
+      rgb: (3, ...) linear.
       hsl: (8, 3) global band params [hue, sat, lum].
       mask_hsl: optional (N, 8, 3) per-mask band params.
       mask_influence: optional (N, ...) influence maps.
@@ -102,7 +99,7 @@ def apply_hsl_panel(
     The shader first sums global+mask band params per pixel then computes the
     3 weighted totals; both reductions are linear, so we contract the band
     weights against global and mask params separately and never materialize
-    an (H, W, 8, 3) field.
+    a per-pixel (8, 3) field.
     """
     safe = jnp.maximum(rgb, 0.0)
     h, s, v = cs.rgb_to_hsv(safe)
@@ -111,21 +108,20 @@ def apply_hsl_panel(
     saturation_mask = smoothstep(0.05, 0.20, s)
     luminance_weight = smoothstep(0.0, 1.0, s)
 
-    raw_inf = jnp.stack(
-        [_raw_hsl_influence(h, c, w) for c, w in HSL_RANGES], axis=-1
-    )  # (..., 8)
-    total_raw = jnp.sum(raw_inf, axis=-1, keepdims=True)
-    norm_inf = raw_inf / total_raw
+    raw_inf = [_raw_hsl_influence(h, c, w) for c, w in HSL_RANGES]
+    total_raw = raw_inf[0]
+    for r in raw_inf[1:]:
+        total_raw = total_raw + r
+    inv_total = 1.0 / total_raw
 
-    hue_w = norm_inf * saturation_mask[..., None]  # (..., 8)
-    lum_w = norm_inf * luminance_weight[..., None]
-
-    # mul+reduce (not einsum) so the contraction stays exact f32 on TPU
-    def totals(band_params):  # band_params (8,3) -> three (...) maps
-        th = 2.0 * jnp.sum(hue_w * band_params[:, 0], axis=-1)
-        ts = jnp.sum(hue_w * band_params[:, 1], axis=-1)
-        tl = jnp.sum(lum_w * band_params[:, 2], axis=-1)
-        return th, ts, tl
+    def totals(band_params):  # (8,3) -> three (...) maps
+        th = ts = tl = 0.0
+        for i in range(8):
+            ni = raw_inf[i] * inv_total
+            th = th + band_params[i, 0] * 2.0 * ni
+            ts = ts + band_params[i, 1] * ni
+            tl = tl + band_params[i, 2] * ni
+        return th * saturation_mask, ts * saturation_mask, tl * luminance_weight
 
     total_hue, total_sat, total_lum = totals(hsl)
     if mask_hsl is not None:
@@ -136,23 +132,21 @@ def apply_hsl_panel(
             total_lum = total_lum + mask_influence[n] * ml
 
     new_sat_raw = s * (1.0 + total_sat)
-    desat_out = (original_luma * (1.0 + total_lum))[..., None] * jnp.ones_like(rgb)
+    desat_val = original_luma * (1.0 + total_lum)
 
     new_h = wgsl_mod(h + total_hue + 360.0, 360.0)
     new_s = jnp.clip(new_sat_raw, 0.0, 1.0)
     hs_shifted = cs.hsv_to_rgb(new_h, new_s, v)
     new_luma = luma(hs_shifted)
     target_luma = original_luma * (1.0 + total_lum)
-    lum_fallback = jnp.maximum(0.0, target_luma)[..., None] * jnp.ones_like(rgb)
-    scaled = hs_shifted * (target_luma / jnp.where(new_luma < 0.0001, 1.0, new_luma))[..., None]
-    result = jnp.where(new_luma[..., None] < 0.0001, lum_fallback, scaled)
-    result = jnp.where(new_sat_raw[..., None] < 0.0001, desat_out, result)
+    scaled = hs_shifted * (target_luma / jnp.where(new_luma < 0.0001, 1.0, new_luma))
+    result = jnp.where(new_luma < 0.0001, jnp.maximum(0.0, target_luma), scaled)
+    result = jnp.where(new_sat_raw < 0.0001, desat_val, result)
 
     # early-outs (shader.wgsl:630-641): near-gray pixels and zero weights
-    r, g, b = safe[..., 0], safe[..., 1], safe[..., 2]
-    gray = (jnp.abs(r - g) < 0.001) & (jnp.abs(g - b) < 0.001)
+    gray = (jnp.abs(safe[0] - safe[1]) < 0.001) & (jnp.abs(safe[1] - safe[2]) < 0.001)
     zero_w = (saturation_mask < 0.001) & (luminance_weight < 0.001)
-    return jnp.where((gray | zero_w)[..., None], safe, result)
+    return jnp.where(gray | zero_w, safe, result)
 
 
 def apply_color_grading(rgb: jnp.ndarray, cg: jnp.ndarray, blending, balance) -> jnp.ndarray:
@@ -177,9 +171,9 @@ def apply_color_grading(rgb: jnp.ndarray, cg: jnp.ndarray, blending, balance) ->
     for i, ((sat_str, lum_str), m) in enumerate(zip(strengths, masks)):
         hue, sat, lum = cg[i, 0], cg[i, 1], cg[i, 2]
         tint_rgb = cs.hsv_to_rgb(hue, jnp.ones_like(hue), jnp.ones_like(hue))
-        contrib = (tint_rgb - 0.5) * (sat * sat_str) * m[..., None]
+        contrib = (bcast3(tint_rgb, rgb) - 0.5) * (sat * sat_str) * m
         graded = graded + jnp.where(sat > 0.001, contrib, 0.0)
-        graded = graded + (lum * lum_str) * m[..., None]
+        graded = graded + (lum * lum_str) * m
     return graded
 
 
@@ -194,18 +188,24 @@ def apply_color_calibration(rgb: jnp.ndarray, cal: jnp.ndarray) -> jnp.ndarray:
     b_prime = jnp.stack([jnp.maximum(zero, h_b), jnp.maximum(zero, -h_b), 1.0 - jnp.abs(h_b)])
     # WGSL mat3x3<f32>(c0,c1,c2) * v = sum_j v[j] * col_j
     hue_matrix = jnp.stack([r_prime, g_prime, b_prime], axis=1)  # columns
-    c = mat3_apply(hue_matrix, rgb)
+    c = jnp.stack(
+        [
+            hue_matrix[0, 0] * rgb[0] + hue_matrix[0, 1] * rgb[1] + hue_matrix[0, 2] * rgb[2],
+            hue_matrix[1, 0] * rgb[0] + hue_matrix[1, 1] * rgb[1] + hue_matrix[1, 2] * rgb[2],
+            hue_matrix[2, 0] * rgb[0] + hue_matrix[2, 1] * rgb[1] + hue_matrix[2, 2] * rgb[2],
+        ]
+    )
 
     l = luma(jnp.maximum(c, 0.0))
-    sat_vector = c - l[..., None]
-    color_sum = jnp.sum(c, axis=-1, keepdims=True)
+    sat_vector = c - l
+    color_sum = jnp.sum(c, axis=0)
     masks = jnp.where(color_sum > 0.001, c / jnp.where(color_sum == 0.0, 1.0, color_sum), 0.0)
-    total_sat_adj = masks[..., 0] * s_r + masks[..., 1] * s_g + masks[..., 2] * s_b
-    c = c + sat_vector * total_sat_adj[..., None]
+    total_sat_adj = masks[0] * s_r + masks[1] * s_g + masks[2] * s_b
+    c = c + sat_vector * total_sat_adj
 
     shadow_luma = luma(jnp.maximum(c, 0.0))
     m = 1.0 - smoothstep(0.0, 0.3, shadow_luma)
-    tint_mult = jnp.stack([1.0 + st * 0.25, 1.0 - st * 0.25, 1.0 + st * 0.25])
-    tinted = mix(c, c * tint_mult, m[..., None])
+    tint_mult = bcast3(jnp.stack([1.0 + st * 0.25, 1.0 - st * 0.25, 1.0 + st * 0.25]), c)
+    tinted = mix(c, c * tint_mult, m)
     c = jnp.where(jnp.abs(st) > 0.001, tinted, c)
     return c

@@ -1,4 +1,4 @@
-"""Transfer functions and RGB<->HSV conversion.
+"""Transfer functions and RGB<->HSV conversion (planar (3, ...) layout).
 
 Ports of shader.wgsl:220-286 (srgb transfer, hsv) as vectorized jnp.
 """
@@ -34,8 +34,8 @@ def linear_to_srgb_extended(c: jnp.ndarray) -> jnp.ndarray:
 
 
 def rgb_to_hsv(rgb: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """shader.wgsl:246-259. rgb (...,3) -> (h_degrees, s, v) each (...)."""
-    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    """shader.wgsl:246-259. rgb (3, ...) -> (h_degrees, s, v) each (...)."""
+    r, g, b = rgb[0], rgb[1], rgb[2]
     c_max = jnp.maximum(r, jnp.maximum(g, b))
     c_min = jnp.minimum(r, jnp.minimum(g, b))
     delta = c_max - c_min
@@ -52,7 +52,7 @@ def rgb_to_hsv(rgb: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
 
 
 def hsv_to_rgb(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """shader.wgsl:261-274. h in degrees; returns (...,3)."""
+    """shader.wgsl:261-274. h in degrees; returns (3, ...)."""
     c = v * s
     x = c * (1.0 - jnp.abs(wgsl_mod(h / 60.0, 2.0) - 1.0))
     z = jnp.zeros_like(c)
@@ -70,4 +70,4 @@ def hsv_to_rgb(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
         gp = jnp.where(cond, tg, gp)
         bp = jnp.where(cond, tb, bp)
     m = v - c
-    return jnp.stack([rp + m, gp + m, bp + m], axis=-1)
+    return jnp.stack([rp + m, gp + m, bp + m])

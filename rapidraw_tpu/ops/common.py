@@ -1,4 +1,13 @@
-"""Shared numeric helpers matching WGSL built-in semantics."""
+"""Shared numeric helpers matching WGSL built-in semantics.
+
+Layout convention: images are PLANAR, channel-first — (3, H, W), or
+generally (3, ...spatial). TPU rationale: a minor dimension of 3 wastes
+lanes and makes transposes catastrophically slow (measured ~200 ms for one
+24MP (H,W,3) transpose on v5e); planar planes keep W on the lane axis,
+make the blur matmuls transpose-free, and measured ~25% faster on the
+elementwise chain. Adjustment parameter maps are (H, W) (or scalars) and
+broadcast against (3, H, W) naturally.
+"""
 
 from __future__ import annotations
 
@@ -9,12 +18,8 @@ LUMA_COEFF = (0.2126, 0.7152, 0.0722)
 
 
 def luma(rgb: jnp.ndarray) -> jnp.ndarray:
-    """dot(c, LUMA_COEFF) (shader.wgsl:216-218). rgb: (..., 3) -> (...)."""
-    return (
-        rgb[..., 0] * LUMA_COEFF[0]
-        + rgb[..., 1] * LUMA_COEFF[1]
-        + rgb[..., 2] * LUMA_COEFF[2]
-    )
+    """dot(c, LUMA_COEFF) (shader.wgsl:216-218). rgb: (3, ...) -> (...)."""
+    return rgb[0] * LUMA_COEFF[0] + rgb[1] * LUMA_COEFF[1] + rgb[2] * LUMA_COEFF[2]
 
 
 def mix(a, b, t):
@@ -39,9 +44,9 @@ def wgsl_mod(x, y):
     return jnp.fmod(x, y)
 
 
-def ch(p):
-    """Broadcast a spatial-or-scalar param against a channel axis."""
-    return jnp.asarray(p)[..., None]
+def bcast3(v, rgb):
+    """Reshape a (3,)-vector to broadcast along the channel axis of rgb."""
+    return jnp.asarray(v).reshape((3,) + (1,) * (rgb.ndim - 1))
 
 
 def mat3_apply(m: jnp.ndarray, rgb: jnp.ndarray) -> jnp.ndarray:
@@ -51,12 +56,11 @@ def mat3_apply(m: jnp.ndarray, rgb: jnp.ndarray) -> jnp.ndarray:
     accumulation on TPU — unacceptable for color matrices; the unrolled
     form stays in f32 and fuses into the surrounding elementwise chain.
     """
-    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    r, g, b = rgb[0], rgb[1], rgb[2]
     return jnp.stack(
         [
             m[0, 0] * r + m[0, 1] * g + m[0, 2] * b,
             m[1, 0] * r + m[1, 1] * g + m[1, 2] * b,
             m[2, 0] * r + m[2, 1] * g + m[2, 2] * b,
-        ],
-        axis=-1,
+        ]
     )

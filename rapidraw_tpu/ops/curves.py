@@ -64,21 +64,15 @@ def apply_all_curves(rgb: jnp.ndarray, curve_set: dict) -> jnp.ndarray:
         return eval_curve(v, seg[i], ends[i], en[i])
 
     # RGB path: per-channel curves, luma curve drives overall luminance
-    graded = jnp.stack(
-        [cv(rgb[..., 0], 1), cv(rgb[..., 1], 2), cv(rgb[..., 2], 3)], axis=-1
-    )
+    graded = jnp.stack([cv(rgb[0], 1), cv(rgb[1], 2), cv(rgb[2], 3)])
     luma_initial = luma(rgb)
     luma_target = cv(luma_initial, 0)
     luma_graded = luma(graded)
     scale = luma_target / jnp.where(luma_graded > 0.001, luma_graded, 1.0)
-    rgb_path = jnp.where(
-        (luma_graded > 0.001)[..., None], graded * scale[..., None], luma_target[..., None]
-    )
-    max_comp = jnp.max(rgb_path, axis=-1, keepdims=True)
+    rgb_path = jnp.where(luma_graded > 0.001, graded * scale, luma_target)
+    max_comp = jnp.max(rgb_path, axis=0)
     rgb_path = jnp.where(max_comp > 1.0, rgb_path / max_comp, rgb_path)
 
     # luma-only path: the luma curve applied to each channel
-    luma_path = jnp.stack(
-        [cv(rgb[..., 0], 0), cv(rgb[..., 1], 0), cv(rgb[..., 2], 0)], axis=-1
-    )
+    luma_path = jnp.stack([cv(rgb[0], 0), cv(rgb[1], 0), cv(rgb[2], 0)])
     return jnp.where(curve_set["rgb_active"] > 0.0, rgb_path, luma_path)

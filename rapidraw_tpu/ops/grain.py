@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from rapidraw_tpu.ops.common import ch, fract, luma, mix, smoothstep
+from rapidraw_tpu.ops.common import fract, luma, mix, smoothstep
 
 
 def hash2(px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:
@@ -59,8 +59,9 @@ def apply_grain(
 
     `scale` is the resolution scale min(W,H)/1080 — grain frequency is
     resolution-adaptive so prints look identical across sizes.
+    rgb is planar (3, H, W).
     """
-    h, w = rgb.shape[-3], rgb.shape[-2]
+    h, w = rgb.shape[-2], rgb.shape[-1]
     ys = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones((1, w), jnp.float32)
     xs = jnp.arange(w, dtype=jnp.float32)[None, :] * jnp.ones((h, 1), jnp.float32)
 
@@ -71,4 +72,4 @@ def apply_grain(
     noise_base = gradient_noise(xs * freq, ys * freq)
     noise_rough = gradient_noise(xs * freq * 0.6 + 5.2, ys * freq * 0.6 + 1.3)
     noise_val = mix(noise_base, noise_rough, roughness)
-    return rgb + ch(noise_val * amt * luma_mask)
+    return rgb + noise_val * amt * luma_mask

@@ -4,7 +4,7 @@ centre effect, dehaze, glow/bloom, halation.
 Ports of shader.wgsl:719-887 (local contrast, centre, dehaze) and
 :1313-1436 (glow, halation). All take the relevant blur-pyramid level in
 *input space* (sRGB for LDR, linear for RAW) exactly as the shader binds
-them (gpu_processing.rs:1402-1405, 1447-1478).
+them (gpu_processing.rs:1402-1405, 1447-1478). Planar (3, H, W) layout.
 """
 
 from __future__ import annotations
@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from rapidraw_tpu.ops import colorspace as cs
 from rapidraw_tpu.ops import tone
-from rapidraw_tpu.ops.common import ch, luma, mix, smoothstep
+from rapidraw_tpu.ops.common import bcast3, luma, mix, smoothstep
 
 
 def _blur_to_linear(blurred_input_space: jnp.ndarray, is_raw: bool) -> jnp.ndarray:
@@ -37,7 +37,7 @@ def apply_local_contrast(
 
     # negative branch: blur blend
     blur_amount = -amount * (0.5 if mode == 0 else 1.0)
-    neg_result = mix(rgb, blurred_linear, ch(blur_amount))
+    neg_result = mix(rgb, blurred_linear, blur_amount)
 
     # positive branch
     center_luma = luma(rgb)
@@ -61,12 +61,12 @@ def apply_local_contrast(
         effective_amount = amount * jnp.ones_like(log_ratio)
 
     contrast_factor = jnp.exp2(log_ratio * effective_amount)
-    boosted = rgb * contrast_factor[..., None]
-    pos_result = mix(rgb, boosted, midtone_mask[..., None])
-    pos_result = jnp.where(midtone_mask[..., None] < 0.001, rgb, pos_result)
+    boosted = rgb * contrast_factor
+    pos_result = mix(rgb, boosted, midtone_mask)
+    pos_result = jnp.where(midtone_mask < 0.001, rgb, pos_result)
 
-    out = jnp.where(ch(amount) < 0.0, neg_result, pos_result)
-    return jnp.where(ch(amount) == 0.0, rgb, out)
+    out = jnp.where(jnp.asarray(amount) < 0.0, neg_result, pos_result)
+    return jnp.where(jnp.asarray(amount) == 0.0, rgb, out)
 
 
 def _centre_mask(shape_hw: tuple[int, int]) -> jnp.ndarray:
@@ -87,16 +87,16 @@ def apply_centre_local_contrast(
     is_raw: bool,
 ) -> jnp.ndarray:
     """Centre-weighted clarity (shader.wgsl:780-809). Uses the clarity blur."""
-    centre_mask = _centre_mask(rgb.shape[-3:-1])
+    centre_mask = _centre_mask(rgb.shape[-2:])
     clarity_strength = centre_amount * (2.0 * centre_mask - 1.0) * 0.9
     out = apply_local_contrast(rgb, blurred_input_space, clarity_strength, is_raw, 1, 0.0)
-    out = jnp.where(jnp.abs(clarity_strength)[..., None] > 0.001, out, rgb)
-    return jnp.where(ch(centre_amount) == 0.0, rgb, out)
+    out = jnp.where(jnp.abs(clarity_strength) > 0.001, out, rgb)
+    return jnp.where(jnp.asarray(centre_amount) == 0.0, rgb, out)
 
 
 def apply_centre_tonal_and_color(rgb: jnp.ndarray, centre_amount) -> jnp.ndarray:
     """Centre-weighted exposure/vibrance/saturation (shader.wgsl:811-846)."""
-    centre_mask = _centre_mask(rgb.shape[-3:-1])
+    centre_mask = _centre_mask(rgb.shape[-2:])
     exposure_boost = centre_mask * centre_amount * 0.5
     out = tone.apply_filmic_exposure(rgb, exposure_boost)
     vib_boost = centre_mask * centre_amount * 0.4
@@ -105,7 +105,7 @@ def apply_centre_tonal_and_color(rgb: jnp.ndarray, centre_amount) -> jnp.ndarray
     from rapidraw_tpu.ops.color import apply_creative_color
 
     out = apply_creative_color(out, sat_centre + sat_edge, vib_boost)
-    return jnp.where(ch(centre_amount) == 0.0, rgb, out)
+    return jnp.where(jnp.asarray(centre_amount) == 0.0, rgb, out)
 
 
 def apply_dehaze(
@@ -116,11 +116,11 @@ def apply_dehaze(
     Uses the structure blur as the regional dark-channel estimate.
     """
     blurred_linear = _blur_to_linear(blurred_input_space, is_raw)
-    atmospheric_light = jnp.array([0.95, 0.97, 1.0], dtype=rgb.dtype)
+    atmospheric_light = bcast3(jnp.array([0.95, 0.97, 1.0], rgb.dtype), rgb)
 
     # positive: remove haze
-    pixel_dark = jnp.min(rgb, axis=-1)
-    regional_dark = jnp.min(blurred_linear, axis=-1)
+    pixel_dark = jnp.min(rgb, axis=0)
+    regional_dark = jnp.min(blurred_linear, axis=0)
     pixel_luma = luma(jnp.maximum(rgb, 0.0))
     blurred_luma = luma(jnp.maximum(blurred_linear, 0.0))
     edge_diff = jnp.abs(
@@ -131,23 +131,23 @@ def apply_dehaze(
     safe_dark = jnp.maximum(spatial_dark - 0.02, 0.0)
     mapped_haze = safe_dark / (safe_dark + 0.2)
     t = jnp.maximum(1.0 - amount * mapped_haze * 0.85, 0.15)
-    recovered = (rgb - atmospheric_light) / t[..., None] + atmospheric_light
+    recovered = (rgb - atmospheric_light) / t + atmospheric_light
     rec_luma = luma(jnp.maximum(recovered, 0.0))
     shadow_lift = smoothstep(0.1, 0.0, rec_luma) * (1.0 - t) * 0.15
-    recovered = recovered + shadow_lift[..., None]
+    recovered = recovered + shadow_lift
     sat_boost = (1.0 - t) * 0.5
     final_luma = luma(jnp.maximum(recovered, 0.0))
-    recovered = mix(final_luma[..., None], recovered, (1.0 + sat_boost)[..., None])
+    recovered = mix(final_luma, recovered, 1.0 + sat_boost)
     pos_result = jnp.maximum(recovered, 0.0)
 
     # negative: add atmospheric haze, deeper where the scene is bright/far
     safe_dark_n = jnp.maximum(regional_dark - 0.02, 0.0)
     mapped_depth = safe_dark_n / (safe_dark_n + 0.2)
     depth_factor = mix(0.4, 1.0, mapped_depth)
-    neg_result = mix(rgb, atmospheric_light, (jnp.abs(amount) * 0.7 * depth_factor)[..., None])
+    neg_result = mix(rgb, atmospheric_light, jnp.abs(amount) * 0.7 * depth_factor)
 
-    out = jnp.where(ch(amount) > 0.0, pos_result, neg_result)
-    return jnp.where(ch(amount) == 0.0, rgb, out)
+    out = jnp.where(jnp.asarray(amount) > 0.0, pos_result, neg_result)
+    return jnp.where(jnp.asarray(amount) == 0.0, rgb, out)
 
 
 def _perceptual_luma(linear_luma: jnp.ndarray) -> jnp.ndarray:
@@ -192,21 +192,19 @@ def apply_glow_bloom(
     excess = jnp.maximum(perceptual_luma - luma_cutoff, 0.0)
     bloom_intensity = jnp.power(smoothstep(0.0, 1.0, excess / 5.5), 0.45)
 
-    color_ratio = blurred_linear / jnp.where(linear_luma > 0.01, linear_luma, 1.0)[..., None]
-    warm = jnp.array([1.03, 1.0, 0.97], dtype=rgb.dtype)
-    dark_default = jnp.array([1.0, 0.99, 0.98], dtype=rgb.dtype)
-    bloom_color = jnp.where(
-        (linear_luma > 0.01)[..., None], color_ratio * warm, dark_default
-    )
+    color_ratio = blurred_linear / jnp.where(linear_luma > 0.01, linear_luma, 1.0)
+    warm = bcast3(jnp.array([1.03, 1.0, 0.97], rgb.dtype), rgb)
+    dark_default = bcast3(jnp.array([1.0, 0.99, 0.98], rgb.dtype), rgb)
+    bloom_color = jnp.where(linear_luma > 0.01, color_ratio * warm, dark_default)
 
     luma_factor = jnp.power(jnp.maximum(linear_luma, 0.0), 0.6)
     black_gate = jnp.sqrt(smoothstep(0.0, 0.5, linear_luma))
-    bloom_color = bloom_color * (bloom_intensity * luma_factor * cutoff_fade * black_gate)[..., None]
+    bloom_color = bloom_color * (bloom_intensity * luma_factor * cutoff_fade * black_gate)
 
     current_luma = luma(jnp.maximum(rgb, 0.0))
     protection = 1.0 - smoothstep(1.0, 2.2, current_luma)
-    out = rgb + bloom_color * (ch(amount) * 3.8 * protection[..., None])
-    return jnp.where(ch(amount) <= 0.0, rgb, out)
+    out = rgb + bloom_color * (jnp.asarray(amount) * 3.8 * protection)
+    return jnp.where(jnp.asarray(amount) <= 0.0, rgb, out)
 
 
 def apply_halation(
@@ -230,18 +228,18 @@ def apply_halation(
     rng = jnp.maximum(1.5 - luma_cutoff, 0.1)
     halation_mask = smoothstep(0.0, rng * 0.6, excess)
 
-    core = jnp.array([1.0, 0.15, 0.03], dtype=rgb.dtype)
-    fringe = jnp.array([1.0, 0.32, 0.10], dtype=rgb.dtype)
+    core = bcast3(jnp.array([1.0, 0.15, 0.03], rgb.dtype), rgb)
+    fringe = bcast3(jnp.array([1.0, 0.32, 0.10], rgb.dtype), rgb)
     intensity_blend = smoothstep(0.0, 0.7, halation_mask)
-    halation_tint = mix(fringe, core, intensity_blend[..., None])
+    halation_tint = mix(fringe, core, intensity_blend)
     glow_intensity = halation_mask * linear_luma
-    halation_glow = halation_tint * glow_intensity[..., None]
+    halation_glow = halation_tint * glow_intensity
 
     color_luma = luma(jnp.maximum(rgb, 0.0))
     desat_strength = halation_mask * 0.12
-    affected = mix(rgb, color_luma[..., None], desat_strength[..., None])
-    contrast_reduced = mix(0.5, affected, (1.0 - halation_mask * 0.06)[..., None])
-    out = contrast_reduced + halation_glow * ch(amount) * 2.5
+    affected = mix(rgb, color_luma, desat_strength)
+    contrast_reduced = mix(0.5, affected, 1.0 - halation_mask * 0.06)
+    out = contrast_reduced + halation_glow * jnp.asarray(amount) * 2.5
 
-    skip = (ch(amount) <= 0.0) | (ch(perceptual_luma) <= ch(luma_cutoff))
+    skip = (jnp.asarray(amount) <= 0.0) | (perceptual_luma <= luma_cutoff)
     return jnp.where(skip, rgb, out)

@@ -12,7 +12,7 @@ fast path.
 
 Note the sampling-source asymmetry preserved from the reference: the center
 value is the CA-corrected, linearized pixel, while neighbor taps re-read the
-*original* input texture (shader.wgsl:951, 1040).
+*original* input texture (shader.wgsl:951, 1040). Planar (3, H, W) layout.
 """
 
 from __future__ import annotations
@@ -40,12 +40,12 @@ def apply_noise_reduction(
     is_raw: bool,
 ) -> jnp.ndarray:
     """Args:
-      center_linear: (H, W, 3) linearized (and CA-corrected) pixel values.
-      input_rgb: (H, W, 3) original input-space texture (neighbor source).
+      center_linear: (3, H, W) linearized (and CA-corrected) pixel values.
+      input_rgb: (3, H, W) original input-space texture (neighbor source).
       luma_amount / color_amount: scalar or (H, W) effective amounts.
       scale: resolution scale (static float).
     """
-    h, w, _ = input_rgb.shape
+    _, h, w = input_rgb.shape
     luma_a = jnp.clip(luma_amount, 0.0, 1.0)
     color_a = jnp.clip(color_amount, 0.0, 1.0)
 
@@ -53,13 +53,13 @@ def apply_noise_reduction(
     n_luma = luma(jnp.maximum(neighbor_linear, 0.0))
     n_luma_flat = n_luma.reshape(-1)
     # chroma planes for the color pass: r - Y and b - Y of the *signed* linear
-    n_r_y = neighbor_linear[..., 0] - n_luma
-    n_b_y = neighbor_linear[..., 2] - n_luma
+    n_r_y = neighbor_linear[0] - n_luma
+    n_b_y = neighbor_linear[2] - n_luma
     n_color_flat = jnp.stack([n_luma, n_r_y, n_b_y], axis=-1).reshape(-1, 3)
 
     center_safe = jnp.maximum(center_linear, 0.0)
     center_luma = luma(center_safe)
-    center_chroma = center_linear - center_luma[..., None]
+    center_chroma = center_linear - center_luma
 
     res_factor = float(min(max(scale**0.5, 0.5), 2.0))
 
@@ -139,8 +139,8 @@ def apply_noise_reduction(
     new_luma = jnp.where(luma_a > 0.001, new_luma, center_luma)
 
     # ------------------------------------------------------------ color pass
-    center_r_y = center_linear[..., 0] - center_luma
-    center_b_y = center_linear[..., 2] - center_luma
+    center_r_y = center_linear[0] - center_luma
+    center_b_y = center_linear[2] - center_luma
     c_curve = jnp.sqrt(color_a)
     c_stride = mix(2.0, 3.5, c_curve) * res_factor
     c_spatial = mix(2.0, 3.5, c_curve)
@@ -181,11 +181,9 @@ def apply_noise_reduction(
     new_r_y = mix(center_r_y, filtered_r_y, color_a)
     new_b_y = mix(center_b_y, filtered_b_y, color_a)
     new_g_y = -(LUMA_COEFF[0] * new_r_y + LUMA_COEFF[2] * new_b_y) / LUMA_COEFF[1]
-    new_chroma = jnp.stack([new_r_y, new_g_y, new_b_y], axis=-1)
-    new_chroma = jnp.where(
-        jnp.asarray(color_a > 0.001)[..., None], new_chroma, center_chroma
-    )
+    new_chroma = jnp.stack([new_r_y, new_g_y, new_b_y])
+    new_chroma = jnp.where(jnp.asarray(color_a > 0.001), new_chroma, center_chroma)
 
-    out = new_luma[..., None] + new_chroma
+    out = new_luma + new_chroma
     skip = (luma_a < 0.001) & (color_a < 0.001)
-    return jnp.where(jnp.asarray(skip)[..., None], center_linear, out)
+    return jnp.where(jnp.asarray(skip), center_linear, out)

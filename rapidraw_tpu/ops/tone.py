@@ -3,8 +3,9 @@ blacks, highlights, and the output tonemappers (AgX / basic / RAW emulation).
 
 Ports of shader.wgsl:380-547 (tonal), :466-509 (highlights), :511-547
 (exposure/filmic), :1107-1191 (AgX + legacy tonemap), :1664-1676 (RAW sRGB
-emulation). Per-pixel parameter maps are supported everywhere (masked edits
-make the effective parameters spatially varying, shader.wgsl:1498-1536).
+emulation). Planar (3, H, W) layout; per-pixel parameter maps (H, W) are
+supported everywhere (masked edits make the effective parameters spatially
+varying, shader.wgsl:1498-1536) via broadcasting.
 """
 
 from __future__ import annotations
@@ -12,14 +13,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from rapidraw_tpu.ops import colorspace as cs
-from rapidraw_tpu.ops.common import ch, luma, mat3_apply, mix, smoothstep
+from rapidraw_tpu.ops.common import luma, mat3_apply, mix, smoothstep
 from rapidraw_tpu.params import agx as agx_c
 
 
 def apply_linear_exposure(rgb: jnp.ndarray, exposure) -> jnp.ndarray:
     """rgb * 2^exposure, identity at 0 (shader.wgsl:511-516)."""
-    out = rgb * ch(jnp.exp2(exposure))
-    return jnp.where(ch(exposure) == 0.0, rgb, out)
+    out = rgb * jnp.exp2(exposure)
+    return jnp.where(jnp.asarray(exposure) == 0.0, rgb, out)
 
 
 def apply_filmic_exposure(rgb: jnp.ndarray, brightness) -> jnp.ndarray:
@@ -41,7 +42,7 @@ def apply_filmic_exposure(rgb: jnp.ndarray, brightness) -> jnp.ndarray:
     shaped_luma_abs = luma_floor + shaped_norm * top_anchor
     new_luma = jnp.sign(original_luma) * shaped_luma_abs * scale
 
-    chroma = rgb - original_luma[..., None]
+    chroma = rgb - original_luma
     safe_orig = jnp.where(jnp.abs(original_luma) < 1e-20, 1.0, original_luma)
     total_luma_scale = new_luma / safe_orig
     luma_weight = jnp.clip(new_luma, 0.0, 2.0) * 0.5
@@ -52,8 +53,8 @@ def apply_filmic_exposure(rgb: jnp.ndarray, brightness) -> jnp.ndarray:
     highlight_rolloff = 1.0 / (1.0 + jnp.maximum(0.0, new_luma - 0.9) * 2.0)
     chroma_scale = base_chroma_scale * highlight_rolloff
 
-    out = new_luma[..., None] + chroma * chroma_scale[..., None]
-    skip = (ch(brightness) == 0.0) | (jnp.abs(original_luma)[..., None] < 0.00001)
+    out = new_luma + chroma * chroma_scale
+    skip = (jnp.asarray(brightness) == 0.0) | (jnp.abs(original_luma) < 0.00001)
     return jnp.where(skip, rgb, out)
 
 
@@ -99,9 +100,9 @@ def apply_tonal_adjustments(
 
     white_level = 1.0 - wh * 0.25
     w_mult = 1.0 / jnp.maximum(white_level, 0.01)
-    w_on = ch(wh) != 0.0
-    rgb = jnp.where(w_on, rgb * ch(w_mult), rgb)
-    blurred_linear = jnp.where(w_on, blurred_linear * ch(w_mult), blurred_linear)
+    w_on = jnp.asarray(wh) != 0.0
+    rgb = jnp.where(w_on, rgb * w_mult, rgb)
+    blurred_linear = jnp.where(w_on, blurred_linear * w_mult, blurred_linear)
 
     pixel_luma = luma(jnp.maximum(rgb, 0.0))
     blurred_luma = luma(jnp.maximum(blurred_linear, 0.0))
@@ -115,8 +116,8 @@ def apply_tonal_adjustments(
     spatial_mult = get_shadow_mult(safe_blurred_luma, sh, bl)
     pixel_mult = get_shadow_mult(safe_pixel_luma, sh, bl)
     final_mult = mix(spatial_mult, pixel_mult, halo_protection)
-    sb_on = (ch(sh) != 0.0) | (ch(bl) != 0.0)
-    rgb = jnp.where(sb_on, rgb * final_mult[..., None], rgb)
+    sb_on = (jnp.asarray(sh) != 0.0) | (jnp.asarray(bl) != 0.0)
+    rgb = jnp.where(sb_on, rgb * final_mult, rgb)
 
     # sigmoid contrast in gamma-2.2 perceptual space (shader.wgsl:449-462)
     g = 2.2
@@ -124,13 +125,13 @@ def apply_tonal_adjustments(
     perceptual = jnp.power(safe_rgb, 1.0 / g)
     clamped_perceptual = jnp.clip(perceptual, 0.0, 1.0)
     strength = jnp.exp2(con * 1.25)
-    high_part = 1.0 - 0.5 * jnp.power(2.0 * (1.0 - clamped_perceptual), ch(strength))
-    low_part = 0.5 * jnp.power(2.0 * clamped_perceptual, ch(strength))
+    high_part = 1.0 - 0.5 * jnp.power(2.0 * (1.0 - clamped_perceptual), strength)
+    low_part = 0.5 * jnp.power(2.0 * clamped_perceptual, strength)
     curved = jnp.where(clamped_perceptual < 0.5, low_part, high_part)
     contrast_adjusted = jnp.power(curved, g)
     mix_factor = smoothstep(1.0, 1.01, safe_rgb)
     contrasted = mix(contrast_adjusted, rgb, mix_factor)
-    rgb = jnp.where(ch(con) != 0.0, contrasted, rgb)
+    rgb = jnp.where(jnp.asarray(con) != 0.0, contrasted, rgb)
     return rgb
 
 
@@ -153,17 +154,17 @@ def apply_highlights(rgb: jnp.ndarray, highlights_adj) -> jnp.ndarray:
     compressed_excess = luma_excess / (1.0 + jnp.maximum(luma_excess, 0.0) * compression_strength)
     new_luma_hi = 1.0 + compressed_excess
     new_luma = jnp.where(l <= 1.0, new_luma_lo, new_luma_hi)
-    tonally_adjusted = rgb * (new_luma / jnp.maximum(l, 0.0001))[..., None]
+    tonally_adjusted = rgb * (new_luma / jnp.maximum(l, 0.0001))
     desat = smoothstep(1.0, 10.0, l)
-    neg_result = mix(tonally_adjusted, new_luma[..., None], desat[..., None])
+    neg_result = mix(tonally_adjusted, new_luma, desat)
 
     # positive branch: plain gain
     factor = jnp.exp2(highlights_adj * 1.75)
-    pos_result = rgb * ch(factor)
+    pos_result = rgb * factor
 
-    adjusted = jnp.where(ch(highlights_adj) < 0.0, neg_result, pos_result)
-    out = mix(rgb, adjusted, highlight_mask[..., None])
-    skip = (ch(highlights_adj) == 0.0) | (highlight_mask[..., None] < 0.001)
+    adjusted = jnp.where(jnp.asarray(highlights_adj) < 0.0, neg_result, pos_result)
+    out = mix(rgb, adjusted, highlight_mask)
+    skip = (jnp.asarray(highlights_adj) == 0.0) | (highlight_mask < 0.001)
     return jnp.where(skip, rgb, out)
 
 
@@ -177,9 +178,6 @@ def _agx_sigmoid(x, power):
 
 
 def _agx_scaled_sigmoid(x, scale, slope, power, tx, ty):
-    # `scale` may be negative (toe); the inner sigmoid argument is then
-    # negative too and WGSL pow(negative, p) is undefined — the reference
-    # relies on slope*(x-tx)/scale >= 0 on the branch domain, which holds.
     return scale * _agx_sigmoid(slope * (x - tx) / scale, power) + ty
 
 
@@ -213,7 +211,7 @@ def _agx_curve_channel(x):
 def agx_tonemap(rgb: jnp.ndarray, p2r: jnp.ndarray, r2p: jnp.ndarray) -> jnp.ndarray:
     """Full AgX transform (shader.wgsl:1145-1174): gamut compress -> rendering
     space -> log encode -> sigmoid -> gamma 2.4 -> back to pipe space."""
-    min_c = jnp.min(rgb, axis=-1, keepdims=True)
+    min_c = jnp.min(rgb, axis=0)
     compressed = jnp.where(min_c < 0.0, rgb - min_c, rgb)
     in_agx = mat3_apply(p2r, compressed)
     x_rel = jnp.maximum(in_agx / 0.18, agx_c.AGX_EPSILON)

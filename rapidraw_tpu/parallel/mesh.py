@@ -46,12 +46,12 @@ def make_mesh(devices=None, batch: int | None = None, spatial: int | None = None
 def sharded_develop_batch(mesh: Mesh, cfg: DevelopConfig):
     """jit develop_batch with batch+spatial shardings over `mesh`.
 
-    Returns fn(images (B,H,W,3), params, masks|None) -> (B,H,W,3); B must be
+    Returns fn(images (B,3,H,W), params, masks|None) -> (B,3,H,W); B must be
     divisible by the mesh batch axis, W by the x axis.
     """
-    img_sh = NamedSharding(mesh, P("batch", None, "x", None))
+    # images are planar (B, 3, H, W): batch-shard B, spatially shard W
+    img_sh = NamedSharding(mesh, P("batch", None, None, "x"))
     mask_sh = NamedSharding(mesh, P("batch", None, None, "x"))
-    rep = NamedSharding(mesh, P())
     param_sh = NamedSharding(mesh, P("batch"))
 
     @functools.partial(jax.jit, static_argnames=())
@@ -65,5 +65,4 @@ def sharded_develop_batch(mesh: Mesh, cfg: DevelopConfig):
         out = develop_batch(images, params, cfg, masks=masks)
         return jax.lax.with_sharding_constraint(out, img_sh)
 
-    _ = rep
     return fn

@@ -144,6 +144,15 @@ def bake_curve_set(curves_json: dict | None) -> dict[str, np.ndarray]:
     }
 
 
+def used_segments(baked: dict[str, np.ndarray]) -> int:
+    """Number of populated segment rows (for static trimming at eval time)."""
+    seg = np.asarray(baked["seg"])
+    used = seg[..., 0] < _PAD_X / 2  # (..., S)
+    if not used.any():
+        return 0
+    return int(np.max(np.where(used)[-1])) + 1
+
+
 def curve_set_is_identity(baked: dict[str, np.ndarray]) -> bool:
     """True when evaluating this curve set is a guaranteed no-op.
 

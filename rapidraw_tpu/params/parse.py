@@ -25,7 +25,11 @@ import numpy as np
 
 from rapidraw_tpu.params import scales
 from rapidraw_tpu.params.agx import AGX_PIPE_TO_RENDERING, AGX_RENDERING_TO_PIPE
-from rapidraw_tpu.params.curves import bake_curve_set, curve_set_is_identity
+from rapidraw_tpu.params.curves import (
+    bake_curve_set,
+    curve_set_is_identity,
+    used_segments,
+)
 
 # HSL band order (image_processing.rs:1510-1519).
 HSL_BANDS = ("reds", "oranges", "yellows", "greens", "aquas", "blues", "purples", "magentas")
@@ -133,6 +137,9 @@ class DevelopConfig:
     vignette_active: bool = False
     curves_active: bool = False
     mask_curves_active: bool = False
+    # static segment-row count for curve eval (most curves use 1-4 of the
+    # 15 slots; trimming cuts the branch-free eval cost proportionally)
+    curve_segments: int = 15
     grain_active: bool = False
     dither_active: bool = True
 
@@ -432,6 +439,9 @@ def parse_adjustments(
         vignette_active=_nz(g["vignette_amount"]),
         curves_active=not curve_set_is_identity(g["curves"]),
         mask_curves_active=mask_curves_active,
+        curve_segments=max(
+            [used_segments(g["curves"])] + [used_segments(m["curves"]) for m in mask_sets]
+        ),
         grain_active=float(g["grain_amount"]) > 0.0,
     )
     return params, cfg
@@ -444,7 +454,7 @@ def merge_configs(configs: list[DevelopConfig]) -> DevelopConfig:
     fields = {}
     for name in DevelopConfig.__dataclass_fields__:
         vals = [getattr(c, name) for c in configs]
-        if name == "mask_count":
+        if name in ("mask_count", "curve_segments"):
             fields[name] = max(vals)
         elif name == "mask_blend_fields":
             fields[name] = tuple(f for f in BLEND_FIELDS if any(f in v for v in vals))

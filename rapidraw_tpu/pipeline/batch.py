@@ -76,7 +76,7 @@ def develop_batch(
     lut: jnp.ndarray | None = None,
     flare: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Develop (B, H, W, 3) images with per-image stacked params.
+    """Develop planar (B, 3, H, W) images with per-image stacked params.
 
     masks: (B, N, H, W) or None; lut/flare shared across the batch.
     """

@@ -9,6 +9,9 @@ Stage order is exactly shader.wgsl `main` (:1438-1735):
   tonemap -> curves (+ per-mask) -> 3D LUT -> grain -> clipping -> dither.
 
 Architecture notes (TPU-first, not a shader translation):
+  * Planar (3, H, W) layout: a minor dim of 3 wastes TPU lanes and makes
+    transposes pathological; planar keeps W on the lane axis and makes the
+    blur matmuls transpose-free.
   * One traced function; XLA fuses the elementwise chain into a few loops
     over HBM-resident images. No tiling: HBM holds full 24MP f32 planes.
   * Static specialization (DevelopConfig) compiles out provably-identity
@@ -16,8 +19,8 @@ Architecture notes (TPU-first, not a shader translation):
     reference's `is_image_edited` byte-compare idea.
   * With masks, the blended parameters become (H, W) maps; ops broadcast
     over scalar-or-map params transparently.
-  * Blur pyramid = separable XLA convolutions; NR/CA = gather ops (Pallas
-    fast paths planned); everything else is pure elementwise VPU work.
+  * Blur pyramid = banded-matmul Pallas kernels on the MXU; NR/CA = gather
+    ops (Pallas fast paths planned); everything else is elementwise VPU work.
 """
 
 from __future__ import annotations
@@ -31,36 +34,71 @@ from rapidraw_tpu.ops import local as local_ops
 from rapidraw_tpu.ops import tone as tone_ops
 from rapidraw_tpu.ops.blur import gaussian_blur
 from rapidraw_tpu.ops.ca import apply_ca_correction
-from rapidraw_tpu.ops.common import ch, luma, mix, smoothstep
+from rapidraw_tpu.ops.common import luma, mix, smoothstep
 from rapidraw_tpu.ops.grain import apply_grain, dither_pattern
 from rapidraw_tpu.ops.lut3d import apply_lut
 from rapidraw_tpu.ops.nr import apply_noise_reduction
 from rapidraw_tpu.params import scales
 from rapidraw_tpu.params.parse import DevelopConfig
 
+# fields blended per-pixel by mask influence (shader.wgsl:1503-1525)
+_EFF_FIELDS = (
+    "exposure",
+    "brightness",
+    "contrast",
+    "highlights",
+    "shadows",
+    "whites",
+    "blacks",
+    "saturation",
+    "temperature",
+    "tint",
+    "vibrance",
+    "luma_nr",
+    "color_nr",
+    "clarity",
+    "dehaze",
+    "structure",
+    "glow",
+    "halation",
+    "flare",
+    "hue",
+)
+
 
 def _mask_curve_set(mask_curves: dict, n: int) -> dict:
     return {k: v[n] for k, v in mask_curves.items()}
 
 
+def _trim_curves(curve_set: dict, n_seg: int) -> dict:
+    """Statically drop unused segment rows (DevelopConfig.curve_segments)."""
+    out = dict(curve_set)
+    out["seg"] = curve_set["seg"][..., : max(n_seg, 1), :]
+    return out
+
+
 def _bilinear_sample(tex: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Clamp-to-edge bilinear sample of (Ht, Wt, C) at normalized uv maps."""
-    ht, wt, _ = tex.shape
+    """Clamp-to-edge bilinear sample of (Ht, Wt, C) at normalized uv maps.
+
+    Returns planar (C, ...).
+    """
+    ht, wt, nc = tex.shape
     x = u * wt - 0.5
     y = v * ht - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
+    fx = x - x0
+    fy = y - y0
     xi0 = jnp.clip(x0.astype(jnp.int32), 0, wt - 1)
     yi0 = jnp.clip(y0.astype(jnp.int32), 0, ht - 1)
     xi1 = jnp.clip(xi0 + 1, 0, wt - 1)
     yi1 = jnp.clip(yi0 + 1, 0, ht - 1)
-    flat = tex.reshape(-1, tex.shape[-1])
+    flat = tex.reshape(-1, nc)
 
     def fetch(yy, xx):
         idx = yy * wt + xx
-        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(idx.shape + (tex.shape[-1],))
+        g = jnp.take(flat, idx.reshape(-1), axis=0).reshape(idx.shape + (nc,))
+        return jnp.moveaxis(g, -1, 0)
 
     c00 = fetch(yi0, xi0)
     c10 = fetch(yi0, xi1)
@@ -82,7 +120,7 @@ def develop(
     """Develop one image.
 
     Args:
-      image: (H, W, 3) float32 in *input space*: sRGB-encoded for LDR
+      image: planar (3, H, W) float32 in *input space*: sRGB-encoded for LDR
         sources, scene-linear for RAW (matching the reference's input
         texture contract, gpu_processing.rs:1738-1778).
       params: DevelopParams pytree ({'glob': {...}, 'mask': {...}|None}).
@@ -91,11 +129,11 @@ def develop(
       lut: (L, L, L, 3) 3D LUT (required when cfg.has_lut).
       flare: (512, 512, 3) flare map (required when cfg.flare_active).
 
-    Returns (H, W, 3) float32 sRGB in [0, 1].
+    Returns planar (3, H, W) float32 sRGB in [0, 1].
     """
     g = params["glob"]
     m = params["mask"]
-    h, w, _ = image.shape
+    _, h, w = image.shape
     scale = max(0.1, min(h, w) / scales.REFERENCE_DIMENSION)
     is_raw = cfg.is_raw
 
@@ -122,28 +160,7 @@ def develop(
         gated_infl = None
 
     eff = {}
-    for f in (
-        "exposure",
-        "brightness",
-        "contrast",
-        "highlights",
-        "shadows",
-        "whites",
-        "blacks",
-        "saturation",
-        "temperature",
-        "tint",
-        "vibrance",
-        "luma_nr",
-        "color_nr",
-        "clarity",
-        "dehaze",
-        "structure",
-        "glow",
-        "halation",
-        "flare",
-        "hue",
-    ):
+    for f in _EFF_FIELDS:
         v = g[f]
         if cfg.mask_count > 0 and f in cfg.mask_blend_fields:
             for n in range(cfg.mask_count):
@@ -181,7 +198,7 @@ def develop(
             res = local_ops.apply_local_contrast(
                 initial_linear, sharp_blur, m["sharpness"][n], is_raw, 0, m["sharpness_threshold"][n]
             )
-            contrib = (res - initial_linear) * gated_infl[n][..., None]
+            contrib = (res - initial_linear) * gated_infl[n]
             delta = delta + jnp.where(jnp.abs(m["sharpness"][n]) > 0.001, contrib, 0.0)
         rgb = rgb + delta
     if cfg.clarity_active:
@@ -213,8 +230,8 @@ def develop(
         linear_luma = luma(jnp.maximum(rgb, 0.0))
         perceptual = local_ops._perceptual_luma(linear_luma)
         protection = 1.0 - smoothstep(0.7, 1.8, perceptual)
-        contrib = flare_color * ch(eff["flare"]) * protection[..., None]
-        rgb = jnp.where(ch(eff["flare"]) > 0.0, rgb + contrib, rgb)
+        contrib = flare_color * eff["flare"] * protection
+        rgb = jnp.where(jnp.asarray(eff["flare"]) > 0.0, rgb + contrib, rgb)
     if cfg.dehaze_active:
         rgb = local_ops.apply_dehaze(rgb, structure_blur, is_raw, eff["dehaze"])
     if cfg.centre_active:
@@ -252,7 +269,7 @@ def develop(
             graded = color_ops.apply_color_grading(
                 rgb, m["cg"][n], m["cg_blending"][n], m["cg_balance"][n]
             )
-            rgb = mix(rgb, graded, gated_infl[n][..., None])
+            rgb = mix(rgb, graded, gated_infl[n])
 
     # ---- vignette (shader.wgsl:1645-1662) -----------------------------------
     if cfg.vignette_active:
@@ -267,8 +284,8 @@ def develop(
         uy = jnp.sign(ys) * jnp.power(jnp.abs(ys), v_round)
         d = jnp.sqrt(ux * ux + (uy * aspect) ** 2) * 0.5
         vmask = smoothstep(v_mid - v_feather, v_mid + v_feather, d)
-        darken = rgb * (1.0 + v_amount * vmask)[..., None]
-        lighten = mix(rgb, 1.0, (v_amount * vmask)[..., None])
+        darken = rgb * (1.0 + v_amount * vmask)
+        lighten = mix(rgb, 1.0, v_amount * vmask)
         rgb = jnp.where(v_amount < 0.0, darken, lighten)
 
     # ---- tonemap to display space (shader.wgsl:1664-1676) -------------------
@@ -282,11 +299,13 @@ def develop(
     # ---- point curves (shader.wgsl:1678-1697) -------------------------------
     final = base_srgb
     if cfg.curves_active:
-        final = curve_ops.apply_all_curves(final, g["curves"])
+        final = curve_ops.apply_all_curves(final, _trim_curves(g["curves"], cfg.curve_segments))
     if cfg.mask_curves_active:
         for n in range(cfg.mask_count):
-            curved = curve_ops.apply_all_curves(final, _mask_curve_set(m["curves"], n))
-            final = mix(final, curved, gated_infl[n][..., None])
+            curved = curve_ops.apply_all_curves(
+                final, _trim_curves(_mask_curve_set(m["curves"], n), cfg.curve_segments)
+            )
+            final = mix(final, curved, gated_infl[n])
 
     # ---- LUT / grain / clipping / dither ------------------------------------
     if cfg.has_lut and lut is not None:
@@ -297,11 +316,11 @@ def develop(
         )
     if cfg.show_clipping:
         # shader.wgsl:1719-1729
-        hi = jnp.any(final > 0.998, axis=-1, keepdims=True)
-        lo = jnp.any(final < 0.002, axis=-1, keepdims=True)
-        red = jnp.array([1.0, 0.0, 0.0], final.dtype)
-        blue = jnp.array([0.0, 0.0, 1.0], final.dtype)
+        hi = jnp.any(final > 0.998, axis=0)
+        lo = jnp.any(final < 0.002, axis=0)
+        red = jnp.array([1.0, 0.0, 0.0], final.dtype).reshape(3, 1, 1)
+        blue = jnp.array([0.0, 0.0, 1.0], final.dtype).reshape(3, 1, 1)
         final = jnp.where(hi, red, jnp.where(lo, blue, final))
     if cfg.dither_active:
-        final = final + dither_pattern(h, w)[..., None] * (1.0 / 255.0)
+        final = final + dither_pattern(h, w) * (1.0 / 255.0)
     return jnp.clip(final, 0.0, 1.0)

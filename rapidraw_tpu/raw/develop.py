@@ -1,0 +1,101 @@
+"""RAW develop: CFA mosaic -> scene-linear RGB ready for the main pipeline.
+
+Port of the reference's rawler-driven develop (raw_processing.rs:48-231):
+  1. normalize: (raw - black) / (white - black), unclipped — the reference
+     forces whitelevel to u32::MAX precisely to defer clipping
+     (raw_processing.rs:101-103,125-126).
+  2. white balance multipliers on CFA sites (rawler RawDevelop step).
+  3. demosaic (bilinear / malvar / 2x2-speed).
+  4. camera matrix -> linear sRGB primaries (rawler Calibrate step; the
+     SRgb gamma step is removed, :115-117).
+  5. highlight compression toward the min channel with luma-preserving
+     rescale (:160-183), then clamp to [0, highlight_compression].
+
+The output feeds `develop(..., cfg.is_raw=True)` which treats the input
+texture as scene-linear.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from rapidraw_tpu.ops.common import mat3_apply
+from rapidraw_tpu.raw.demosaic import (
+    _phase_masks,
+    demosaic_bilinear,
+    demosaic_malvar,
+    demosaic_speed,
+)
+
+_ALGOS = {
+    "bilinear": demosaic_bilinear,
+    "malvar": demosaic_malvar,
+    "speed": demosaic_speed,
+}
+
+
+def apply_highlight_compression(rgb: jnp.ndarray, highlight_compression: float) -> jnp.ndarray:
+    """Channel-coupled highlight rolloff (raw_processing.rs:160-183).
+
+    Values with max channel > 1.0 are compressed toward the pixel's min
+    channel (reducing chroma), then rescaled so the max channel is
+    preserved; finally everything clamps to [0, compression_limit].
+    """
+    shc = max(float(highlight_compression), 1.01)
+    r = jnp.maximum(rgb, 0.0)
+    max_c = jnp.max(r, axis=0)
+    min_c = jnp.min(r, axis=0)
+    factor = jnp.clip(1.0 - (max_c - 1.0) / (shc - 1.0), 0.0, 1.0)
+    compressed = min_c + (r - min_c) * factor
+    compressed_max = jnp.max(compressed, axis=0)
+    rescale = max_c / jnp.where(compressed_max > 1e-6, compressed_max, 1.0)
+    result = jnp.where(compressed_max > 1e-6, compressed * rescale, max_c)
+    out = jnp.where(max_c > 1.0, result, r)
+    return jnp.clip(out, 0.0, shc)
+
+
+def develop_cfa(
+    cfa: jnp.ndarray,
+    black_level: float,
+    white_level: float,
+    wb: np.ndarray,
+    cam_to_srgb: np.ndarray,
+    pattern: str = "RGGB",
+    algorithm: str = "malvar",
+    highlight_compression: float = 2.5,
+) -> jnp.ndarray:
+    """CFA (H, W) uint16/float -> planar (3, H, W) float32 scene-linear sRGB.
+
+    wb: (3,) multipliers normalized to green == 1 (raw/color.normalize_wb);
+    cam_to_srgb: (3,3) from raw/color.camera_to_srgb_matrix.
+    """
+    h, w = cfa.shape
+    x = (cfa.astype(jnp.float32) - black_level) / max(white_level - black_level, 1.0)
+
+    # white balance on CFA sites (gains indexed by site color)
+    masks = _phase_masks(h, w, pattern)
+    gain = masks["R"] * float(wb[0]) + masks["G"] * float(wb[1]) + masks["B"] * float(wb[2])
+    x = x * gain
+
+    rgb = _ALGOS[algorithm](x, pattern)
+    rgb = mat3_apply(jnp.asarray(cam_to_srgb, jnp.float32), rgb)
+    return apply_highlight_compression(rgb, highlight_compression)
+
+
+def develop_linear_raw(
+    rgb: jnp.ndarray,
+    black_level: float,
+    white_level: float,
+    apply_ungamma: bool = False,
+    highlight_compression: float = 2.5,
+) -> jnp.ndarray:
+    """Linear-DNG path (raw_processing.rs:107-112,148-188): no demosaic;
+    optional sRGB ungamma (linear_mode='gamma'), same highlight handling."""
+    from rapidraw_tpu.ops.colorspace import srgb_to_linear
+
+    x = (rgb.astype(jnp.float32) - black_level) / max(white_level - black_level, 1.0)
+    x = jnp.maximum(x, 0.0)
+    if apply_ungamma:
+        x = srgb_to_linear(jnp.clip(x, 0.0, 1.0))
+    return apply_highlight_compression(x, highlight_compression)

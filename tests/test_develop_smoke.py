@@ -11,7 +11,7 @@ from rapidraw_tpu.pipeline.develop import develop
 
 def _rand_img(h=64, w=96, seed=0):
     rng = np.random.default_rng(seed)
-    return jnp.asarray(rng.random((h, w, 3), dtype=np.float32))
+    return jnp.asarray(rng.random((3, h, w), dtype=np.float32))
 
 
 def test_default_adjustments_identity_modulo_dither():
@@ -79,14 +79,14 @@ def test_full_stack_runs_and_is_finite():
     img = _rand_img(48, 64)
     params, cfg = parse_adjustments(doc, is_raw=False)
     out = np.asarray(develop(img, params, cfg))
-    assert out.shape == (48, 64, 3)
+    assert out.shape == (3, 48, 64)
     assert np.isfinite(out).all()
     assert out.min() >= 0.0 and out.max() <= 1.0
 
 
 def test_mask_blending_local_only():
     """A mask with exposure boost must only brighten where influence > 0."""
-    img = jnp.full((32, 32, 3), 0.2, jnp.float32)
+    img = jnp.full((3, 32, 32), 0.2, jnp.float32)
     doc = {
         "masks": [
             {
@@ -101,8 +101,8 @@ def test_mask_blending_local_only():
     masks = np.zeros((1, 32, 32), np.float32)
     masks[0, :, 16:] = 1.0
     out = np.asarray(develop(img, params, cfg, masks=jnp.asarray(masks)))
-    left = out[:, :15].mean()
-    right = out[:, 17:].mean()
+    left = out[:, :, :15].mean()
+    right = out[:, :, 17:].mean()
     assert right > left + 0.1
 
 
