@@ -1,0 +1,207 @@
+"""Command-line interface.
+
+The TPU-native framework's user surface, replacing the reference's Tauri
+command layer for headless/batch use:
+
+  python -m rapidraw_tpu develop IMG [-a adjustments.json] [-o out.jpg]
+  python -m rapidraw_tpu export IMG... -o DIR [--format jpeg] [--long-edge N]
+  python -m rapidraw_tpu auto IMG            # auto-adjust JSON to stdout
+  python -m rapidraw_tpu negative IMG -o OUT # film negative -> positive
+  python -m rapidraw_tpu histogram IMG       # scope stats to stdout
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+_EXPORT_FORMATS = ("jpeg", "jpg", "png", "tiff", "tif", "webp", "avif", "jxl")
+
+
+def _require_file(path: str) -> None:
+    if not Path(path).is_file():
+        raise SystemExit(f"error: no such file: {path}")
+
+
+def _cmd_develop(args) -> int:
+    import numpy as np
+    import jax.numpy as jnp
+
+    from rapidraw_tpu.geometry.transforms import apply_all_transformations
+    from rapidraw_tpu.io.encode import encode_image
+    from rapidraw_tpu.io.loader import load_image
+    from rapidraw_tpu.io.sidecar import load_adjustments
+    from rapidraw_tpu.masks.rasterize import rasterize_masks
+    from rapidraw_tpu.params.parse import parse_adjustments
+    from rapidraw_tpu.pipeline.develop import develop
+
+    _require_file(args.image)
+    img, is_raw = load_image(args.image)
+    if args.adjustments:
+        adj = json.loads(Path(args.adjustments).read_text())
+    else:
+        adj = load_adjustments(args.image)
+
+    timg, crop_offset = apply_all_transformations(jnp.asarray(img), adj)
+    _, h, w = timg.shape
+    masks = rasterize_masks(adj, w, h, scale=1.0, crop_offset=crop_offset)
+    params, cfg = parse_adjustments(adj, is_raw=is_raw)
+    lut = None
+    if cfg.has_lut:
+        from rapidraw_tpu.io.lut import parse_lut_file
+
+        lut = jnp.asarray(parse_lut_file(adj["lutPath"]))
+    out = develop(
+        timg, params, cfg,
+        masks=jnp.asarray(masks) if masks is not None else None, lut=lut,
+    )
+    dst = args.output or str(Path(args.image).with_suffix("")) + "_edited.jpg"
+    encode_image(np.asarray(out), dst, quality=args.quality)
+    print(dst)
+    return 0
+
+
+def _cmd_export(args) -> int:
+    from rapidraw_tpu.pipeline.export import ExportSettings, export_images
+
+    if args.format.lower() not in _EXPORT_FORMATS:
+        raise SystemExit(
+            f"error: unsupported format {args.format!r} (choose from {', '.join(_EXPORT_FORMATS)})"
+        )
+    for p in args.images:
+        _require_file(p)
+    settings = ExportSettings(
+        format=args.format,
+        quality=args.quality,
+        long_edge=args.long_edge,
+        batch_size=args.batch_size,
+    )
+
+    def progress(i, n, p):
+        if p:
+            print(f"[{i + 1}/{n}] {p}", file=sys.stderr)
+
+    results = export_images(args.images, args.output, settings, progress)
+    failed = [r for r in results if not r.ok]
+    for r in results:
+        if r.ok:
+            print(r.output)
+        else:
+            print(f"FAILED {r.source}: {r.error}", file=sys.stderr)
+    return 1 if failed else 0
+
+
+def _cmd_auto(args) -> int:
+    from rapidraw_tpu.analysis.auto_adjust import calculate_auto_adjustments
+    from rapidraw_tpu.io.loader import load_image
+
+    _require_file(args.image)
+    img, _ = load_image(args.image)
+    print(json.dumps(calculate_auto_adjustments(img), indent=2, ensure_ascii=False))
+    return 0
+
+
+def _cmd_negative(args) -> int:
+    import numpy as np
+    import jax.numpy as jnp
+
+    from rapidraw_tpu.compositions.negative import (
+        NegativeConversionParams,
+        convert_negative,
+    )
+    from rapidraw_tpu.io.encode import encode_image
+    from rapidraw_tpu.io.loader import load_image
+
+    _require_file(args.image)
+    img, _ = load_image(args.image)
+    params = NegativeConversionParams(
+        red_weight=args.red, green_weight=args.green, blue_weight=args.blue,
+        exposure=args.exposure, contrast=args.contrast,
+    )
+    out = convert_negative(jnp.asarray(img), params)
+    dst = args.output or str(Path(args.image).with_suffix("")) + "_Positive.tiff"
+    encode_image(np.asarray(out), dst, quality=95)
+    print(dst)
+    return 0
+
+
+def _cmd_histogram(args) -> int:
+    from rapidraw_tpu.analysis.scopes import calculate_histogram
+    from rapidraw_tpu.io.loader import load_image
+
+    _require_file(args.image)
+    img, _ = load_image(args.image)
+    hist = calculate_histogram(img)
+    print(json.dumps({k: [round(float(x), 4) for x in v] for k, v in hist.items()}))
+    return 0
+
+
+def _enable_persistent_jit_cache() -> None:
+    """CLI invocations are separate processes; persist XLA executables so
+    repeat invocations skip the 30s+ TPU compile (override dir with
+    RAPIDRAW_CACHE_DIR, disable with RAPIDRAW_CACHE_DIR=none)."""
+    import os
+
+    cache_dir = os.environ.get(
+        "RAPIDRAW_CACHE_DIR", os.path.expanduser("~/.cache/rapidraw_tpu/jit")
+    )
+    if cache_dir.lower() == "none":
+        return
+    try:
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
+
+
+def main(argv=None) -> int:
+    _enable_persistent_jit_cache()
+    ap = argparse.ArgumentParser(prog="rapidraw_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("develop", help="develop one image")
+    d.add_argument("image")
+    d.add_argument("-a", "--adjustments", help="adjustment JSON file (default: sidecar)")
+    d.add_argument("-o", "--output")
+    d.add_argument("-q", "--quality", type=int, default=90)
+    d.set_defaults(fn=_cmd_develop)
+
+    e = sub.add_parser("export", help="batch export")
+    e.add_argument("images", nargs="+")
+    e.add_argument("-o", "--output", required=True)
+    e.add_argument("--format", default="jpeg")
+    e.add_argument("-q", "--quality", type=int, default=90)
+    e.add_argument("--long-edge", type=int)
+    e.add_argument("--batch-size", type=int, default=4)
+    e.set_defaults(fn=_cmd_export)
+
+    a = sub.add_parser("auto", help="compute auto adjustments")
+    a.add_argument("image")
+    a.set_defaults(fn=_cmd_auto)
+
+    n = sub.add_parser("negative", help="convert film negative to positive")
+    n.add_argument("image")
+    n.add_argument("-o", "--output")
+    n.add_argument("--red", type=float, default=1.0)
+    n.add_argument("--green", type=float, default=1.0)
+    n.add_argument("--blue", type=float, default=1.0)
+    n.add_argument("--exposure", type=float, default=0.0)
+    n.add_argument("--contrast", type=float, default=1.0)
+    n.set_defaults(fn=_cmd_negative)
+
+    h = sub.add_parser("histogram", help="print histogram JSON")
+    h.add_argument("image")
+    h.set_defaults(fn=_cmd_histogram)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,282 @@
+"""Minimal DNG/TIFF RAW container reader (pure Python + NumPy).
+
+The reference decodes RAW containers with the rawler crate
+(raw_processing.rs:66-70); this is the host-side equivalent feeding packed
+CFA data to the TPU develop (rapidraw_tpu.raw.develop). Supported today:
+uncompressed (Compression=1) CFA and LinearRaw DNG/TIFF, 8/16-bit, strip or
+tile layout. Lossless-JPEG (Compression=7) DNGs raise a clear error until
+the native decoder lands.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+# TIFF tags
+_T = {
+    "NewSubfileType": 254,
+    "ImageWidth": 256,
+    "ImageLength": 257,
+    "BitsPerSample": 258,
+    "Compression": 259,
+    "Photometric": 262,
+    "StripOffsets": 273,
+    "Orientation": 274,
+    "SamplesPerPixel": 277,
+    "RowsPerStrip": 278,
+    "StripByteCounts": 279,
+    "SubIFDs": 330,
+    "TileWidth": 322,
+    "TileLength": 323,
+    "TileOffsets": 324,
+    "TileByteCounts": 325,
+    "CFARepeatPatternDim": 33421,
+    "CFAPattern": 33422,
+    "BlackLevel": 50714,
+    "WhiteLevel": 50717,
+    "ColorMatrix1": 50721,
+    "ColorMatrix2": 50722,
+    "AsShotNeutral": 50728,
+}
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+
+
+@dataclass
+class RawFile:
+    cfa: np.ndarray  # (H, W) uint16 (or (H, W, C) for LinearRaw)
+    pattern: str  # e.g. "RGGB"
+    black_level: float
+    white_level: float
+    wb: np.ndarray  # (3,) multipliers, green-normalized
+    xyz_to_cam: np.ndarray | None  # (3,3) ColorMatrix (prefer CM2)
+    orientation: int = 1
+    is_linear: bool = False
+    tags: dict = field(default_factory=dict)
+
+
+class DngError(ValueError):
+    pass
+
+
+def _read_ifd(buf: bytes, offset: int, endian: str) -> tuple[dict, int]:
+    (count,) = struct.unpack_from(endian + "H", buf, offset)
+    entries = {}
+    pos = offset + 2
+    for _ in range(count):
+        tag, typ, n = struct.unpack_from(endian + "HHI", buf, pos)
+        size = _TYPE_SIZE.get(typ, 1) * n
+        if size <= 4:
+            raw = buf[pos + 8 : pos + 8 + size]
+        else:
+            (val_off,) = struct.unpack_from(endian + "I", buf, pos + 8)
+            raw = buf[val_off : val_off + size]
+        entries[tag] = _decode_values(raw, typ, n, endian)
+        pos += 12
+    (next_ifd,) = struct.unpack_from(endian + "I", buf, pos)
+    return entries, next_ifd
+
+
+def _decode_values(raw: bytes, typ: int, n: int, endian: str):
+    if typ in (1, 6, 7):
+        return list(raw[:n])
+    if typ == 2:
+        return raw.split(b"\0")[0].decode(errors="replace")
+    if typ == 3:
+        return list(struct.unpack_from(endian + f"{n}H", raw))
+    if typ == 4:
+        return list(struct.unpack_from(endian + f"{n}I", raw))
+    if typ == 8:
+        return list(struct.unpack_from(endian + f"{n}h", raw))
+    if typ == 9:
+        return list(struct.unpack_from(endian + f"{n}i", raw))
+    if typ == 5:
+        vals = struct.unpack_from(endian + f"{2 * n}I", raw)
+        return [a / b if b else 0.0 for a, b in zip(vals[::2], vals[1::2])]
+    if typ == 10:
+        vals = struct.unpack_from(endian + f"{2 * n}i", raw)
+        return [a / b if b else 0.0 for a, b in zip(vals[::2], vals[1::2])]
+    if typ == 11:
+        return list(struct.unpack_from(endian + f"{n}f", raw))
+    if typ == 12:
+        return list(struct.unpack_from(endian + f"{n}d", raw))
+    return list(raw)
+
+
+def _collect_ifds(buf: bytes, endian: str, first: int) -> list[dict]:
+    ifds = []
+    seen = set()
+    stack = [first]
+    while stack:
+        off = stack.pop()
+        if off == 0 or off in seen or off >= len(buf):
+            continue
+        seen.add(off)
+        try:
+            entries, nxt = _read_ifd(buf, off, endian)
+        except struct.error:
+            continue
+        ifds.append(entries)
+        if nxt:
+            stack.append(nxt)
+        for sub in entries.get(_T["SubIFDs"], []) or []:
+            stack.append(sub)
+    return ifds
+
+
+def _pattern_string(ifd: dict) -> str:
+    pat = ifd.get(_T["CFAPattern"])
+    if not pat:
+        return "RGGB"
+    names = {0: "R", 1: "G", 2: "B"}
+    return "".join(names.get(v, "G") for v in pat[:4])
+
+
+def parse_dng(data: bytes) -> RawFile:
+    if data[:2] == b"II":
+        endian = "<"
+    elif data[:2] == b"MM":
+        endian = ">"
+    else:
+        raise DngError("not a TIFF/DNG file")
+    magic, first = struct.unpack_from(endian + "HI", data, 2)
+    if magic != 42:
+        raise DngError(f"bad TIFF magic {magic}")
+
+    ifds = _collect_ifds(data, endian, first)
+    # pick the raw IFD: CFA (32803) or LinearRaw (34892), else largest area
+    raw_ifds = [i for i in ifds if i.get(_T["Photometric"], [0])[0] in (32803, 34892)]
+    if not raw_ifds:
+        raise DngError("no raw IFD (CFA/LinearRaw) found")
+    ifd = max(
+        raw_ifds,
+        key=lambda i: (i.get(_T["ImageWidth"], [0])[0] * i.get(_T["ImageLength"], [0])[0]),
+    )
+
+    width = ifd[_T["ImageWidth"]][0]
+    height = ifd[_T["ImageLength"]][0]
+    bits = ifd.get(_T["BitsPerSample"], [16])[0]
+    compression = ifd.get(_T["Compression"], [1])[0]
+    photometric = ifd.get(_T["Photometric"], [32803])[0]
+    spp = ifd.get(_T["SamplesPerPixel"], [1])[0]
+    if compression == 7:
+        raise DngError(
+            "lossless-JPEG compressed DNG not yet supported (native decoder pending); "
+            "re-export as uncompressed DNG"
+        )
+    if compression != 1:
+        raise DngError(f"unsupported DNG compression {compression}")
+    if bits not in (8, 16):
+        raise DngError(f"unsupported bit depth {bits}")
+
+    dtype = np.uint16 if bits == 16 else np.uint8
+    plane = np.zeros((height, width * spp), dtype)
+
+    if _T["TileOffsets"] in ifd:
+        tw = ifd[_T["TileWidth"]][0]
+        tl = ifd[_T["TileLength"]][0]
+        offsets = ifd[_T["TileOffsets"]]
+        tiles_x = -(-width // tw)
+        for idx, off in enumerate(offsets):
+            ty, tx = divmod(idx, tiles_x)
+            tile = np.frombuffer(
+                data, dtype=endian + ("u2" if bits == 16 else "u1"),
+                count=tw * tl * spp, offset=off,
+            ).reshape(tl, tw * spp)
+            y0, x0 = ty * tl, tx * tw * spp
+            h = min(tl, height - y0)
+            w = min(tw * spp, width * spp - x0)
+            plane[y0 : y0 + h, x0 : x0 + w] = tile[:h, :w]
+    else:
+        offsets = ifd[_T["StripOffsets"]]
+        counts = ifd.get(_T["StripByteCounts"], [len(data) - offsets[0]])
+        rps = ifd.get(_T["RowsPerStrip"], [height])[0]
+        row = 0
+        for off, cnt in zip(offsets, counts):
+            n_rows = min(rps, height - row)
+            strip = np.frombuffer(
+                data, dtype=endian + ("u2" if bits == 16 else "u1"),
+                count=n_rows * width * spp, offset=off,
+            ).reshape(n_rows, width * spp)
+            plane[row : row + n_rows] = strip
+            row += n_rows
+
+    black = float(np.mean(ifd.get(_T["BlackLevel"], [0])))
+    white = float(ifd.get(_T["WhiteLevel"], [(1 << bits) - 1])[0])
+
+    neutral = ifd.get(_T["AsShotNeutral"]) or _first(ifds, _T["AsShotNeutral"]) or [1.0, 1.0, 1.0]
+    neutral = np.asarray(neutral[:3], np.float64)
+    neutral[neutral <= 0] = 1.0
+    wb = 1.0 / neutral
+    wb = (wb / wb[1]).astype(np.float32)
+
+    cm = _first(ifds, _T["ColorMatrix2"]) or _first(ifds, _T["ColorMatrix1"])
+    xyz_to_cam = np.asarray(cm, np.float32).reshape(3, 3) if cm and len(cm) >= 9 else None
+    orientation = (_first(ifds, _T["Orientation"]) or [1])[0]
+
+    is_linear = photometric == 34892
+    if is_linear and spp >= 3:
+        cfa = plane.reshape(height, width, spp)[:, :, :3]
+    else:
+        cfa = plane[:, :width]
+
+    return RawFile(
+        cfa=cfa,
+        pattern=_pattern_string(ifd),
+        black_level=black,
+        white_level=white,
+        wb=wb,
+        xyz_to_cam=xyz_to_cam,
+        orientation=int(orientation),
+        is_linear=is_linear,
+    )
+
+
+def _first(ifds: list[dict], tag: int):
+    for i in ifds:
+        if tag in i:
+            return i[tag]
+    return None
+
+
+def load_raw_file(path: str | Path) -> np.ndarray:
+    """Decode + develop a RAW file to planar (3, H, W) scene-linear float32.
+
+    Container decode on host, demosaic/WB/matrix/highlight-compression on
+    the device (rapidraw_tpu.raw.develop).
+    """
+    import jax.numpy as jnp
+
+    from rapidraw_tpu.raw.color import camera_to_srgb_matrix
+    from rapidraw_tpu.raw.develop import develop_cfa, develop_linear_raw
+
+    raw = parse_dng(Path(path).read_bytes())
+    if raw.xyz_to_cam is not None:
+        cam2srgb = camera_to_srgb_matrix(raw.xyz_to_cam)
+    else:
+        cam2srgb = np.eye(3, dtype=np.float32)
+
+    if raw.is_linear:
+        img = jnp.asarray(raw.cfa.astype(np.float32).transpose(2, 0, 1))
+        out = develop_linear_raw(img, raw.black_level, raw.white_level)
+    else:
+        out = develop_cfa(
+            jnp.asarray(raw.cfa.astype(np.float32)),
+            raw.black_level,
+            raw.white_level,
+            raw.wb,
+            cam2srgb,
+            pattern=raw.pattern,
+            algorithm="malvar",
+        )
+    arr = np.asarray(out)
+    # EXIF orientation on planar (3, H, W)
+    from rapidraw_tpu.io.loader import _apply_exif_orientation
+
+    return np.ascontiguousarray(
+        _apply_exif_orientation(arr.transpose(1, 2, 0), raw.orientation).transpose(2, 0, 1)
+    )

@@ -1,0 +1,59 @@
+"""Output encoding: JPEG/PNG/TIFF/WebP via PIL (host).
+
+Equivalent of export_processing.rs:388-469 (format dispatch + quality) —
+AVIF/JXL are gated on PIL plugin availability and report a clear error.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+
+def encode_image(
+    planar: np.ndarray,
+    path: str | Path,
+    fmt: str | None = None,
+    quality: int = 90,
+) -> None:
+    """Write planar (3, H, W) float [0,1] (or (H,W,3) u8) to disk."""
+    from PIL import Image
+
+    path = Path(path)
+    fmt = (fmt or path.suffix.lstrip(".")).lower()
+    if planar.ndim == 3 and planar.shape[0] == 3 and planar.dtype != np.uint8:
+        arr = (np.clip(planar, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8).transpose(1, 2, 0)
+    elif planar.ndim == 3 and planar.shape[-1] == 3:
+        arr = planar.astype(np.uint8)
+    else:
+        raise ValueError(f"unsupported image array shape {planar.shape}")
+    im = Image.fromarray(arr)
+
+    if fmt in ("jpg", "jpeg"):
+        im.save(path, "JPEG", quality=quality)
+    elif fmt == "png":
+        im.save(path, "PNG")
+    elif fmt in ("tif", "tiff"):
+        im.save(path, "TIFF")
+    elif fmt == "webp":
+        im.save(path, "WEBP", quality=quality)
+    elif fmt in ("avif", "jxl"):
+        try:
+            im.save(path)
+        except (KeyError, OSError) as e:
+            raise ValueError(f"format {fmt!r} not supported by this PIL build: {e}") from e
+    else:
+        raise ValueError(f"unsupported export format: {fmt}")
+
+
+def encode_jpeg_bytes(planar: np.ndarray, quality: int = 85) -> bytes:
+    """In-memory JPEG (the interactive preview reply path, lib.rs:560-582)."""
+    import io
+
+    from PIL import Image
+
+    arr = (np.clip(planar, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8).transpose(1, 2, 0)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG", quality=quality)
+    return buf.getvalue()

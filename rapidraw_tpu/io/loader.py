@@ -1,0 +1,86 @@
+"""Image loading: file -> planar (3, H, W) float32 in input space.
+
+Host equivalent of image_loader.rs:62-150 (RAW vs LDR branch + EXIF
+orientation) feeding the device pipeline. LDR decode via PIL; RAW container
+decode arrives with io/dng.py (the CFA -> RGB develop itself runs on TPU in
+rapidraw_tpu.raw).
+
+Virtual-copy paths ("photo.jpg?vc=2") share the source file
+(file_management.rs:165-196).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+RAW_EXTENSIONS = {
+    "dng", "cr2", "cr3", "nef", "nrw", "arw", "srf", "sr2", "raf", "orf",
+    "rw2", "pef", "dcr", "kdc", "mos", "mrw", "raw", "3fr", "erf", "x3f", "iiq",
+}
+
+
+def parse_virtual_path(path: str) -> tuple[str, int | None]:
+    """'photo.jpg?vc=2' -> ('photo.jpg', 2) (file_management.rs:165-196)."""
+    if "?vc=" in path:
+        base, _, vc = path.rpartition("?vc=")
+        try:
+            return base, int(vc)
+        except ValueError:
+            return path, None
+    return path, None
+
+
+def is_raw_file(path: str | Path) -> bool:
+    return Path(str(path)).suffix.lower().lstrip(".") in RAW_EXTENSIONS
+
+
+def _apply_exif_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
+    """EXIF orientation 1-8 on (H, W, 3) (image_loader.rs:169-212)."""
+    if orientation == 2:
+        return arr[:, ::-1]
+    if orientation == 3:
+        return arr[::-1, ::-1]
+    if orientation == 4:
+        return arr[::-1, :]
+    if orientation == 5:
+        return np.rot90(arr, k=-1, axes=(0, 1))[:, ::-1]
+    if orientation == 6:
+        return np.rot90(arr, k=-1, axes=(0, 1))
+    if orientation == 7:
+        return np.rot90(arr, k=1, axes=(0, 1))[:, ::-1]
+    if orientation == 8:
+        return np.rot90(arr, k=1, axes=(0, 1))
+    return arr
+
+
+def load_ldr(path: str | Path) -> np.ndarray:
+    """Decode an LDR file to planar (3, H, W) float32 sRGB-encoded [0,1]."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        try:
+            orientation = im.getexif().get(0x0112, 1) or 1
+        except Exception:
+            orientation = 1
+        arr = np.asarray(im.convert("RGB"), np.uint8)
+    arr = _apply_exif_orientation(arr, int(orientation))
+    return np.ascontiguousarray(
+        (arr.astype(np.float32) / 255.0).transpose(2, 0, 1)
+    )
+
+
+def load_image(path: str | Path):
+    """Load any supported file. Returns (planar_f32, is_raw: bool)."""
+    real, _vc = parse_virtual_path(str(path))
+    if is_raw_file(real):
+        from rapidraw_tpu.io.dng import load_raw_file  # noqa: PLC0415
+
+        return load_raw_file(real), True
+    return load_ldr(real), False
+
+
+def to_uint8_hwc(planar: np.ndarray) -> np.ndarray:
+    """Planar f32 [0,1] -> (H, W, 3) u8 for encoding."""
+    return (np.clip(planar, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8).transpose(1, 2, 0)

@@ -221,6 +221,14 @@ def develop(
             rgb, clarity_blur, eff["halation"], is_raw,
             eff["exposure"], eff["brightness"], eff["contrast"], eff["whites"],
         )
+    if cfg.flare_active and flare is None:
+        # the flare map is built from global (unmasked) params
+        # (gpu_processing.rs:1180-1277 passes adjustments.global)
+        from rapidraw_tpu.ops.flare import generate_flare_map
+
+        flare = generate_flare_map(
+            input_rgb, g["flare"], g["exposure"], g["brightness"], g["whites"], is_raw
+        )
     if cfg.flare_active and flare is not None:
         # shader.wgsl:1596-1610
         ys = (jnp.arange(h, dtype=jnp.float32)[:, None] + jnp.zeros((1, w))) / h
