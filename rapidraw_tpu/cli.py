@@ -73,11 +73,24 @@ def _cmd_export(args) -> int:
         )
     for p in args.images:
         _require_file(p)
+    watermark = None
+    if args.watermark:
+        from rapidraw_tpu.pipeline.watermark import WatermarkSettings
+
+        _require_file(args.watermark)
+        watermark = WatermarkSettings(
+            path=args.watermark,
+            anchor=args.watermark_anchor,
+            scale=args.watermark_scale,
+            spacing=args.watermark_spacing,
+            opacity=args.watermark_opacity,
+        )
     settings = ExportSettings(
         format=args.format,
         quality=args.quality,
         long_edge=args.long_edge,
         batch_size=args.batch_size,
+        watermark=watermark,
     )
 
     def progress(i, n, p):
@@ -124,6 +137,120 @@ def _cmd_negative(args) -> int:
     out = convert_negative(jnp.asarray(img), params)
     dst = args.output or str(Path(args.image).with_suffix("")) + "_Positive.tiff"
     encode_image(np.asarray(out), dst, quality=95)
+    print(dst)
+    return 0
+
+
+def _cmd_cull(args) -> int:
+    from rapidraw_tpu.compositions.culling import cull_images
+
+    for p in args.images:
+        _require_file(p)
+    res = cull_images(args.images, group_similar_images=not args.no_group)
+    out = {
+        "groups": [
+            [
+                {
+                    "path": a.path,
+                    "qualityScore": round(a.quality_score, 4),
+                    "sharpness": round(a.sharpness_metric, 2),
+                    "exposure": round(a.exposure_metric, 4),
+                }
+                for a in g
+            ]
+            for g in res["groups"]
+        ],
+        "best": res["best"],
+        "failed": res["failed"],
+    }
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def _cmd_hdr(args) -> int:
+    import numpy as np
+    import jax.numpy as jnp
+
+    from rapidraw_tpu.compositions.hdr import merge_hdr, read_exif_exposure
+    from rapidraw_tpu.io.encode import encode_image
+    from rapidraw_tpu.io.loader import load_image
+    from rapidraw_tpu.ops.colorspace import linear_to_srgb, srgb_to_linear
+
+    if len(args.images) < 2:
+        raise SystemExit("error: need at least two images to merge")
+    imgs, exps, isos = [], [], []
+    for p in args.images:
+        _require_file(p)
+        img, is_raw = load_image(p)
+        x = jnp.asarray(img)
+        if not is_raw:
+            x = srgb_to_linear(x)  # lib.rs:1433-1435
+        exp, iso = read_exif_exposure(p)
+        if exp is None or iso is None:
+            raise SystemExit(f"error: {p} is missing ExposureTime/ISO EXIF data")
+        imgs.append(x)
+        exps.append(exp)
+        isos.append(iso)
+    merged = merge_hdr(imgs, exps, isos)
+    out = np.asarray(linear_to_srgb(merged))
+    dst = args.output or "hdr_merged.png"
+    encode_image(out, dst)
+    print(dst)
+    return 0
+
+
+def _cmd_denoise(args) -> int:
+    import numpy as np
+
+    from rapidraw_tpu.compositions.bm3d import run_bm3d
+    from rapidraw_tpu.io.encode import encode_image
+    from rapidraw_tpu.io.loader import load_image
+
+    _require_file(args.image)
+    img, _ = load_image(args.image)
+    out = run_bm3d(np.asarray(img), intensity=args.intensity)
+    dst = args.output or str(Path(args.image).with_suffix("")) + "_denoised.png"
+    encode_image(out, dst)
+    print(dst)
+    return 0
+
+
+def _cmd_panorama(args) -> int:
+    import numpy as np
+
+    from rapidraw_tpu.compositions.panorama import PanoramaError, stitch_panorama
+    from rapidraw_tpu.io.encode import encode_image
+    from rapidraw_tpu.io.loader import load_image
+
+    for p in args.images:
+        _require_file(p)
+    imgs = [np.asarray(load_image(p)[0]) for p in args.images]
+    try:
+        pano = stitch_panorama(imgs)
+    except PanoramaError as e:
+        raise SystemExit(f"error: {e}") from e
+    dst = args.output or "panorama.png"
+    encode_image(pano, dst)
+    print(dst)
+    return 0
+
+
+def _cmd_lut_export(args) -> int:
+    from pathlib import Path as P
+
+    from rapidraw_tpu.pipeline.watermark import export_adjustments_as_lut
+
+    if args.adjustments:
+        adj = json.loads(P(args.adjustments).read_text())
+    elif args.image:
+        from rapidraw_tpu.io.sidecar import load_adjustments
+
+        adj = load_adjustments(args.image)
+    else:
+        raise SystemExit("error: provide --adjustments or --image")
+    cube = export_adjustments_as_lut(adj, lut_size=args.size)
+    dst = args.output or "grade.cube"
+    P(dst).write_text(cube)
     print(dst)
     return 0
 
@@ -179,6 +306,11 @@ def main(argv=None) -> int:
     e.add_argument("-q", "--quality", type=int, default=90)
     e.add_argument("--long-edge", type=int)
     e.add_argument("--batch-size", type=int, default=4)
+    e.add_argument("--watermark", help="watermark image path")
+    e.add_argument("--watermark-anchor", default="bottomRight")
+    e.add_argument("--watermark-scale", type=float, default=15.0)
+    e.add_argument("--watermark-spacing", type=float, default=2.0)
+    e.add_argument("--watermark-opacity", type=float, default=100.0)
     e.set_defaults(fn=_cmd_export)
 
     a = sub.add_parser("auto", help="compute auto adjustments")
@@ -198,6 +330,34 @@ def main(argv=None) -> int:
     h = sub.add_parser("histogram", help="print histogram JSON")
     h.add_argument("image")
     h.set_defaults(fn=_cmd_histogram)
+
+    c = sub.add_parser("cull", help="group similar images and rank quality")
+    c.add_argument("images", nargs="+")
+    c.add_argument("--no-group", action="store_true")
+    c.set_defaults(fn=_cmd_cull)
+
+    m = sub.add_parser("hdr", help="merge bracketed exposures")
+    m.add_argument("images", nargs="+")
+    m.add_argument("-o", "--output")
+    m.set_defaults(fn=_cmd_hdr)
+
+    dn = sub.add_parser("denoise", help="BM3D denoise an image")
+    dn.add_argument("image")
+    dn.add_argument("-o", "--output")
+    dn.add_argument("--intensity", type=float, default=0.5)
+    dn.set_defaults(fn=_cmd_denoise)
+
+    pa = sub.add_parser("panorama", help="stitch overlapping frames")
+    pa.add_argument("images", nargs="+")
+    pa.add_argument("-o", "--output")
+    pa.set_defaults(fn=_cmd_panorama)
+
+    le = sub.add_parser("lut-export", help="bake a grade into a .cube LUT")
+    le.add_argument("-a", "--adjustments")
+    le.add_argument("--image", help="take adjustments from this image's sidecar")
+    le.add_argument("-o", "--output")
+    le.add_argument("--size", type=int, default=33)
+    le.set_defaults(fn=_cmd_lut_export)
 
     args = ap.parse_args(argv)
     return args.fn(args)

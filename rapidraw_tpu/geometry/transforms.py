@@ -91,8 +91,16 @@ def apply_crop(image: jnp.ndarray, crop: dict | None) -> jnp.ndarray:
 def apply_all_transformations(
     image: jnp.ndarray, adjustments: dict
 ) -> tuple[jnp.ndarray, tuple[float, float]]:
-    """warp -> coarse rotate -> flip -> fine rotate -> crop
-    (adjustment_utils.rs:93-120). Returns (image, unscaled_crop_offset)."""
+    """AI patches -> warp -> coarse rotate -> flip -> fine rotate -> crop
+    (lib.rs:198-217 + adjustment_utils.rs:93-120).
+    Returns (image, unscaled_crop_offset)."""
+    if adjustments.get("aiPatches"):
+        import numpy as _np
+
+        from rapidraw_tpu.masks.patches import composite_patches_on_image
+
+        image = jnp.asarray(composite_patches_on_image(_np.asarray(image), adjustments))
+
     p = geometry_params_from_json(adjustments)
     if not is_geometry_identity(p):
         image = warp_image_geometry(image, p)

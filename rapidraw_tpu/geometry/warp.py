@@ -241,3 +241,91 @@ def warp_image_geometry(image: jnp.ndarray, p: GeometryParams) -> jnp.ndarray:
 
     # pixels whose homography z ~ 0 stay black (:718)
     return jnp.where(z_ok, out, 0.0)
+
+
+def unwarp_image_geometry(image: jnp.ndarray, p: GeometryParams) -> jnp.ndarray:
+    """Exact inverse of warp_image_geometry (image_processing.rs:805-938).
+
+    Used by the crop tool path: undoes manual distortion (closed-form cubic
+    Newton, :534-555), lensfun distortion (8-step Newton on the blended
+    radius, :869-910), auto-crop and the forward homography.
+    """
+    _, h, w = image.shape
+    cx, cy = w / 2.0, h / 2.0
+    forward = jnp.asarray(build_transform_matrix(p, float(w), float(h)))
+    half_diag = float(np.sqrt(cx * cx + cy * cy))
+    max_radius_sq_inv = 1.0 / (cx * cx + cy * cy)
+    k_distortion = (p.distortion / 100.0) * 2.5
+    lens_amt = p.lens_distortion_amount * 2.5
+    has_lens = p.lens_distortion_enabled and (
+        abs(p.lens_dist_k1) > 1e-6 or abs(p.lens_dist_k2) > 1e-6 or abs(p.lens_dist_k3) > 1e-6
+    )
+    auto_crop = (
+        compute_lens_auto_crop_scale(p, float(w), float(h))
+        if (has_lens or abs(k_distortion) > 1e-5)
+        else 1.0
+    )
+
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones((1, w), jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :] * jnp.ones((h, 1), jnp.float32)
+    cur_x, cur_y = xs, ys
+
+    if abs(k_distortion) > 1e-5:
+        dx = cur_x - cx
+        dy = cur_y - cy
+        r_dist = jnp.sqrt(dx * dx + dy * dy)
+        k_eff = k_distortion * max_radius_sq_inv
+        # Newton on k*r^3 + r = r_target (:534-555)
+        r = r_dist
+        for _ in range(10):
+            val = k_eff * r**3 + r - r_dist
+            slope = 3.0 * k_eff * r * r + 1.0
+            r = r - jnp.where(jnp.abs(slope) > 1e-9, val / slope, 0.0)
+        s = r / jnp.where(r_dist > 1e-6, r_dist, 1.0)
+        apply = r_dist > 1e-6
+        cur_x = jnp.where(apply, cx + dx * s, cur_x)
+        cur_y = jnp.where(apply, cy + dy * s, cur_y)
+
+    if has_lens:
+        dx = cur_x - cx
+        dy = cur_y - cy
+        rd = jnp.sqrt(dx * dx + dy * dy)
+        ru = rd
+        k1, k2, k3 = p.lens_dist_k1, p.lens_dist_k2, p.lens_dist_k3
+        for _ in range(8):
+            ru_n = ru / half_diag
+            ru_n2 = ru_n * ru_n
+            if p.lens_model == 1:
+                a, b, c = k1, k2, k3
+                d = 1.0 - a - b - c
+                poly = a * ru_n2 * ru_n + b * ru_n2 + c * ru_n + d
+                f_val = ru * poly
+                f_prime = 4.0 * a * ru_n2 * ru_n + 3.0 * b * ru_n2 + 2.0 * c * ru_n + d
+            else:
+                poly = 1.0 + k1 * ru_n2 + k2 * ru_n2**2 + k3 * ru_n2**3
+                f_val = ru * poly
+                poly_prime = 2.0 * k1 * ru_n + 4.0 * k2 * ru_n2 * ru_n + 6.0 * k3 * ru_n2**2 * ru_n
+                f_prime = poly + ru_n * poly_prime
+            g_val = ru + (f_val - ru) * lens_amt - rd
+            g_prime = 1.0 + (f_prime - 1.0) * lens_amt
+            ru = ru - jnp.where(jnp.abs(g_prime) > 1e-7, g_val / g_prime, 0.0)
+        s = ru / jnp.where(rd > 1e-6, rd, 1.0)
+        apply = rd > 1e-6
+        cur_x = jnp.where(apply, cx + dx * s, cur_x)
+        cur_y = jnp.where(apply, cy + dy * s, cur_y)
+
+    if auto_crop > 1.0:
+        cur_x = cx + (cur_x - cx) * auto_crop
+        cur_y = cy + (cur_y - cy) * auto_crop
+
+    hx = forward[0, 0] * cur_x + forward[0, 1] * cur_y + forward[0, 2]
+    hy = forward[1, 0] * cur_x + forward[1, 1] * cur_y + forward[1, 2]
+    hz = forward[2, 0] * cur_x + forward[2, 1] * cur_y + forward[2, 2]
+    z_ok = jnp.abs(hz) > 1e-6
+    inv_z = 1.0 / jnp.where(z_ok, hz, 1.0)
+    src_x = hx * inv_z
+    src_y = hy * inv_z
+
+    flat = [image[c].reshape(-1) for c in range(3)]
+    out = jnp.stack([_bilinear_zero_outside(f, src_x, src_y, w, h) for f in flat])
+    return jnp.where(z_ok, out, 0.0)

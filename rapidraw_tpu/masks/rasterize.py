@@ -195,28 +195,56 @@ _GENERATORS = {
 }
 
 
-def generate_sub_mask(sub: dict, width: int, height: int, scale: float, crop_offset) -> np.ndarray | None:
-    """(:1246-1318). Unknown or image-dependent types return None for now."""
+def generate_sub_mask(
+    sub: dict,
+    width: int,
+    height: int,
+    scale: float,
+    crop_offset,
+    warped_image: np.ndarray | None = None,
+) -> np.ndarray | None:
+    """Dispatch one sub-mask (:1246-1318).
+
+    warped_image: (H, W, 3) u8 of the warped full-res image — required by
+    color/luminance range masks (mask_generation.rs resolve_warped_image).
+    """
     if not sub.get("visible", False):
         return None
     t = sub.get("type")
+    params = sub.get("parameters") or {}
     if t == "all":
         return generate_all(width, height)
     gen = _GENERATORS.get(t)
-    if gen is None:
-        return None
-    return gen(sub.get("parameters") or {}, width, height, scale, crop_offset)
+    if gen is not None:
+        return gen(params, width, height, scale, crop_offset)
+
+    from rapidraw_tpu.masks import parametric as pm
+
+    if t == "color":
+        return pm.generate_color_range(params, width, height, scale, crop_offset, warped_image)
+    if t == "luminance":
+        return pm.generate_luminance_range(params, width, height, scale, crop_offset, warped_image)
+    if t in ("ai-subject", "ai-foreground", "ai-sky", "quick-eraser"):
+        return pm.generate_ai_mask(params, width, height, scale, crop_offset)
+    if t == "ai-depth":
+        return pm.generate_ai_depth(params, width, height, scale, crop_offset)
+    return None
 
 
 def generate_mask_bitmap(
-    mask_def: dict, width: int, height: int, scale: float = 1.0, crop_offset=(0.0, 0.0)
+    mask_def: dict,
+    width: int,
+    height: int,
+    scale: float = 1.0,
+    crop_offset=(0.0, 0.0),
+    warped_image: np.ndarray | None = None,
 ) -> np.ndarray | None:
     """Composite one MaskDefinition to a u8 (H, W) bitmap (:1320-1388)."""
     if not mask_def.get("visible", False) or not mask_def.get("subMasks"):
         return None
     final = np.zeros((height, width), np.uint8)
     for sub in mask_def["subMasks"]:
-        bitmap = generate_sub_mask(sub, width, height, scale, crop_offset)
+        bitmap = generate_sub_mask(sub, width, height, scale, crop_offset, warped_image)
         if bitmap is None:
             continue
         if sub.get("invert", False):
@@ -240,7 +268,12 @@ def generate_mask_bitmap(
 
 
 def rasterize_masks(
-    adjustments: dict, width: int, height: int, scale: float = 1.0, crop_offset=(0.0, 0.0)
+    adjustments: dict,
+    width: int,
+    height: int,
+    scale: float = 1.0,
+    crop_offset=(0.0, 0.0),
+    warped_image: np.ndarray | None = None,
 ) -> np.ndarray | None:
     """All visible masks of an adjustment doc -> (N, H, W) float32 in [0,1].
 
@@ -259,7 +292,7 @@ def rasterize_masks(
             continue
         if len(out) >= MAX_MASKS:
             break
-        bitmap = generate_mask_bitmap(m, width, height, scale, crop_offset)
+        bitmap = generate_mask_bitmap(m, width, height, scale, crop_offset, warped_image)
         if bitmap is None:
             bitmap = np.zeros((height, width), np.uint8)
         out.append(bitmap.astype(np.float32) / 255.0)

@@ -69,23 +69,45 @@ def _k_blocks(radius: int) -> np.ndarray:
     return k
 
 
-def _dot(a, b):
-    # default MXU precision truncates inputs to bf16 (~2e-3 error on the
-    # blurred planes); HIGHEST keeps f32-accurate accumulation.
+def _bf16_dot(a, b):
     return jax.lax.dot(
-        a, b, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32
+        a.astype(jnp.bfloat16),
+        b.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
     )
 
 
 def _make_kernel(nb: int, axis: int):
+    """Banded-matmul kernel with manual 3-pass bf16 splitting.
+
+    Default MXU precision truncates inputs to bf16 (~2e-3 error on the
+    blurred planes); full HIGHEST is 6 passes. Mosaic doesn't expose the
+    HIGH (3-pass) mode, so we split both operands into bf16 hi+lo halves
+    and take the three significant products — ~1.5e-5 relative error, well
+    inside the 1e-3 fidelity budget, at half the cost of HIGHEST.
+    """
+
     def kernel(*refs):
-        k_ref = refs[0]
-        x_refs = refs[1 : 1 + nb]
-        out_ref = refs[1 + nb]
+        khi_ref, klo_ref = refs[0], refs[1]
+        x_refs = refs[2 : 2 + nb]
+        out_ref = refs[2 + nb]
         acc = None
         for q in range(nb):
             x = x_refs[q][0]
-            d = _dot(k_ref[q], x) if axis == 0 else _dot(x, k_ref[q].T)
+            xhi = x.astype(jnp.bfloat16).astype(jnp.float32)
+            xlo = x - xhi
+            if axis == 0:
+                d = (
+                    _bf16_dot(khi_ref[q], xhi)
+                    + _bf16_dot(khi_ref[q], xlo)
+                    + _bf16_dot(klo_ref[q], xhi)
+                )
+            else:
+                d = (
+                    _bf16_dot(xhi, khi_ref[q].T)
+                    + _bf16_dot(xlo, khi_ref[q].T)
+                    + _bf16_dot(xhi, klo_ref[q].T)
+                )
             acc = d if acc is None else acc + d
         out_ref[0] = acc
 
@@ -145,8 +167,14 @@ def _blur_axis(x: jnp.ndarray, radius: int, axis: int) -> jnp.ndarray:
 
         omap = lambda ci, i, j: (ci, j, i)
 
-    k = jnp.asarray(_k_blocks(radius))
-    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    k = _k_blocks(radius)
+    khi = k.astype(np.float32)  # split host-side: hi = bf16-rounded, lo = rest
+    khi = jnp.asarray(khi).astype(jnp.bfloat16).astype(jnp.float32)
+    klo = jnp.asarray(k) - khi
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
     for q in range(nb):
         in_specs.append(pl.BlockSpec(block, imap(q), memory_space=pltpu.VMEM))
 
@@ -157,7 +185,7 @@ def _blur_axis(x: jnp.ndarray, radius: int, axis: int) -> jnp.ndarray:
         in_specs=in_specs,
         out_specs=pl.BlockSpec(block, omap, memory_space=pltpu.VMEM),
         interpret=_use_interpret(),
-    )(k, *([x] * nb))
+    )(khi, klo, *([x] * nb))
     return out[:, :n, :m]
 
 

@@ -50,18 +50,29 @@ def eval_curve(val: jnp.ndarray, seg: jnp.ndarray, ends: jnp.ndarray, enabled) -
     return jnp.where(enabled > 0.0, out, val)
 
 
-def apply_all_curves(rgb: jnp.ndarray, curve_set: dict) -> jnp.ndarray:
+def apply_all_curves(
+    rgb: jnp.ndarray, curve_set: dict, rgb_maybe_active: bool = True
+) -> jnp.ndarray:
     """Luma + RGB point curves with luma preservation (shader.wgsl:1218-1237).
 
     curve_set: {'seg': (4,S,6), 'ends': (4,4), 'enabled': (4,),
                 'rgb_active': ()} — channel order luma, red, green, blue.
-    rgb_active is traced, so both paths are computed and selected; the cost
-    is a handful of extra curve evaluations.
+
+    `rgb_maybe_active` is the *static* union flag
+    (DevelopConfig.rgb_curves_maybe_active): when False (the common case —
+    only the luma curve edited) the whole rgb path compiles out and the
+    eval cost drops to 3 lookups. When True, both paths are computed and
+    selected by the traced per-document rgb_active flag.
     """
     seg, ends, en = curve_set["seg"], curve_set["ends"], curve_set["enabled"]
 
     def cv(v, i):
         return eval_curve(v, seg[i], ends[i], en[i])
+
+    # luma-only path: the luma curve applied to each channel
+    luma_path = jnp.stack([cv(rgb[0], 0), cv(rgb[1], 0), cv(rgb[2], 0)])
+    if not rgb_maybe_active:
+        return luma_path
 
     # RGB path: per-channel curves, luma curve drives overall luminance
     graded = jnp.stack([cv(rgb[0], 1), cv(rgb[1], 2), cv(rgb[2], 3)])
@@ -73,6 +84,4 @@ def apply_all_curves(rgb: jnp.ndarray, curve_set: dict) -> jnp.ndarray:
     max_comp = jnp.max(rgb_path, axis=0)
     rgb_path = jnp.where(max_comp > 1.0, rgb_path / max_comp, rgb_path)
 
-    # luma-only path: the luma curve applied to each channel
-    luma_path = jnp.stack([cv(rgb[0], 0), cv(rgb[1], 0), cv(rgb[2], 0)])
     return jnp.where(curve_set["rgb_active"] > 0.0, rgb_path, luma_path)

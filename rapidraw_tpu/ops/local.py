@@ -16,8 +16,12 @@ from rapidraw_tpu.ops import tone
 from rapidraw_tpu.ops.common import bcast3, luma, mix, smoothstep
 
 
-def _blur_to_linear(blurred_input_space: jnp.ndarray, is_raw: bool) -> jnp.ndarray:
-    return blurred_input_space if is_raw else cs.srgb_to_linear(blurred_input_space)
+def _blur_to_linear(
+    blurred_input_space: jnp.ndarray, is_raw: bool, blur_is_linear: bool = False
+) -> jnp.ndarray:
+    if is_raw or blur_is_linear:
+        return blurred_input_space
+    return cs.srgb_to_linear(blurred_input_space)
 
 
 def apply_local_contrast(
@@ -27,13 +31,14 @@ def apply_local_contrast(
     is_raw: bool,
     mode: int,
     threshold,
+    blur_is_linear: bool = False,
 ) -> jnp.ndarray:
     """Log-ratio local contrast (shader.wgsl:719-778).
 
     mode 0 = sharpness (edge-masked, threshold knob); mode 1 = clarity /
     structure (plain log-ratio gain). Negative amounts blend toward the blur.
     """
-    blurred_linear = _blur_to_linear(blurred_input_space, is_raw)
+    blurred_linear = _blur_to_linear(blurred_input_space, is_raw, blur_is_linear)
 
     # negative branch: blur blend
     blur_amount = -amount * (0.5 if mode == 0 else 1.0)
@@ -85,11 +90,14 @@ def apply_centre_local_contrast(
     centre_amount,
     blurred_input_space: jnp.ndarray,
     is_raw: bool,
+    blur_is_linear: bool = False,
 ) -> jnp.ndarray:
     """Centre-weighted clarity (shader.wgsl:780-809). Uses the clarity blur."""
     centre_mask = _centre_mask(rgb.shape[-2:])
     clarity_strength = centre_amount * (2.0 * centre_mask - 1.0) * 0.9
-    out = apply_local_contrast(rgb, blurred_input_space, clarity_strength, is_raw, 1, 0.0)
+    out = apply_local_contrast(
+        rgb, blurred_input_space, clarity_strength, is_raw, 1, 0.0, blur_is_linear
+    )
     out = jnp.where(jnp.abs(clarity_strength) > 0.001, out, rgb)
     return jnp.where(jnp.asarray(centre_amount) == 0.0, rgb, out)
 
@@ -109,13 +117,17 @@ def apply_centre_tonal_and_color(rgb: jnp.ndarray, centre_amount) -> jnp.ndarray
 
 
 def apply_dehaze(
-    rgb: jnp.ndarray, blurred_input_space: jnp.ndarray, is_raw: bool, amount
+    rgb: jnp.ndarray,
+    blurred_input_space: jnp.ndarray,
+    is_raw: bool,
+    amount,
+    blur_is_linear: bool = False,
 ) -> jnp.ndarray:
     """Dark-channel-prior dehaze / haze add (shader.wgsl:848-887).
 
     Uses the structure blur as the regional dark-channel estimate.
     """
-    blurred_linear = _blur_to_linear(blurred_input_space, is_raw)
+    blurred_linear = _blur_to_linear(blurred_input_space, is_raw, blur_is_linear)
     atmospheric_light = bcast3(jnp.array([0.95, 0.97, 1.0], rgb.dtype), rgb)
 
     # positive: remove haze
@@ -158,15 +170,18 @@ def _perceptual_luma(linear_luma: jnp.ndarray) -> jnp.ndarray:
 
 
 def _graded_blur_luma(
-    blurred_input_space: jnp.ndarray, is_raw: bool, exp, bright, wh
+    blurred_input_space: jnp.ndarray, is_raw: bool, exp, bright, wh,
+    blur_is_linear: bool = False,
 ) -> jnp.ndarray:
     """Shared glow/halation source: the blur level pushed through the same
     exposure/brightness/whites chain as the main pixel (shader.wgsl:1324-1335)."""
-    blurred_linear = _blur_to_linear(blurred_input_space, is_raw)
+    blurred_linear = _blur_to_linear(blurred_input_space, is_raw, blur_is_linear)
     blurred_linear = tone.apply_linear_exposure(blurred_linear, exp)
     blurred_linear = tone.apply_filmic_exposure(blurred_linear, bright)
+    # NB: the shader passes the raw blur texture here and re-linearizes; the
+    # value is identical, so we hand over the linear copy directly.
     blurred_linear = tone.apply_tonal_adjustments(
-        blurred_linear, blurred_input_space, is_raw, 0.0, 0.0, wh, 0.0
+        blurred_linear, blurred_linear, is_raw, 0.0, 0.0, wh, 0.0, blur_is_linear=True
     )
     return blurred_linear
 
@@ -180,10 +195,13 @@ def apply_glow_bloom(
     bright,
     con,
     wh,
+    blur_is_linear: bool = False,
 ) -> jnp.ndarray:
     """Soft bloom from the structure blur (shader.wgsl:1313-1381)."""
     del con  # shader receives but never uses contrast here
-    blurred_linear = _graded_blur_luma(blurred_input_space, is_raw, exp, bright, wh)
+    blurred_linear = _graded_blur_luma(
+        blurred_input_space, is_raw, exp, bright, wh, blur_is_linear
+    )
     linear_luma = luma(jnp.maximum(blurred_linear, 0.0))
     perceptual_luma = _perceptual_luma(linear_luma)
 
@@ -216,10 +234,13 @@ def apply_halation(
     bright,
     con,
     wh,
+    blur_is_linear: bool = False,
 ) -> jnp.ndarray:
     """Red-orange film halation from the clarity blur (shader.wgsl:1383-1436)."""
     del con
-    blurred_linear = _graded_blur_luma(blurred_input_space, is_raw, exp, bright, wh)
+    blurred_linear = _graded_blur_luma(
+        blurred_input_space, is_raw, exp, bright, wh, blur_is_linear
+    )
     linear_luma = luma(jnp.maximum(blurred_linear, 0.0))
     perceptual_luma = _perceptual_luma(linear_luma)
 

@@ -87,13 +87,15 @@ def apply_tonal_adjustments(
     sh,
     wh,
     bl,
+    blur_is_linear: bool = False,
 ) -> jnp.ndarray:
     """Contrast / shadows / whites / blacks (shader.wgsl:405-464).
 
     `blurred_input_space` is the tonal blur-pyramid level in the *input*
-    space (sRGB for LDR sources, linear for RAW).
+    space (sRGB for LDR sources, linear for RAW) — or already linear when
+    `blur_is_linear` (the pipeline pre-linearizes each level once).
     """
-    if is_raw:
+    if is_raw or blur_is_linear:
         blurred_linear = blurred_input_space
     else:
         blurred_linear = cs.srgb_to_linear(blurred_input_space)

@@ -140,6 +140,9 @@ class DevelopConfig:
     # static segment-row count for curve eval (most curves use 1-4 of the
     # 15 slots; trimming cuts the branch-free eval cost proportionally)
     curve_segments: int = 15
+    # union flag: any document in the batch has non-default R/G/B curves
+    # (the luma-preserving rgb path compiles out when False)
+    rgb_curves_maybe_active: bool = False
     grain_active: bool = False
     dither_active: bool = True
 
@@ -441,6 +444,10 @@ def parse_adjustments(
         mask_curves_active=mask_curves_active,
         curve_segments=max(
             [used_segments(g["curves"])] + [used_segments(m["curves"]) for m in mask_sets]
+        ),
+        rgb_curves_maybe_active=bool(
+            float(g["curves"]["rgb_active"]) != 0.0
+            or any(float(m["curves"]["rgb_active"]) != 0.0 for m in mask_sets)
         ),
         grain_active=float(g["grain_amount"]) > 0.0,
     )

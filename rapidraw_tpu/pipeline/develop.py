@@ -174,39 +174,46 @@ def develop(
         )
 
     # ---- blur pyramid (input-space source, gpu_processing.rs:1402-1405) ---
+    # Consumers need the blur in LINEAR space; the shader re-linearizes per
+    # consumer (srgb_to_linear of the same texture up to 3x) — we linearize
+    # each level once and tell consumers the input is already linear.
+    def blur_linear(base_radius: float) -> jnp.ndarray:
+        b = gaussian_blur(input_rgb, scales.blur_radius(base_radius, scale))
+        return b if is_raw else cs.srgb_to_linear(b)
+
     sharp_blur = tonal_blur = clarity_blur = structure_blur = None
     if cfg.sharpness_blur_needed:
-        sharp_blur = gaussian_blur(input_rgb, scales.blur_radius(scales.BLUR_RADIUS_SHARPNESS, scale))
+        sharp_blur = blur_linear(scales.BLUR_RADIUS_SHARPNESS)
     if cfg.tonal_blur_needed:
-        tonal_blur = gaussian_blur(input_rgb, scales.blur_radius(scales.BLUR_RADIUS_TONAL, scale))
+        tonal_blur = blur_linear(scales.BLUR_RADIUS_TONAL)
     if cfg.clarity_blur_needed:
-        clarity_blur = gaussian_blur(input_rgb, scales.blur_radius(scales.BLUR_RADIUS_CLARITY, scale))
+        clarity_blur = blur_linear(scales.BLUR_RADIUS_CLARITY)
     if cfg.structure_blur_needed:
-        structure_blur = gaussian_blur(
-            input_rgb, scales.blur_radius(scales.BLUR_RADIUS_STRUCTURE, scale)
-        )
+        structure_blur = blur_linear(scales.BLUR_RADIUS_STRUCTURE)
 
     # ---- local contrast chain (shader.wgsl:1555-1580) ----------------------
     rgb = initial_linear
     if cfg.sharpness_active:
         rgb = local_ops.apply_local_contrast(
-            rgb, sharp_blur, g["sharpness"], is_raw, 0, g["sharpness_threshold"]
+            rgb, sharp_blur, g["sharpness"], is_raw, 0, g["sharpness_threshold"],
+            blur_is_linear=True,
         )
     if cfg.mask_sharpness_active:
         delta = jnp.zeros_like(rgb)
         for n in range(cfg.mask_count):
             res = local_ops.apply_local_contrast(
-                initial_linear, sharp_blur, m["sharpness"][n], is_raw, 0, m["sharpness_threshold"][n]
+                initial_linear, sharp_blur, m["sharpness"][n], is_raw, 0,
+                m["sharpness_threshold"][n], blur_is_linear=True,
             )
             contrib = (res - initial_linear) * gated_infl[n]
             delta = delta + jnp.where(jnp.abs(m["sharpness"][n]) > 0.001, contrib, 0.0)
         rgb = rgb + delta
     if cfg.clarity_active:
-        rgb = local_ops.apply_local_contrast(rgb, clarity_blur, eff["clarity"], is_raw, 1, 0.0)
+        rgb = local_ops.apply_local_contrast(rgb, clarity_blur, eff["clarity"], is_raw, 1, 0.0, blur_is_linear=True)
     if cfg.structure_active:
-        rgb = local_ops.apply_local_contrast(rgb, structure_blur, eff["structure"], is_raw, 1, 0.0)
+        rgb = local_ops.apply_local_contrast(rgb, structure_blur, eff["structure"], is_raw, 1, 0.0, blur_is_linear=True)
     if cfg.centre_active:
-        rgb = local_ops.apply_centre_local_contrast(rgb, g["centre"], clarity_blur, is_raw)
+        rgb = local_ops.apply_centre_local_contrast(rgb, g["centre"], clarity_blur, is_raw, blur_is_linear=True)
 
     # ---- exposure + atmosphere (shader.wgsl:1582-1613) ---------------------
     if cfg.exposure_active:
@@ -215,11 +222,13 @@ def develop(
         rgb = local_ops.apply_glow_bloom(
             rgb, structure_blur, eff["glow"], is_raw,
             eff["exposure"], eff["brightness"], eff["contrast"], eff["whites"],
+            blur_is_linear=True,
         )
     if cfg.halation_active:
         rgb = local_ops.apply_halation(
             rgb, clarity_blur, eff["halation"], is_raw,
             eff["exposure"], eff["brightness"], eff["contrast"], eff["whites"],
+            blur_is_linear=True,
         )
     if cfg.flare_active and flare is None:
         # the flare map is built from global (unmasked) params
@@ -241,7 +250,7 @@ def develop(
         contrib = flare_color * eff["flare"] * protection
         rgb = jnp.where(jnp.asarray(eff["flare"]) > 0.0, rgb + contrib, rgb)
     if cfg.dehaze_active:
-        rgb = local_ops.apply_dehaze(rgb, structure_blur, is_raw, eff["dehaze"])
+        rgb = local_ops.apply_dehaze(rgb, structure_blur, is_raw, eff["dehaze"], blur_is_linear=True)
     if cfg.centre_active:
         rgb = local_ops.apply_centre_tonal_and_color(rgb, g["centre"])
 
@@ -253,7 +262,8 @@ def develop(
     if cfg.tonal_active:
         tb = tonal_blur if tonal_blur is not None else jnp.zeros_like(rgb)
         rgb = tone_ops.apply_tonal_adjustments(
-            rgb, tb, is_raw, eff["contrast"], eff["shadows"], eff["whites"], eff["blacks"]
+            rgb, tb, is_raw, eff["contrast"], eff["shadows"], eff["whites"], eff["blacks"],
+            blur_is_linear=True,
         )
     if cfg.highlights_active:
         rgb = tone_ops.apply_highlights(rgb, eff["highlights"])
@@ -307,11 +317,15 @@ def develop(
     # ---- point curves (shader.wgsl:1678-1697) -------------------------------
     final = base_srgb
     if cfg.curves_active:
-        final = curve_ops.apply_all_curves(final, _trim_curves(g["curves"], cfg.curve_segments))
+        final = curve_ops.apply_all_curves(
+            final, _trim_curves(g["curves"], cfg.curve_segments), cfg.rgb_curves_maybe_active
+        )
     if cfg.mask_curves_active:
         for n in range(cfg.mask_count):
             curved = curve_ops.apply_all_curves(
-                final, _trim_curves(_mask_curve_set(m["curves"], n), cfg.curve_segments)
+                final,
+                _trim_curves(_mask_curve_set(m["curves"], n), cfg.curve_segments),
+                cfg.rgb_curves_maybe_active,
             )
             final = mix(final, curved, gated_infl[n])
 

@@ -29,6 +29,9 @@ class ExportSettings:
     long_edge: int | None = None  # resize target (None = full res)
     filename_template: str = "{filename}_edited"
     batch_size: int = 4
+    watermark: "object | None" = None  # pipeline.watermark.WatermarkSettings
+    copy_exif: bool = True  # EXIF write-through with GPS strip (rs:297-303)
+    strip_gps: bool = True
 
 
 @dataclasses.dataclass
@@ -176,8 +179,16 @@ def export_images(
                     planar = out[b]
                     if settings.long_edge:
                         planar = _resize_long_edge_host(planar, settings.long_edge)
+                    if settings.watermark is not None:
+                        from rapidraw_tpu.pipeline.watermark import apply_watermark
+
+                        planar = apply_watermark(np.asarray(planar), settings.watermark)
                     dst = _output_path(p, out_dir, settings, seq)
                     encode_image(planar, dst, settings.format, settings.quality)
+                    if settings.copy_exif:
+                        from rapidraw_tpu.io.exif import copy_exif
+
+                        copy_exif(p, dst, strip_gps_data=settings.strip_gps)
                     results.append(
                         ExportResult(p, str(dst), True, seconds=dt / len(chunk))
                     )

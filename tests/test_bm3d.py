@@ -1,0 +1,43 @@
+"""BM3D denoiser tests."""
+
+import numpy as np
+
+from rapidraw_tpu.compositions.bm3d import Bm3dParams, _hadamard, run_bm3d
+
+
+def test_params_from_intensity():
+    p = Bm3dParams.from_intensity(0.5)
+    assert p.sigma == 40.0
+    assert p.hard_th_lambda == 3.25
+    assert p.max_dist_hard == 13000.0
+
+
+def test_hadamard_orthonormal():
+    for n in (1, 2, 4, 8, 16):
+        h = _hadamard(n)
+        np.testing.assert_allclose(h @ h.T, np.eye(n), atol=1e-6)
+
+
+def test_bm3d_reduces_noise():
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:72, 0:96].astype(np.float32)
+    clean = np.stack(
+        [
+            0.4 + 0.3 * np.sin(xx / 11.0),
+            0.5 + 0.2 * np.cos(yy / 9.0),
+            0.45 + 0.25 * np.sin((xx + yy) / 14.0),
+        ]
+    )
+    noisy = np.clip(clean + rng.normal(0, 0.08, clean.shape).astype(np.float32), 0, 1)
+    out = run_bm3d(noisy, intensity=0.5)
+    assert out.shape == clean.shape
+    assert np.isfinite(out).all()
+    mse_before = float(((noisy - clean) ** 2).mean())
+    mse_after = float(((out - clean) ** 2).mean())
+    assert mse_after < mse_before * 0.5, (mse_before, mse_after)
+
+
+def test_bm3d_flat_image_stable():
+    flat = np.full((3, 64, 64), 0.5, np.float32)
+    out = run_bm3d(flat, intensity=0.3)
+    np.testing.assert_allclose(out, 0.5, atol=0.02)

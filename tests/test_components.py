@@ -1,0 +1,143 @@
+"""Tests for RAW enhance, lensfun DB, HDR merge, culling."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rapidraw_tpu.compositions.culling import (
+    analyze_image_array,
+    cull_images,
+    group_similar,
+    laplacian_variance,
+)
+from rapidraw_tpu.compositions.hdr import HdrError, merge_hdr
+from rapidraw_tpu.lens.db import find_best_lens_match, parse_lensfun_xml, resolve_lens_params
+from rapidraw_tpu.raw.enhance import remove_raw_artifacts_and_enhance
+
+LENSFUN_XML = """<lensdatabase>
+  <lens>
+    <maker>Acme</maker>
+    <model>Acme Super 35mm f/1.8</model>
+    <model lang="en">Super 35mm f/1.8</model>
+    <mount>acme-x</mount>
+    <cropfactor>1.5</cropfactor>
+    <calibration>
+      <distortion model="poly3" focal="35" k1="-0.01" />
+      <tca model="linear" focal="35" vr="1.0002" vb="0.9998" />
+      <vignetting model="pa" focal="35" aperture="1.8" distance="10" k1="-0.5" k2="0.1" k3="0.0" />
+      <vignetting model="pa" focal="35" aperture="4.0" distance="10" k1="-0.2" k2="0.05" k3="0.0" />
+    </calibration>
+  </lens>
+  <lens>
+    <maker>Acme</maker>
+    <model>Acme Zoomer 24-70mm f/2.8</model>
+    <mount>acme-x</mount>
+    <calibration>
+      <distortion model="ptlens" focal="24" a="0.01" b="-0.02" c="0.005" />
+      <distortion model="ptlens" focal="70" a="0.02" b="-0.04" c="0.01" />
+    </calibration>
+  </lens>
+</lensdatabase>"""
+
+
+def test_lensfun_parse_and_resolve():
+    db = parse_lensfun_xml(LENSFUN_XML)
+    assert len(db.lenses) == 2
+    lens = db.lenses[0]
+    assert lens.maker() == "Acme"
+    assert lens.short_name() == "Super 35mm f/1.8"
+
+    p = resolve_lens_params(db, "Acme", "Super 35mm f/1.8", 35.0, aperture=1.8)
+    assert p["model"] == 0
+    assert p["k1"] == pytest.approx(-0.01)
+    assert p["tca_vr"] == pytest.approx(1.0002)
+    assert p["vig_k1"] == pytest.approx(-0.5)
+    # aperture nearest-match picks the f/4 entry
+    p4 = resolve_lens_params(db, "Acme", "Super 35mm f/1.8", 35.0, aperture=5.6)
+    assert p4["vig_k1"] == pytest.approx(-0.2)
+
+
+def test_lensfun_focal_interpolation():
+    db = parse_lensfun_xml(LENSFUN_XML)
+    zoom = db.lenses[1]
+    p = zoom.distortion_params(47.0)
+    assert p["model"] == 1
+    t = (47.0 - 24.0) / (70.0 - 24.0)
+    assert p["k1"] == pytest.approx(0.01 + t * 0.01, abs=1e-6)
+
+
+def test_lensfun_fuzzy_autodetect():
+    db = parse_lensfun_xml(LENSFUN_XML)
+    m = find_best_lens_match(db, "Acme", "Super 35 1.8")
+    assert m is not None
+    assert m[0] == "Acme"
+    assert "35mm" in m[1]
+
+
+def test_raw_enhance_reduces_chroma_noise():
+    rng = np.random.default_rng(0)
+    base = np.full((3, 64, 64), 0.5, np.float32)
+    noisy = base + rng.normal(0, 0.05, base.shape).astype(np.float32)
+    noisy[0] += rng.normal(0, 0.05, (64, 64)).astype(np.float32)  # chroma noise
+    out = np.asarray(remove_raw_artifacts_and_enhance(jnp.asarray(noisy), 10.0, 0.0))
+    # chroma (r - luma) variance should drop
+    def chroma_var(x):
+        l = 0.299 * x[0] + 0.587 * x[1] + 0.114 * x[2]
+        return float((x[0] - l).var())
+
+    assert chroma_var(out) < chroma_var(noisy) * 0.8
+    out2 = np.asarray(remove_raw_artifacts_and_enhance(jnp.asarray(noisy), 10.0, 1.0))
+    assert np.isfinite(out2).all()
+
+
+def test_hdr_merge_recovers_range():
+    rng = np.random.default_rng(0)
+    scene = rng.random((3, 32, 32), dtype=np.float32) * 2.0  # HDR scene
+    imgs = []
+    exps = [1 / 200, 1 / 50, 1 / 12.5]
+    for t in exps:
+        imgs.append(jnp.asarray(np.clip(scene * (t / exps[1]), 0, 1)))
+    merged = np.asarray(merge_hdr(imgs, exps, [100.0, 100.0, 100.0]))
+    assert np.isfinite(merged).all()
+    # merged should correlate strongly with the scene
+    c = np.corrcoef(merged.reshape(-1), scene.reshape(-1))[0, 1]
+    assert c > 0.98
+
+    with pytest.raises(HdrError):
+        merge_hdr([imgs[0]], [1.0], [100.0])
+    with pytest.raises(HdrError):
+        merge_hdr([imgs[0], jnp.zeros((3, 16, 16))], [1.0, 1.0], [100.0, 100.0])
+
+
+def test_culling_scores_and_groups(tmp_path):
+    rng = np.random.default_rng(0)
+    sharp = rng.random((3, 64, 64)).astype(np.float32)
+    blurry = np.asarray(
+        jnp.asarray(sharp)
+    )  # blur via repeated averaging
+    for _ in range(8):
+        blurry = (np.roll(blurry, 1, 2) + np.roll(blurry, -1, 2) + blurry) / 3
+    a1 = analyze_image_array("sharp", sharp)
+    a2 = analyze_image_array("blurry", blurry)
+    assert a1.sharpness_metric > a2.sharpness_metric
+    assert a1.quality_score > a2.quality_score
+
+    groups = group_similar([a1, a2], similarity_threshold=500)  # everything similar
+    assert groups == [[0, 1]]
+    groups2 = group_similar([a1, a2], similarity_threshold=0)
+    assert len(groups2) >= 1
+
+    # full file-based path
+    from PIL import Image
+
+    p1 = tmp_path / "a.jpg"
+    Image.fromarray((sharp.transpose(1, 2, 0) * 255).astype(np.uint8)).save(p1)
+    p2 = tmp_path / "b.jpg"
+    Image.fromarray((blurry.transpose(1, 2, 0) * 255).astype(np.uint8)).save(p2)
+    res = cull_images([str(p1), str(p2), str(tmp_path / "missing.jpg")])
+    assert len(res["failed"]) == 1
+    assert res["best"]
+
+
+def test_laplacian_flat_zero():
+    assert laplacian_variance(np.full((16, 16), 100, np.uint8)) == 0.0

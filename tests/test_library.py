@@ -1,0 +1,137 @@
+"""Library services: catalog, presets, thumbnails, EXIF."""
+
+import numpy as np
+from PIL import Image
+
+from rapidraw_tpu.io.exif import copy_exif, read_exif_tags, write_rrexif_sidecar
+from rapidraw_tpu.io.sidecar import load_sidecar, save_sidecar
+from rapidraw_tpu.library.catalog import (
+    Albums,
+    create_virtual_copy,
+    delete_image,
+    folder_children,
+    get_rating,
+    list_images,
+    move_image,
+    rename_image,
+    set_color_label,
+    set_rating,
+)
+from rapidraw_tpu.library.presets import PresetStore, apply_preset
+from rapidraw_tpu.library.thumbnails import generate_thumbnail, thumbnail_cache_key
+
+
+def _jpg(path, h=32, w=48, exif=None):
+    arr = (np.random.default_rng(0).random((h, w, 3)) * 255).astype(np.uint8)
+    im = Image.fromarray(arr)
+    kw = {"quality": 92}
+    if exif is not None:
+        kw["exif"] = exif
+    im.save(path, **kw)
+    return path
+
+
+def test_catalog_listing_and_vc(tmp_path):
+    (tmp_path / "sub").mkdir()
+    _jpg(tmp_path / "a.jpg")
+    _jpg(tmp_path / "sub" / "b.jpg")
+    (tmp_path / "notes.txt").write_text("x")
+    assert [n.name for n in folder_children(tmp_path)] == ["sub"]
+    flat = list_images(tmp_path)
+    assert [p.split("/")[-1] for p in flat] == ["a.jpg"]
+    rec = list_images(tmp_path, recursive=True)
+    assert len(rec) == 2
+
+    vc = create_virtual_copy(str(tmp_path / "a.jpg"))
+    assert vc.endswith("?vc=1")
+    assert len(list_images(tmp_path)) == 2  # virtual copy shows up
+
+
+def test_catalog_file_ops_keep_sidecars(tmp_path):
+    src = _jpg(tmp_path / "a.jpg")
+    save_sidecar(src, {"rating": 3, "adjustments": {"exposure": 1}})
+    dst_dir = tmp_path / "out"
+    moved = move_image(src, dst_dir)
+    assert (dst_dir / "a.jpg.rrdata").exists()
+    renamed = rename_image(moved, "b")
+    assert renamed.endswith("b.jpg")
+    assert (dst_dir / "b.jpg.rrdata").exists()
+    assert get_rating(renamed) == 3
+    delete_image(renamed)
+    assert not (dst_dir / "b.jpg").exists()
+    assert not (dst_dir / "b.jpg.rrdata").exists()
+
+
+def test_ratings_labels(tmp_path):
+    p = _jpg(tmp_path / "a.jpg")
+    set_rating(p, 9)
+    assert get_rating(p) == 5  # clamped
+    set_color_label(p, "red")
+    assert load_sidecar(p)["colorLabel"] == "red"
+
+
+def test_albums(tmp_path):
+    a = Albums(tmp_path / "albums.json")
+    a.create("trip")
+    a.add("trip", ["x.jpg", "y.jpg"])
+    a.add("trip", ["x.jpg"])  # dedup
+    assert a.images("trip") == ["x.jpg", "y.jpg"]
+    a2 = Albums(tmp_path / "albums.json")  # persistence
+    assert a2.images("trip") == ["x.jpg", "y.jpg"]
+    a2.remove("trip", ["x.jpg"])
+    assert a2.images("trip") == ["y.jpg"]
+
+
+def test_presets(tmp_path):
+    store = PresetStore(tmp_path / "presets.json")
+    store.add("Punchy", {"contrast": 30, "vibrance": 20, "curves": {"luma": []}})
+    assert store.get("Punchy")["adjustments"]["contrast"] == 30
+
+    merged = apply_preset({"exposure": 1.0}, store.get("Punchy")["adjustments"])
+    assert merged["contrast"] == 30 and merged["exposure"] == 1.0
+
+    # section-restricted apply: only 'color' keys
+    merged2 = apply_preset({}, store.get("Punchy")["adjustments"], sections=["color"])
+    assert "vibrance" in merged2 and "contrast" not in merged2
+
+    # community import
+    (tmp_path / "community.json").write_text(
+        '[{"name": "Film", "adjustments": {"grainAmount": 40}}]'
+    )
+    imported = store.import_file(tmp_path / "community.json")
+    assert imported[0]["name"] == "Film"
+    assert store.get("Film")
+
+
+def test_thumbnail_cache(tmp_path):
+    p = _jpg(tmp_path / "a.jpg", h=64, w=96)
+    save_sidecar(p, {"adjustments": {"exposure": 1.0}})
+    cache = tmp_path / "cache"
+    key1 = thumbnail_cache_key(str(p), {"exposure": 1.0})
+    data1 = generate_thumbnail(str(p), resolution=48, cache_dir=cache)
+    assert data1[:2] == b"\xff\xd8"  # JPEG
+    assert (cache / f"{key1}.jpg").exists() or list(cache.glob("*.jpg"))
+    data2 = generate_thumbnail(str(p), resolution=48, cache_dir=cache)
+    assert data1 == data2  # cache hit
+    im = Image.open(__import__("io").BytesIO(data1))
+    assert max(im.size) == 48
+
+
+def test_exif_copy_with_gps_strip(tmp_path):
+    exif = Image.Exif()
+    exif[0x010F] = "AcmeCam"  # Make
+    exif[0x8825] = {1: "N", 16: "T"}  # GPS IFD (latitude ref / img direction ref)
+    src = _jpg(tmp_path / "src.jpg", exif=exif)
+    tags = read_exif_tags(src)
+    assert tags.get("Make") == "AcmeCam"
+
+    dst = _jpg(tmp_path / "dst.jpg")
+    assert copy_exif(src, dst, strip_gps_data=True)
+    tags2 = read_exif_tags(dst)
+    assert tags2.get("Make") == "AcmeCam"
+    assert not any(k.startswith("GPS") for k in tags2)
+    # image pixels untouched by the splice
+    assert np.asarray(Image.open(dst)).shape == (32, 48, 3)
+
+    write_rrexif_sidecar(src, dst)
+    assert (tmp_path / "dst.jpg.rrexif").exists()

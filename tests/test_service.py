@@ -1,0 +1,66 @@
+"""RenderService preview tests."""
+
+import io
+
+import numpy as np
+from PIL import Image
+
+from rapidraw_tpu.pipeline.service import RenderService
+from rapidraw_tpu.utils.settings import DEFAULTS, AppSettings
+
+
+def _jpg(path, h=120, w=160):
+    arr = (np.random.default_rng(0).random((h, w, 3)) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(path, quality=95)
+    return str(path)
+
+
+def test_render_preview_basic(tmp_path):
+    p = _jpg(tmp_path / "a.jpg")
+    svc = RenderService()
+    res = svc.render_preview(p, {"exposure": 1.0}, compute_histogram=True)
+    assert res.jpeg[:2] == b"\xff\xd8"
+    im = Image.open(io.BytesIO(res.jpeg))
+    assert im.size == (160, 120)  # under preview resolution: no downscale
+    assert res.full_width == 160 and res.full_height == 120
+    assert res.histogram is not None and len(res.histogram["luma"]) == 256
+    # cache warm: second render reuses decoded+transformed caches
+    res2 = svc.render_preview(p, {"exposure": 1.0})
+    assert res2.jpeg
+
+
+def test_render_preview_downscales_and_interactive(tmp_path):
+    p = _jpg(tmp_path / "b.jpg", h=300, w=400)
+    s = AppSettings(DEFAULTS)
+    s["editorPreviewResolution"] = 200
+    s["livePreviewQuality"] = "performance"
+    svc = RenderService(s)
+    res = svc.render_preview(p, {})
+    assert max(res.width, res.height) == 200
+    res_i = svc.render_preview(p, {}, interactive=True)
+    assert max(res_i.width, res_i.height) == 100  # divisor 2
+
+
+def test_render_preview_roi_and_masks(tmp_path):
+    p = _jpg(tmp_path / "c.jpg", h=128, w=128)
+    doc = {
+        "masks": [
+            {"visible": True, "invert": False, "opacity": 100.0,
+             "adjustments": {"exposure": 2.0},
+             "subMasks": [{"type": "all", "visible": True, "mode": "additive"}]}
+        ]
+    }
+    svc = RenderService()
+    res = svc.render_preview(p, doc, roi=(0.25, 0.25, 0.5, 0.5))
+    assert res.roi == (32, 32, 64, 64)
+    assert res.width == 64 and res.height == 64
+
+
+def test_service_tonemapper_override(tmp_path):
+    p = _jpg(tmp_path / "d.jpg")
+    s = AppSettings(DEFAULTS)
+    s["tonemapperOverrideEnabled"] = True
+    s["defaultNonRawTonemapper"] = "agx"
+    svc = RenderService(s)
+    res = svc.render_preview(p, {})
+    assert res.jpeg  # agx path compiles and runs
