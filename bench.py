@@ -48,8 +48,13 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from rapidraw_tpu.cli import _enable_persistent_jit_cache
     from rapidraw_tpu.params.parse import parse_adjustments
     from rapidraw_tpu.pipeline.batch import develop_batch, stack_params
+
+    # the fused megakernel's Mosaic compile is expensive; persist executables
+    # across processes so repeat runs skip straight to execution
+    _enable_persistent_jit_cache()
 
     parsed = [parse_adjustments(_BENCH_DOC, is_raw=False) for _ in range(BATCH)]
     params, cfg = stack_params([p for p, _ in parsed], [c for _, c in parsed])

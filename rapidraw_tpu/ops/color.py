@@ -118,14 +118,14 @@ def apply_hsl_panel(
         th = ts = tl = 0.0
         for i in range(8):
             ni = raw_inf[i] * inv_total
-            th = th + band_params[i, 0] * 2.0 * ni
-            ts = ts + band_params[i, 1] * ni
-            tl = tl + band_params[i, 2] * ni
+            th = th + band_params[i][0] * 2.0 * ni
+            ts = ts + band_params[i][1] * ni
+            tl = tl + band_params[i][2] * ni
         return th * saturation_mask, ts * saturation_mask, tl * luminance_weight
 
     total_hue, total_sat, total_lum = totals(hsl)
     if mask_hsl is not None:
-        for n in range(mask_hsl.shape[0]):
+        for n in range(len(mask_hsl)):
             mh, ms, ml = totals(mask_hsl[n])
             total_hue = total_hue + mask_influence[n] * mh
             total_sat = total_sat + mask_influence[n] * ms
@@ -169,7 +169,7 @@ def apply_color_grading(rgb: jnp.ndarray, cg: jnp.ndarray, blending, balance) ->
     masks = (shadow_mask, midtone_mask, highlight_mask, jnp.ones_like(l))
     graded = rgb
     for i, ((sat_str, lum_str), m) in enumerate(zip(strengths, masks)):
-        hue, sat, lum = cg[i, 0], cg[i, 1], cg[i, 2]
+        hue, sat, lum = cg[i][0], cg[i][1], cg[i][2]
         tint_rgb = cs.hsv_to_rgb(hue, jnp.ones_like(hue), jnp.ones_like(hue))
         contrib = (bcast3(tint_rgb, rgb) - 0.5) * (sat * sat_str) * m
         graded = graded + jnp.where(sat > 0.001, contrib, 0.0)
@@ -182,17 +182,18 @@ def apply_color_calibration(rgb: jnp.ndarray, cal: jnp.ndarray) -> jnp.ndarray:
     (shader.wgsl:549-585). cal: (7,) = [shadows_tint, r_hue, r_sat, g_hue,
     g_sat, b_hue, b_sat]."""
     st, h_r, s_r, h_g, s_g, h_b, s_b = (cal[i] for i in range(7))
+    st = jnp.asarray(st)
     zero = jnp.zeros(())
-    r_prime = jnp.stack([1.0 - jnp.abs(h_r), jnp.maximum(zero, h_r), jnp.maximum(zero, -h_r)])
-    g_prime = jnp.stack([jnp.maximum(zero, -h_g), 1.0 - jnp.abs(h_g), jnp.maximum(zero, h_g)])
-    b_prime = jnp.stack([jnp.maximum(zero, h_b), jnp.maximum(zero, -h_b), 1.0 - jnp.abs(h_b)])
+    h_r, h_g, h_b = jnp.asarray(h_r), jnp.asarray(h_g), jnp.asarray(h_b)
+    r_prime = (1.0 - jnp.abs(h_r), jnp.maximum(zero, h_r), jnp.maximum(zero, -h_r))
+    g_prime = (jnp.maximum(zero, -h_g), 1.0 - jnp.abs(h_g), jnp.maximum(zero, h_g))
+    b_prime = (jnp.maximum(zero, h_b), jnp.maximum(zero, -h_b), 1.0 - jnp.abs(h_b))
     # WGSL mat3x3<f32>(c0,c1,c2) * v = sum_j v[j] * col_j
-    hue_matrix = jnp.stack([r_prime, g_prime, b_prime], axis=1)  # columns
     c = jnp.stack(
         [
-            hue_matrix[0, 0] * rgb[0] + hue_matrix[0, 1] * rgb[1] + hue_matrix[0, 2] * rgb[2],
-            hue_matrix[1, 0] * rgb[0] + hue_matrix[1, 1] * rgb[1] + hue_matrix[1, 2] * rgb[2],
-            hue_matrix[2, 0] * rgb[0] + hue_matrix[2, 1] * rgb[1] + hue_matrix[2, 2] * rgb[2],
+            r_prime[0] * rgb[0] + g_prime[0] * rgb[1] + b_prime[0] * rgb[2],
+            r_prime[1] * rgb[0] + g_prime[1] * rgb[1] + b_prime[1] * rgb[2],
+            r_prime[2] * rgb[0] + g_prime[2] * rgb[1] + b_prime[2] * rgb[2],
         ]
     )
 

@@ -45,7 +45,15 @@ def wgsl_mod(x, y):
 
 
 def bcast3(v, rgb):
-    """Reshape a (3,)-vector to broadcast along the channel axis of rgb."""
+    """Broadcast a 3-vector along the channel axis of rgb.
+
+    Python tuples/lists of floats are built as traced per-channel products
+    (scalar constants only) rather than a concrete (3,) array — Pallas
+    kernels reject captured array constants, and scalars fuse identically.
+    """
+    if isinstance(v, (tuple, list)):
+        ones = jnp.ones_like(rgb[0])
+        return jnp.stack([v[0] * ones, v[1] * ones, v[2] * ones])
     return jnp.asarray(v).reshape((3,) + (1,) * (rgb.ndim - 1))
 
 
@@ -57,10 +65,12 @@ def mat3_apply(m: jnp.ndarray, rgb: jnp.ndarray) -> jnp.ndarray:
     form stays in f32 and fuses into the surrounding elementwise chain.
     """
     r, g, b = rgb[0], rgb[1], rgb[2]
+    # [i][j] chained indexing works for jnp arrays AND nested scalar tuples
+    # (the fused megakernel passes params as SMEM scalars)
     return jnp.stack(
         [
-            m[0, 0] * r + m[0, 1] * g + m[0, 2] * b,
-            m[1, 0] * r + m[1, 1] * g + m[1, 2] * b,
-            m[2, 0] * r + m[2, 1] * g + m[2, 2] * b,
+            m[0][0] * r + m[0][1] * g + m[0][2] * b,
+            m[1][0] * r + m[1][1] * g + m[1][2] * b,
+            m[2][0] * r + m[2][1] * g + m[2][2] * b,
         ]
     )

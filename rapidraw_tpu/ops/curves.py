@@ -24,25 +24,29 @@ def eval_curve(val: jnp.ndarray, seg: jnp.ndarray, ends: jnp.ndarray, enabled) -
       enabled: scalar; 0 -> identity (count < 2, shader.wgsl:341).
     """
     x = val * 255.0
-    xe = x[..., None]  # (..., S)
-    x0, y0, x1, y1, m1, m2 = (seg[:, i] for i in range(6))
-
-    dx = x1 - x0
-    safe_dx = jnp.where(dx <= 0.0, 1.0, dx)
-    t = (xe - x0) / safe_dx
-    t2 = t * t
-    t3 = t2 * t
-    h00 = 2.0 * t3 - 3.0 * t2 + 1.0
-    h10 = t3 - 2.0 * t2 + t
-    h01 = -2.0 * t3 + 3.0 * t2
-    h11 = t3 - t2
-    result_y = h00 * y0 + h10 * m1 * dx + h01 * y1 + h11 * m2 * dx
-    result_y = jnp.where(dx <= 0.0, y0, result_y)  # degenerate segment
-    result_y = jnp.clip(result_y / 255.0, 0.0, 1.0)
-
-    in_seg = (xe > x0) & (xe <= x1)
-    seg_val = jnp.sum(jnp.where(in_seg, result_y, 0.0), axis=-1)
-    any_seg = jnp.any(in_seg, axis=-1)
+    # statically unrolled over segment slots (trimmed to
+    # DevelopConfig.curve_segments) — keeps every intermediate at the pixel
+    # shape, which both XLA and Mosaic fuse cleanly
+    seg_val = jnp.zeros_like(x)
+    any_seg = jnp.zeros_like(x, dtype=bool)
+    n_seg = len(seg)
+    for i in range(n_seg):
+        x0, y0, x1, y1, m1, m2 = (seg[i][j] for j in range(6))
+        dx = x1 - x0
+        safe_dx = jnp.where(dx <= 0.0, 1.0, dx)
+        t = (x - x0) / safe_dx
+        t2 = t * t
+        t3 = t2 * t
+        h00 = 2.0 * t3 - 3.0 * t2 + 1.0
+        h10 = t3 - 2.0 * t2 + t
+        h01 = -2.0 * t3 + 3.0 * t2
+        h11 = t3 - t2
+        result_y = h00 * y0 + h10 * m1 * dx + h01 * y1 + h11 * m2 * dx
+        result_y = jnp.where(dx <= 0.0, y0, result_y)  # degenerate segment
+        result_y = jnp.clip(result_y / 255.0, 0.0, 1.0)
+        in_seg = (x > x0) & (x <= x1)
+        seg_val = jnp.where(in_seg, result_y, seg_val)
+        any_seg = any_seg | in_seg
 
     out = jnp.where(any_seg, seg_val, ends[3] / 255.0)  # loop fallthrough
     out = jnp.where(x >= ends[2], ends[3] / 255.0, out)

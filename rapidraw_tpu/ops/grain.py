@@ -49,21 +49,29 @@ def dither_pattern(h: int, w: int) -> jnp.ndarray:
     """Screen-space hash dither in [-0.5, 0.5) (shader.wgsl:322-325)."""
     ys = jnp.arange(h, dtype=jnp.float32)[:, None]
     xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    return dither_from_coords(xs, ys)
+
+
+def dither_from_coords(xs: jnp.ndarray, ys: jnp.ndarray) -> jnp.ndarray:
     return fract(jnp.sin(xs * 12.9898 + ys * 78.233) * 43758.5453) - 0.5
 
 
 def apply_grain(
-    rgb: jnp.ndarray, amount, size, roughness, scale: float
+    rgb: jnp.ndarray, amount, size, roughness, scale: float,
+    xs: jnp.ndarray | None = None, ys: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Luma-masked gradient-noise grain (shader.wgsl:1704-1717).
 
     `scale` is the resolution scale min(W,H)/1080 — grain frequency is
     resolution-adaptive so prints look identical across sizes.
-    rgb is planar (3, H, W).
+    rgb is planar (3, H, W); xs/ys are absolute pixel coordinate maps
+    (tile-safe), derived from the shape when omitted.
     """
     h, w = rgb.shape[-2], rgb.shape[-1]
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones((1, w), jnp.float32)
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :] * jnp.ones((h, 1), jnp.float32)
+    if ys is None:
+        ys = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones((1, w), jnp.float32)
+    if xs is None:
+        xs = jnp.arange(w, dtype=jnp.float32)[None, :] * jnp.ones((h, 1), jnp.float32)
 
     amt = amount * 0.5
     freq = (1.0 / jnp.maximum(size, 0.1)) / scale

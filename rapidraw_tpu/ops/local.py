@@ -74,15 +74,22 @@ def apply_local_contrast(
     return jnp.where(jnp.asarray(amount) == 0.0, rgb, out)
 
 
-def _centre_mask(shape_hw: tuple[int, int]) -> jnp.ndarray:
-    """Radial centre weight used by the centré effect (shader.wgsl:790-798)."""
-    h, w = shape_hw
-    ys = (jnp.arange(h, dtype=jnp.float32) / h - 0.5) * 2.0
-    xs = (jnp.arange(w, dtype=jnp.float32) / w - 0.5) * 2.0
-    aspect = h / w
-    d = jnp.sqrt(xs[None, :] ** 2 + (ys[:, None] * aspect) ** 2) * 0.5
+def centre_mask_from_coords(xs: jnp.ndarray, ys: jnp.ndarray, w_full: int, h_full: int) -> jnp.ndarray:
+    """Radial centre weight (shader.wgsl:790-798) from absolute pixel
+    coordinate maps — tile-safe (full dims + absolute coords)."""
+    un = (xs / w_full - 0.5) * 2.0
+    vn = (ys / h_full - 0.5) * 2.0
+    aspect = h_full / w_full
+    d = jnp.sqrt(un * un + (vn * aspect) ** 2) * 0.5
     vignette_mask = smoothstep(0.4 - 0.375, 0.4 + 0.375, d)
     return 1.0 - vignette_mask
+
+
+def _centre_mask(shape_hw: tuple[int, int]) -> jnp.ndarray:
+    h, w = shape_hw
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones((1, w), jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :] * jnp.ones((h, 1), jnp.float32)
+    return centre_mask_from_coords(xs, ys, w, h)
 
 
 def apply_centre_local_contrast(
@@ -91,9 +98,11 @@ def apply_centre_local_contrast(
     blurred_input_space: jnp.ndarray,
     is_raw: bool,
     blur_is_linear: bool = False,
+    centre_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Centre-weighted clarity (shader.wgsl:780-809). Uses the clarity blur."""
-    centre_mask = _centre_mask(rgb.shape[-2:])
+    if centre_mask is None:
+        centre_mask = _centre_mask(rgb.shape[-2:])
     clarity_strength = centre_amount * (2.0 * centre_mask - 1.0) * 0.9
     out = apply_local_contrast(
         rgb, blurred_input_space, clarity_strength, is_raw, 1, 0.0, blur_is_linear
@@ -102,9 +111,12 @@ def apply_centre_local_contrast(
     return jnp.where(jnp.asarray(centre_amount) == 0.0, rgb, out)
 
 
-def apply_centre_tonal_and_color(rgb: jnp.ndarray, centre_amount) -> jnp.ndarray:
+def apply_centre_tonal_and_color(
+    rgb: jnp.ndarray, centre_amount, centre_mask: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """Centre-weighted exposure/vibrance/saturation (shader.wgsl:811-846)."""
-    centre_mask = _centre_mask(rgb.shape[-2:])
+    if centre_mask is None:
+        centre_mask = _centre_mask(rgb.shape[-2:])
     exposure_boost = centre_mask * centre_amount * 0.5
     out = tone.apply_filmic_exposure(rgb, exposure_boost)
     vib_boost = centre_mask * centre_amount * 0.4
@@ -128,7 +140,7 @@ def apply_dehaze(
     Uses the structure blur as the regional dark-channel estimate.
     """
     blurred_linear = _blur_to_linear(blurred_input_space, is_raw, blur_is_linear)
-    atmospheric_light = bcast3(jnp.array([0.95, 0.97, 1.0], rgb.dtype), rgb)
+    atmospheric_light = bcast3((0.95, 0.97, 1.0), rgb)
 
     # positive: remove haze
     pixel_dark = jnp.min(rgb, axis=0)
@@ -211,8 +223,8 @@ def apply_glow_bloom(
     bloom_intensity = jnp.power(smoothstep(0.0, 1.0, excess / 5.5), 0.45)
 
     color_ratio = blurred_linear / jnp.where(linear_luma > 0.01, linear_luma, 1.0)
-    warm = bcast3(jnp.array([1.03, 1.0, 0.97], rgb.dtype), rgb)
-    dark_default = bcast3(jnp.array([1.0, 0.99, 0.98], rgb.dtype), rgb)
+    warm = bcast3((1.03, 1.0, 0.97), rgb)
+    dark_default = bcast3((1.0, 0.99, 0.98), rgb)
     bloom_color = jnp.where(linear_luma > 0.01, color_ratio * warm, dark_default)
 
     luma_factor = jnp.power(jnp.maximum(linear_luma, 0.0), 0.6)
@@ -249,8 +261,8 @@ def apply_halation(
     rng = jnp.maximum(1.5 - luma_cutoff, 0.1)
     halation_mask = smoothstep(0.0, rng * 0.6, excess)
 
-    core = bcast3(jnp.array([1.0, 0.15, 0.03], rgb.dtype), rgb)
-    fringe = bcast3(jnp.array([1.0, 0.32, 0.10], rgb.dtype), rgb)
+    core = bcast3((1.0, 0.15, 0.03), rgb)
+    fringe = bcast3((1.0, 0.32, 0.10), rgb)
     intensity_blend = smoothstep(0.0, 0.7, halation_mask)
     halation_tint = mix(fringe, core, intensity_blend)
     glow_intensity = halation_mask * linear_luma

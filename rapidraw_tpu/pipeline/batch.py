@@ -9,6 +9,8 @@ batch-parallel export needs no collectives).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -68,6 +70,19 @@ def stack_params(
     return stacked, cfg
 
 
+def _use_fused(cfg: DevelopConfig) -> bool:
+    """Route the per-pixel chain through the fused Pallas megakernel?
+
+    Default: on for TPU backends (measured faster — one kernel instead of
+    many XLA fusions), off elsewhere (interpret mode is for testing only).
+    Env override RAPIDRAW_FUSED=0/1.
+    """
+    env = os.environ.get("RAPIDRAW_FUSED")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return jax.devices()[0].platform == "tpu"
+
+
 def develop_batch(
     images: jnp.ndarray,
     params: DevelopParams,
@@ -80,6 +95,22 @@ def develop_batch(
 
     masks: (B, N, H, W) or None; lut/flare shared across the batch.
     """
+    if _use_fused(cfg):
+        from rapidraw_tpu.pipeline.fused import develop_fused
+
+        # scan (not vmap/unroll): the megakernel traces+compiles ONCE for any
+        # batch size; per-image sequencing costs nothing on a throughput path
+        def body(_, xs):
+            if masks is None:
+                img, p = xs
+                mk = None
+            else:
+                img, p, mk = xs
+            return None, develop_fused(img, p, cfg, masks=mk, lut=lut, flare=flare)
+
+        xs = (images, params) if masks is None else (images, params, masks)
+        _, out = jax.lax.scan(body, None, xs)
+        return out
     fn = lambda img, p, mk: develop(img, p, cfg, masks=mk, lut=lut, flare=flare)
     if masks is None and cfg.mask_count == 0:
         return jax.vmap(lambda img, p: fn(img, p, None))(images, params)

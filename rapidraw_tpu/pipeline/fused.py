@@ -1,0 +1,220 @@
+"""Fused develop megakernel — the whole grade chain as ONE Pallas kernel.
+
+Motivation (measured on v5e, 24MP): the XLA path splits the ~40-stage
+elementwise chain into many fusions, each paying a full HBM round-trip —
+~40 ms for work whose flop cost is ~9 ms. This kernel runs the entire
+post-NR chain (pipeline.grade) per (128, 512) tile while it sits in VMEM:
+one read of the inputs, one write of the output — the TPU equivalent of
+the reference's single WGSL megakernel dispatch (shader.wgsl main).
+
+Mechanics:
+  * The same grade_chain/finish_chain code runs inside the kernel — ops
+    were written shape-polymorphic over (3, h, w) tiles with absolute
+    coordinate maps for the spatial stages.
+  * All adjustment parameters are packed into one flat (1, K) f32 vector;
+    inside the kernel they are re-exposed as *nested tuples of scalar
+    reads*, which the ops consume through plain [i][j] indexing. K is a
+    few hundred — scalar loads are free next to the pixel math.
+  * Tiles of the image, the pre-linearized blur levels, the sampled flare
+    map and the mask bitmaps stream through standard BlockSpecs (automatic
+    double buffering).
+  * The 3D LUT stage gathers from a table, which stays outside the kernel:
+    when cfg.has_lut the kernel stops after the curves and XLA finishes.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rapidraw_tpu.params.parse import DevelopConfig
+from rapidraw_tpu.pipeline.develop import prepare_inputs
+from rapidraw_tpu.pipeline.grade import finish_chain, grade_chain
+
+_TH = 128
+_TW = 512
+
+
+def _prod(shape) -> int:
+    out = 1
+    for s in shape:
+        out *= int(s)
+    return out
+
+
+def _trim_param_curves(params: dict, n_seg: int) -> dict:
+    """Pre-trim curve segment slots so the packed vector stays small."""
+    n_seg = max(n_seg, 1)
+
+    def trim(curves: dict) -> dict:
+        out = dict(curves)
+        out["seg"] = curves["seg"][..., :n_seg, :]
+        return out
+
+    g = dict(params["glob"])
+    g["curves"] = trim(g["curves"])
+    m = params["mask"]
+    if m is not None:
+        m = dict(m)
+        m["curves"] = trim(m["curves"])
+    return {"glob": g, "mask": m}
+
+
+def pack_params(params: dict):
+    """Flatten the (traced) param pytree into one (1, K) f32 vector.
+
+    Returns (vec, (treedef, shapes)) — the metadata is static.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    shapes = tuple(tuple(np.shape(l)) for l in leaves)
+    flat = [jnp.ravel(jnp.asarray(l, jnp.float32)) for l in leaves]
+    vec = jnp.concatenate(flat) if flat else jnp.zeros((1,), jnp.float32)
+    pad = (-vec.shape[0]) % 128
+    vec = jnp.pad(vec, (0, pad)).reshape(1, -1)
+    return vec, (treedef, shapes)
+
+
+def _nest_scalars(vals: list, shape: tuple):
+    if shape == ():
+        return vals[0]
+    if len(shape) == 1:
+        return tuple(vals)
+    step = _prod(shape[1:])
+    return tuple(
+        _nest_scalars(vals[i * step : (i + 1) * step], shape[1:]) for i in range(shape[0])
+    )
+
+
+def unpack_params(vec_ref, meta):
+    """Rebuild the params structure as nested tuples of scalar loads."""
+    treedef, shapes = meta
+    leaves = []
+    off = 0
+    for shape in shapes:
+        n = _prod(shape)
+        vals = [vec_ref[0, off + i] for i in range(n)]
+        leaves.append(_nest_scalars(vals, shape))
+        off += n
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def _supported(cfg: DevelopConfig) -> bool:
+    # gather-based or full-frame-dependent stages that can't tile
+    return True  # LUT handled by splitting; everything else tiles
+
+
+def develop_fused(
+    image: jnp.ndarray,
+    params: dict,
+    cfg: DevelopConfig,
+    masks: jnp.ndarray | None = None,
+    lut: jnp.ndarray | None = None,
+    flare: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Drop-in replacement for pipeline.develop.develop on TPU."""
+    _, h, w = image.shape
+    from rapidraw_tpu.params import scales
+
+    scale = max(0.1, min(h, w) / scales.REFERENCE_DIMENSION)
+
+    initial_linear, blurs, flare_rgb, gated_infl, scale = prepare_inputs(
+        image, params, cfg, masks, flare
+    )
+
+    params_t = _trim_param_curves(params, cfg.curve_segments)
+    vec, meta = pack_params(params_t)
+
+    # assemble tile-streamed inputs
+    tile_inputs = [initial_linear]
+    blur_keys = [k for k in ("sharp", "tonal", "clarity", "structure") if blurs[k] is not None]
+    tile_inputs += [blurs[k] for k in blur_keys]
+    has_flare_map = cfg.flare_active and flare_rgb is not None
+    if has_flare_map:
+        tile_inputs.append(flare_rgb)
+    has_masks = cfg.mask_count > 0
+    if has_masks:
+        tile_inputs.append(gated_infl)
+
+    hp = -h % _TH
+    wp = -w % _TW
+    padded = [jnp.pad(x, ((0, 0), (0, hp), (0, wp))) for x in tile_inputs]
+    grid = ((h + hp) // _TH, (w + wp) // _TW)
+
+    n_blurs = len(blur_keys)
+    include_finish = not cfg.has_lut
+
+    def kernel(*refs):
+        vec_ref = refs[0]
+        img_ref = refs[1]
+        idx = 2
+        blur_tiles = {"sharp": None, "tonal": None, "clarity": None, "structure": None}
+        for k in blur_keys:
+            blur_tiles[k] = refs[idx][...]
+            idx += 1
+        flare_tile = None
+        if has_flare_map:
+            flare_tile = refs[idx][...]
+            idx += 1
+        mask_tile = None
+        if has_masks:
+            mask_tile = refs[idx][...]
+            idx += 1
+        out_ref = refs[idx]
+
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        # Mosaic's iota is integer-only; cast after
+        ys = (
+            jax.lax.broadcasted_iota(jnp.int32, (_TH, _TW), 0).astype(jnp.float32)
+            + (i * _TH).astype(jnp.float32)
+        )
+        xs = (
+            jax.lax.broadcasted_iota(jnp.int32, (_TH, _TW), 1).astype(jnp.float32)
+            + (j * _TW).astype(jnp.float32)
+        )
+
+        p = unpack_params(vec_ref, meta)
+        g = p["glob"]
+        m = p["mask"]
+
+        final = grade_chain(
+            img_ref[...],
+            blur_tiles["sharp"], blur_tiles["tonal"],
+            blur_tiles["clarity"], blur_tiles["structure"],
+            flare_tile, g, m, mask_tile, cfg, xs, ys, w, h, scale,
+        )
+        if include_finish:
+            final = finish_chain(final, g, cfg, xs, ys, scale, lut=None)
+        out_ref[...] = final
+
+    # param vector lives in SMEM: scalar-unit loads, far lighter to compile
+    # and execute than VMEM vector extracts (610s -> measured much less)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    for x in padded:
+        nb = x.shape[0]
+        in_specs.append(
+            pl.BlockSpec((nb, _TH, _TW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM)
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((3, h + hp, w + wp), jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (3, _TH, _TW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+        ),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(vec, *padded)
+    final = out[:, :h, :w]
+
+    if not include_finish:
+        ys = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones((1, w), jnp.float32)
+        xs = jnp.arange(w, dtype=jnp.float32)[None, :] * jnp.ones((h, 1), jnp.float32)
+        final = finish_chain(final, params["glob"], cfg, xs, ys, scale, lut=lut)
+    return final
