@@ -91,7 +91,17 @@ def _cmd_export(args) -> int:
         long_edge=args.long_edge,
         batch_size=args.batch_size,
         watermark=watermark,
+        filename_template=args.template,
+        preserve_folders=args.preserve_folders,
+        base_origin_folders=tuple(args.base_folder),
+        preserve_timestamps=args.preserve_timestamps,
+        export_masks=args.export_masks,
     )
+    if args.estimate_size:
+        from rapidraw_tpu.pipeline.export import estimate_export_sizes
+
+        print(estimate_export_sizes(args.images, settings))
+        return 0
 
     def progress(i, n, p):
         if p:
@@ -311,6 +321,18 @@ def main(argv=None) -> int:
     e.add_argument("--watermark-scale", type=float, default=15.0)
     e.add_argument("--watermark-spacing", type=float, default=2.0)
     e.add_argument("--watermark-opacity", type=float, default=100.0)
+    e.add_argument("--template", default="{original_filename}_edited",
+                   help="filename template: {original_filename} {sequence} {YYYY} {MM} {DD} {hh} {mm}")
+    e.add_argument("--preserve-folders", action="store_true",
+                   help="recreate the source folder tree under the output dir")
+    e.add_argument("--base-folder", action="append", default=[],
+                   help="root(s) relative to which --preserve-folders keeps the tree")
+    e.add_argument("--preserve-timestamps", action="store_true",
+                   help="stamp outputs with the source capture time")
+    e.add_argument("--export-masks", action="store_true",
+                   help="also write per-mask image+alpha pairs")
+    e.add_argument("--estimate-size", action="store_true",
+                   help="print the estimated total output bytes and exit")
     e.set_defaults(fn=_cmd_export)
 
     a = sub.add_parser("auto", help="compute auto adjustments")

@@ -185,3 +185,24 @@ def load_rrexif_sidecar(derived_file: str | Path) -> dict | None:
         return json.loads(sidecar.read_text())
     except (OSError, json.JSONDecodeError):
         return None
+
+
+def get_creation_date(path: str | Path):
+    """Capture datetime: EXIF DateTimeOriginal, falling back through
+    DateTimeDigitized/DateTime to the filesystem mtime
+    (exif_processing.rs get_creation_date_from_path)."""
+    import datetime as _dt
+
+    tags = read_exif_tags(path)
+    for key in ("DateTimeOriginal", "DateTimeDigitized", "DateTime"):
+        raw = tags.get(key)
+        if not raw:
+            continue
+        try:
+            return _dt.datetime.strptime(raw.strip(), "%Y:%m:%d %H:%M:%S")
+        except ValueError:
+            continue
+    try:
+        return _dt.datetime.fromtimestamp(Path(path).stat().st_mtime)
+    except OSError:
+        return _dt.datetime.now()

@@ -19,8 +19,14 @@ _MAX_EXIF_VALUE_LEN = 500  # exif auto-heal threshold (exif_processing.rs:16)
 
 
 def sidecar_path(image_path: str | Path) -> Path:
-    p = Path(str(image_path))
-    return p.with_name(p.name + SIDECAR_EXT)
+    """Sidecar for a real or virtual path: 'a.jpg' -> 'a.jpg.rrdata',
+    'a.jpg?vc=2' -> 'a.jpg.2.rrdata' (file_management.rs:165-196)."""
+    from rapidraw_tpu.io.loader import parse_virtual_path
+
+    base, vc = parse_virtual_path(str(image_path))
+    p = Path(base)
+    suffix = f".{vc}{SIDECAR_EXT}" if vc is not None else SIDECAR_EXT
+    return p.with_name(p.name + suffix)
 
 
 def default_metadata() -> dict[str, Any]:

@@ -88,12 +88,16 @@ def apply_tonal_adjustments(
     wh,
     bl,
     blur_is_linear: bool = False,
+    shadow_path: bool = True,
 ) -> jnp.ndarray:
     """Contrast / shadows / whites / blacks (shader.wgsl:405-464).
 
     `blurred_input_space` is the tonal blur-pyramid level in the *input*
     space (sRGB for LDR sources, linear for RAW) — or already linear when
     `blur_is_linear` (the pipeline pre-linearizes each level once).
+    `shadow_path=False` statically compiles out the blur-consuming
+    shadows/blacks block — correct when DevelopConfig.tonal_blur_needed is
+    False (shadows and blacks are provably zero for every doc in the batch).
     """
     if is_raw or blur_is_linear:
         blurred_linear = blurred_input_space
@@ -104,22 +108,24 @@ def apply_tonal_adjustments(
     w_mult = 1.0 / jnp.maximum(white_level, 0.01)
     w_on = jnp.asarray(wh) != 0.0
     rgb = jnp.where(w_on, rgb * w_mult, rgb)
-    blurred_linear = jnp.where(w_on, blurred_linear * w_mult, blurred_linear)
 
-    pixel_luma = luma(jnp.maximum(rgb, 0.0))
-    blurred_luma = luma(jnp.maximum(blurred_linear, 0.0))
-    safe_pixel_luma = jnp.maximum(pixel_luma, 0.0001)
-    safe_blurred_luma = jnp.maximum(blurred_luma, 0.0001)
+    if shadow_path:
+        blurred_linear = jnp.where(w_on, blurred_linear * w_mult, blurred_linear)
 
-    perc_pixel = jnp.sqrt(safe_pixel_luma)
-    perc_blurred = jnp.sqrt(safe_blurred_luma)
-    halo_protection = smoothstep(0.05, 0.25, jnp.abs(perc_pixel - perc_blurred))
+        pixel_luma = luma(jnp.maximum(rgb, 0.0))
+        blurred_luma = luma(jnp.maximum(blurred_linear, 0.0))
+        safe_pixel_luma = jnp.maximum(pixel_luma, 0.0001)
+        safe_blurred_luma = jnp.maximum(blurred_luma, 0.0001)
 
-    spatial_mult = get_shadow_mult(safe_blurred_luma, sh, bl)
-    pixel_mult = get_shadow_mult(safe_pixel_luma, sh, bl)
-    final_mult = mix(spatial_mult, pixel_mult, halo_protection)
-    sb_on = (jnp.asarray(sh) != 0.0) | (jnp.asarray(bl) != 0.0)
-    rgb = jnp.where(sb_on, rgb * final_mult, rgb)
+        perc_pixel = jnp.sqrt(safe_pixel_luma)
+        perc_blurred = jnp.sqrt(safe_blurred_luma)
+        halo_protection = smoothstep(0.05, 0.25, jnp.abs(perc_pixel - perc_blurred))
+
+        spatial_mult = get_shadow_mult(safe_blurred_luma, sh, bl)
+        pixel_mult = get_shadow_mult(safe_pixel_luma, sh, bl)
+        final_mult = mix(spatial_mult, pixel_mult, halo_protection)
+        sb_on = (jnp.asarray(sh) != 0.0) | (jnp.asarray(bl) != 0.0)
+        rgb = jnp.where(sb_on, rgb * final_mult, rgb)
 
     # sigmoid contrast in gamma-2.2 perceptual space (shader.wgsl:449-462)
     g = 2.2

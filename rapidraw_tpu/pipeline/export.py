@@ -27,11 +27,15 @@ class ExportSettings:
     format: str = "jpeg"
     quality: int = 90
     long_edge: int | None = None  # resize target (None = full res)
-    filename_template: str = "{filename}_edited"
+    filename_template: str = "{original_filename}_edited"
     batch_size: int = 4
     watermark: "object | None" = None  # pipeline.watermark.WatermarkSettings
     copy_exif: bool = True  # EXIF write-through with GPS strip (rs:297-303)
     strip_gps: bool = True
+    preserve_folders: bool = False  # recreate source tree under output dir (rs:789-822)
+    base_origin_folders: tuple = ()  # roots relative to which the tree is kept
+    preserve_timestamps: bool = False  # stamp outputs with EXIF capture time (rs:272-281)
+    export_masks: bool = False  # also emit per-mask image+alpha pairs (rs:471-585)
 
 
 @dataclasses.dataclass
@@ -89,13 +93,75 @@ def _prepare_one(path: str, settings: ExportSettings):
     return timg, masks, params, cfg, lut
 
 
-def _output_path(source: str, out_dir: Path, settings: ExportSettings, seq: int) -> Path:
+def generate_filename_from_template(
+    template: str, original_path: str | Path, sequence: int, total: int, file_date
+) -> str:
+    """{original_filename} {sequence} {YYYY} {MM} {DD} {hh} {mm}
+    (file_management.rs:3264-3292). {sequence} is zero-padded to the width
+    of `total`. {filename} is accepted as an alias of {original_filename}."""
+    stem = Path(original_path).stem or "image"
+    width = max(len(str(total)), 1)
+    out = template
+    out = out.replace("{original_filename}", stem).replace("{filename}", stem)
+    out = out.replace("{sequence}", str(sequence).zfill(width))
+    out = out.replace("{YYYY}", f"{file_date:%Y}").replace("{MM}", f"{file_date:%m}")
+    out = out.replace("{DD}", f"{file_date:%d}").replace("{hh}", f"{file_date:%H}")
+    out = out.replace("{mm}", f"{file_date:%M}")
+    return out
+
+
+def _output_path(
+    source: str,
+    out_dir: Path,
+    settings: ExportSettings,
+    seq: int,
+    total: int = 1,
+    vc: int | None = None,
+    appearance: int = 0,
+) -> Path:
+    """Template + virtual-copy suffix + optional source-tree preservation
+    (export_processing.rs:767-822)."""
+    from rapidraw_tpu.io.exif import get_creation_date
+
     src = Path(source)
-    name = settings.filename_template.format(
-        filename=src.stem, sequence=seq, ext=settings.format
+    name = generate_filename_from_template(
+        settings.filename_template, src, seq, total, get_creation_date(source)
     )
+    if vc is not None:
+        name = f"{name}_VC{vc:02d}"
+    elif appearance > 1:
+        name = f"{name}_VC{appearance - 1:02d}"
     ext = "jpg" if settings.format in ("jpeg", "jpg") else settings.format
-    return out_dir / f"{name}.{ext}"
+
+    target_dir = out_dir
+    if settings.preserve_folders:
+        for base in settings.base_origin_folders:
+            basep = Path(base)
+            try:
+                rel = src.resolve().relative_to(basep.resolve())
+            except (ValueError, OSError):
+                continue
+            rel_dir = rel.parent
+            # refuse path traversal out of the output tree
+            if any(part == ".." for part in rel_dir.parts):
+                break
+            target_dir = out_dir / rel_dir
+            target_dir.mkdir(parents=True, exist_ok=True)
+            break
+    return target_dir / f"{name}.{ext}"
+
+
+def _restore_timestamps(source: str, dst: Path) -> None:
+    """Stamp the output with the source's EXIF capture time (rs:272-281)."""
+    import os
+
+    from rapidraw_tpu.io.exif import get_creation_date
+
+    t = get_creation_date(source).timestamp()
+    try:
+        os.utime(dst, (t, t))
+    except OSError:
+        pass
 
 
 def _resize_long_edge_host(planar: np.ndarray, long_edge: int) -> np.ndarray:
@@ -148,7 +214,11 @@ def export_images(
         key = (timg.shape, cfg, masks is not None and masks.shape[0], lut is not None)
         buckets.setdefault(key, []).append((p, timg, masks, params, cfg, lut, tprep))
 
+    from rapidraw_tpu.io.loader import parse_virtual_path
+
     seq = 0
+    total = len(paths)
+    appearance: dict = {}
     for key, items in buckets.items():
         for start in range(0, len(items), settings.batch_size):
             chunk = items[start : start + settings.batch_size]
@@ -183,12 +253,21 @@ def export_images(
                         from rapidraw_tpu.pipeline.watermark import apply_watermark
 
                         planar = apply_watermark(np.asarray(planar), settings.watermark)
-                    dst = _output_path(p, out_dir, settings, seq)
+                    real, vc = parse_virtual_path(p)
+                    appearance[real] = appearance.get(real, 0) + 1
+                    dst = _output_path(
+                        real, out_dir, settings, seq, total=total, vc=vc,
+                        appearance=appearance[real],
+                    )
                     encode_image(planar, dst, settings.format, settings.quality)
                     if settings.copy_exif:
                         from rapidraw_tpu.io.exif import copy_exif
 
-                        copy_exif(p, dst, strip_gps_data=settings.strip_gps)
+                        copy_exif(real, dst, strip_gps_data=settings.strip_gps)
+                    if settings.preserve_timestamps:
+                        _restore_timestamps(real, dst)
+                    if settings.export_masks:
+                        _export_masks_for_image(p, dst, settings)
                     results.append(
                         ExportResult(p, str(dst), True, seconds=dt / len(chunk))
                     )
@@ -198,3 +277,147 @@ def export_images(
         progress(len(paths), len(paths), "")
     _ = merge_configs
     return results
+
+
+def _export_masks_for_image(path: str, main_output: Path, settings: ExportSettings) -> None:
+    """Per-mask image+alpha export (export_processing.rs:471-585).
+
+    For each visible mask: render the image with ONLY that mask's
+    adjustments applied everywhere (full-white influence bitmap) and save it
+    as `{stem}_mask_{i}_image.{ext}`, plus the actual mask bitmap
+    Lanczos-resized to the output dims as `{stem}_mask_{i}_alpha.png`.
+    """
+    from PIL import Image
+
+    import jax
+    import jax.numpy as jnp
+
+    from rapidraw_tpu.geometry.transforms import apply_all_transformations
+    from rapidraw_tpu.io.encode import encode_image
+    from rapidraw_tpu.io.loader import load_image
+    from rapidraw_tpu.io.sidecar import load_adjustments
+    from rapidraw_tpu.masks.rasterize import rasterize_masks
+    from rapidraw_tpu.params.parse import parse_adjustments
+    from rapidraw_tpu.pipeline.batch import develop_batch, stack_params
+
+    img, is_raw = load_image(path)
+    adj = dict(load_adjustments(path))
+    adj["showClipping"] = False
+    masks_json = [
+        m for m in (adj.get("masks") or [])
+        if isinstance(m, dict) and m.get("visible", False)
+    ]
+    if not masks_json:
+        return
+
+    timg, crop_offset = apply_all_transformations(jnp.asarray(img), adj)
+    _, h, w = timg.shape
+    bitmaps = rasterize_masks(adj, w, h, scale=1.0, crop_offset=crop_offset)
+    if bitmaps is None:
+        return
+
+    white = np.ones((1, h, w), np.float32)
+    out_dir = main_output.parent
+    stem = main_output.stem
+    ext = main_output.suffix.lstrip(".")
+    for i, mdef in enumerate(masks_json):
+        single = dict(adj)
+        single["masks"] = [mdef]
+        params, cfg = parse_adjustments(single, is_raw=is_raw)
+        sp, scfg = stack_params([params], [cfg])
+        out = np.asarray(
+            develop_batch(timg[None], sp, scfg, masks=jnp.asarray(white)[None])
+        )[0]
+        if settings.long_edge:
+            out = _resize_long_edge_host(out, settings.long_edge)
+        if settings.watermark is not None:
+            from rapidraw_tpu.pipeline.watermark import apply_watermark
+
+            out = apply_watermark(np.asarray(out), settings.watermark)
+        img_path = out_dir / f"{stem}_mask_{i}_image.{ext}"
+        encode_image(out, img_path, settings.format, settings.quality)
+        if settings.copy_exif:
+            from rapidraw_tpu.io.exif import copy_exif
+
+            copy_exif(path, img_path, strip_gps_data=settings.strip_gps)
+        if settings.preserve_timestamps:
+            _restore_timestamps(path, img_path)
+
+        _, oh, ow = np.asarray(out).shape
+        alpha = (np.clip(bitmaps[i], 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        alpha_img = Image.fromarray(alpha).resize((ow, oh), Image.LANCZOS)
+        alpha_img.save(out_dir / f"{stem}_mask_{i}_alpha.png")
+
+
+_ESTIMATE_DIM = 1280  # export_processing.rs:1118
+
+
+def estimate_export_sizes(
+    paths: list[str], settings: ExportSettings | None = None
+) -> int:
+    """Estimated total output bytes (export_processing.rs:1020-1210).
+
+    Renders the FIRST image at <=1280px, encodes it with the requested
+    format/quality, and extrapolates by the output-pixel ratio x len(paths).
+    `.cube` exports are a flat ~1.05 MB each.
+    """
+    settings = settings or ExportSettings()
+    if settings.format.lower() == "cube":
+        return 1_050_000 * len(paths)
+    if not paths:
+        return 0
+
+    import io as _io
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from rapidraw_tpu.geometry.transforms import apply_all_transformations
+    from rapidraw_tpu.io.loader import load_image, to_uint8_hwc
+    from rapidraw_tpu.io.sidecar import load_adjustments
+    from rapidraw_tpu.masks.rasterize import rasterize_masks
+    from rapidraw_tpu.params.parse import parse_adjustments
+    from rapidraw_tpu.pipeline.develop import develop
+
+    img, is_raw = load_image(paths[0])
+    adj = dict(load_adjustments(paths[0]))
+    adj["showClipping"] = False
+    timg, crop_offset = apply_all_transformations(jnp.asarray(img), adj)
+    _, fh, fw = timg.shape
+
+    scale = min(1.0, _ESTIMATE_DIM / max(fh, fw))
+    if scale < 1.0:
+        from rapidraw_tpu.geometry.resize import downscale
+
+        ph, pw = max(1, round(fh * scale)), max(1, round(fw * scale))
+        preview = downscale(timg, pw, ph)
+    else:
+        ph, pw = fh, fw
+        preview = timg
+    masks = rasterize_masks(
+        adj, pw, ph, scale=scale,
+        crop_offset=(crop_offset[0] * scale, crop_offset[1] * scale),
+    )
+    params, cfg = parse_adjustments(adj, is_raw=is_raw)
+    out = np.asarray(
+        develop(
+            preview, params, cfg,
+            masks=jnp.asarray(masks) if masks is not None else None,
+        )
+    )
+
+    buf = _io.BytesIO()
+    fmt = "JPEG" if settings.format.lower() in ("jpeg", "jpg") else settings.format.upper()
+    pil = Image.fromarray(to_uint8_hwc(out))
+    try:
+        pil.save(buf, format=fmt, quality=settings.quality)
+    except (KeyError, OSError, ValueError):
+        pil.save(buf, format="PNG")
+    preview_bytes = buf.tell()
+
+    out_h, out_w = fh, fw
+    if settings.long_edge and max(fh, fw) > settings.long_edge:
+        s = settings.long_edge / max(fh, fw)
+        out_h, out_w = max(1, round(fh * s)), max(1, round(fw * s))
+    ratio = (out_h * out_w) / float(ph * pw)
+    return int(preview_bytes * ratio) * len(paths)

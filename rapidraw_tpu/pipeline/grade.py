@@ -151,10 +151,13 @@ def grade_chain(
     if cfg.brightness_active:
         rgb = tone_ops.apply_filmic_exposure(rgb, eff["brightness"])
     if cfg.tonal_active:
-        tb = tonal_blur if tonal_blur is not None else jnp.zeros_like(rgb)
+        # tonal_blur None => shadows/blacks statically zero: compile out the
+        # blur-consuming path (also avoids a materialized zeros constant,
+        # which crashes Mosaic's compile inside the fused kernel)
         rgb = tone_ops.apply_tonal_adjustments(
-            rgb, tb, is_raw, eff["contrast"], eff["shadows"], eff["whites"], eff["blacks"],
-            blur_is_linear=True,
+            rgb, tonal_blur if tonal_blur is not None else rgb, is_raw,
+            eff["contrast"], eff["shadows"], eff["whites"], eff["blacks"],
+            blur_is_linear=True, shadow_path=tonal_blur is not None,
         )
     if cfg.highlights_active:
         rgb = tone_ops.apply_highlights(rgb, eff["highlights"])

@@ -52,6 +52,7 @@ class RenderService:
         self._decoded = LruCache(self.settings.image_cache_size)
         self._transformed = LruCache(8)
         self._mask_cache = LruCache(50)  # cap like mask_generation.rs:1503
+        self._geometry_base = LruCache(6)  # graded geometry-preview base (lib.rs:1007)
         self._jit = {}
 
     # -- loading ----------------------------------------------------------
@@ -215,7 +216,229 @@ class RenderService:
         img, _ = self.load(path)
         return calculate_auto_adjustments(img)
 
+    # -- secondary previews (lib.rs:723-1099) -------------------------------
+    def render_uncropped_preview(self, path: str, adjustments: dict | None = None) -> bytes:
+        """Crop-less render for the crop tool (lib.rs:723-853): geometry warp
+        + 90-degree steps + flips are applied, but NOT crop or fine rotation;
+        masks are generated at the uncropped size with zero crop offset."""
+        import jax.numpy as jnp
+
+        from rapidraw_tpu.geometry.params import (
+            geometry_params_from_json, is_geometry_identity,
+        )
+        from rapidraw_tpu.geometry.resize import downscale_to_long_edge
+        from rapidraw_tpu.geometry.transforms import apply_coarse_rotation, apply_flip
+        from rapidraw_tpu.geometry.warp import warp_image_geometry
+        from rapidraw_tpu.io.encode import encode_jpeg_bytes
+        from rapidraw_tpu.io.sidecar import load_adjustments
+        from rapidraw_tpu.masks.patches import composite_patches_on_image
+        from rapidraw_tpu.params.parse import parse_adjustments
+
+        adjustments = adjustments if adjustments is not None else load_adjustments(path)
+        img, is_raw = self.load(path)
+        x = jnp.asarray(img)
+        if adjustments.get("aiPatches"):
+            x = jnp.asarray(composite_patches_on_image(np.asarray(x), adjustments))
+        gp = geometry_params_from_json(adjustments)
+        if not is_geometry_identity(gp):
+            x = warp_image_geometry(x, gp)
+        x = apply_coarse_rotation(x, int(adjustments.get("orientationSteps") or 0))
+        x = apply_flip(
+            x,
+            bool(adjustments.get("flipHorizontal")),
+            bool(adjustments.get("flipVertical")),
+        )
+        pre_h, pre_w = int(x.shape[1]), int(x.shape[2])
+        x = downscale_to_long_edge(x, self.settings.editor_preview_resolution)
+        _, h, w = x.shape
+        scale = w / pre_w if pre_w else 1.0
+        masks = self._masks(adjustments, w, h, scale, (0.0, 0.0))
+
+        tonemapper_override = self.settings.tonemapper_override(is_raw)
+        params, cfg = parse_adjustments(adjustments, is_raw, tonemapper_override)
+        lut = self._load_lut(adjustments, cfg)
+        if lut is None and cfg.has_lut:
+            cfg = dataclasses.replace(cfg, has_lut=False)
+        fn = self._develop_fn(cfg)
+        out = np.asarray(
+            fn(x, params, jnp.asarray(masks) if masks is not None else None, lut)
+        )
+        return encode_jpeg_bytes(out, quality=80)
+
+    def render_original_preview(
+        self, path: str, adjustments: dict | None = None, target_resolution: int | None = None
+    ) -> bytes:
+        """Before/after view (lib.rs:855-901): full geometry transforms,
+        NO grade. RAW sources get the default gamma-2.38/contrast-1.28 look
+        (image_processing.rs:940-961)."""
+        import jax.numpy as jnp
+
+        from rapidraw_tpu.geometry.resize import downscale_to_long_edge
+        from rapidraw_tpu.geometry.transforms import apply_all_transformations
+        from rapidraw_tpu.io.encode import encode_jpeg_bytes
+        from rapidraw_tpu.io.sidecar import load_adjustments
+
+        adjustments = adjustments if adjustments is not None else load_adjustments(path)
+        img, is_raw = self.load(path)
+        x = jnp.asarray(img)
+        if is_raw:
+            g = jnp.power(jnp.maximum(x, 0.0), 1.0 / 2.38)
+            x = jnp.clip((g - 0.5) * 1.28 + 0.5, 0.0, 1.0)
+        x, _ = apply_all_transformations(x, adjustments)
+        dim = target_resolution or self.settings.editor_preview_resolution
+        x = downscale_to_long_edge(x, dim)
+        return encode_jpeg_bytes(np.asarray(x), quality=80)
+
+    def preview_geometry_transform(
+        self,
+        path: str,
+        geometry: "Any",
+        adjustments: dict | None = None,
+        show_lines: bool = False,
+    ) -> bytes:
+        """Interactive geometry preview (lib.rs:903-1099): a cached GRADED
+        base (geometry neutralized) is re-warped with the live parameters;
+        optionally overlays Canny+Hough straightening guides (green when
+        aligned to 0/90 degrees within 0.5, red otherwise)."""
+        import jax.numpy as jnp
+
+        from rapidraw_tpu.geometry.transforms import apply_coarse_rotation, apply_flip
+        from rapidraw_tpu.geometry.warp import warp_image_geometry
+        from rapidraw_tpu.io.encode import encode_jpeg_bytes
+        from rapidraw_tpu.io.sidecar import load_adjustments
+        from rapidraw_tpu.params.parse import parse_adjustments
+        from rapidraw_tpu.utils.hashing import GEOMETRY_KEYS, calculate_visual_hash
+
+        adjustments = adjustments if adjustments is not None else load_adjustments(path)
+        vh = calculate_visual_hash(path, adjustments)
+        base = self._geometry_base.get(vh)
+        img, is_raw = self.load(path)
+        if base is None:
+            dim = int(self.settings.editor_preview_resolution / 1.5)
+            x = downscale_to_long_edge_np(img, dim)
+            neutral = dict(adjustments)
+            neutral["crop"] = None
+            neutral["rotation"] = 0.0
+            neutral["orientationSteps"] = 0
+            neutral["flipHorizontal"] = False
+            neutral["flipVertical"] = False
+            for key in GEOMETRY_KEYS:
+                if key in ("transformScale", "lensDistortionAmount",
+                           "lensVignetteAmount", "lensTcaAmount"):
+                    neutral[key] = 100.0
+                elif key in ("lensDistortionParams", "lensMaker", "lensModel"):
+                    neutral[key] = None
+                elif key in ("lensDistortionEnabled", "lensTcaEnabled", "lensVignetteEnabled"):
+                    neutral[key] = True
+                else:
+                    neutral[key] = 0.0
+            tonemapper_override = self.settings.tonemapper_override(is_raw)
+            params, cfg = parse_adjustments(neutral, is_raw, tonemapper_override)
+            lut = self._load_lut(neutral, cfg)
+            if lut is None and cfg.has_lut:
+                cfg = dataclasses.replace(cfg, has_lut=False)
+            fn = self._develop_fn(cfg)
+            base = np.asarray(fn(jnp.asarray(x), params, None, lut))
+            if len(self._geometry_base) > 5:  # cap like lib.rs:1007-1010
+                self._geometry_base.clear()
+            self._geometry_base.put(vh, base)
+
+        geometry = dataclasses.replace(
+            geometry,
+            lens_vignette_amount=geometry.lens_vignette_amount * (0.4 if is_raw else 0.8),
+        )
+        warped = warp_image_geometry(jnp.asarray(base), geometry)
+        warped = apply_coarse_rotation(warped, int(adjustments.get("orientationSteps") or 0))
+        warped = apply_flip(
+            warped,
+            bool(adjustments.get("flipHorizontal")),
+            bool(adjustments.get("flipVertical")),
+        )
+        out = np.asarray(warped)
+        if show_lines:
+            out = _draw_straightening_guides(out)
+        return encode_jpeg_bytes(out, quality=75)
+
+    def render_preset_preview(self, path: str, adjustments: dict) -> bytes:
+        """400px preset thumbnail render (lib.rs:1114-1213)."""
+        import jax.numpy as jnp
+
+        from rapidraw_tpu.io.encode import encode_jpeg_bytes
+        from rapidraw_tpu.params.parse import parse_adjustments
+
+        x, crop_offset, (full_w, full_h), is_raw = self._transformed_preview(
+            path, adjustments, 400
+        )
+        _, h, w = x.shape
+        scale = h / full_h if full_h else 1.0
+        masks = self._masks(adjustments, w, h, scale, crop_offset)
+        tonemapper_override = self.settings.tonemapper_override(is_raw)
+        params, cfg = parse_adjustments(adjustments, is_raw, tonemapper_override)
+        lut = self._load_lut(adjustments, cfg)
+        if lut is None and cfg.has_lut:
+            cfg = dataclasses.replace(cfg, has_lut=False)
+        fn = self._develop_fn(cfg)
+        out = np.asarray(
+            fn(jnp.asarray(x), params, jnp.asarray(masks) if masks is not None else None, lut)
+        )
+        return encode_jpeg_bytes(out, quality=80)
+
+    def _load_lut(self, adjustments: dict, cfg):
+        import jax.numpy as jnp
+
+        if not (cfg.has_lut and isinstance(adjustments.get("lutPath"), str)):
+            return None
+        from rapidraw_tpu.io.lut import parse_lut_file
+
+        try:
+            return jnp.asarray(parse_lut_file(adjustments["lutPath"]))
+        except Exception:
+            return None
+
     def clear_caches(self) -> None:
         self._decoded.clear()
         self._transformed.clear()
         self._mask_cache.clear()
+        self._geometry_base.clear()
+
+
+def downscale_to_long_edge_np(img: np.ndarray, long_edge: int) -> np.ndarray:
+    import jax.numpy as jnp
+
+    from rapidraw_tpu.geometry.resize import downscale_to_long_edge
+
+    return np.asarray(downscale_to_long_edge(jnp.asarray(img), long_edge))
+
+
+def _draw_straightening_guides(planar: np.ndarray) -> np.ndarray:
+    """Canny + Hough guide overlay (lib.rs:1031-1081): lines within 0.5 deg
+    of 0/90 draw green, others red. Vote threshold = 0.24 * min dim; nearby
+    detections suppressed like imageproc's suppression_radius=15."""
+    import cv2
+
+    rgb = (np.clip(planar, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8).transpose(1, 2, 0)
+    gray = cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY)
+    edges = cv2.Canny(gray, 50, 100)
+    h, w = gray.shape
+    votes = max(int(min(h, w) * 0.24), 1)
+    lines = cv2.HoughLines(edges, 1, np.pi / 180.0, votes)
+    vis = rgb.copy()
+    kept: list[tuple[float, float]] = []
+    if lines is not None:
+        for line in lines[:, 0, :]:
+            r, theta = float(line[0]), float(line[1])
+            if any(abs(r - kr) < 15 and abs(theta - kt) < np.radians(15) for kr, kt in kept):
+                continue
+            kept.append((r, theta))
+            angle_deg = np.degrees(theta) % 180.0
+            aligned = (
+                angle_deg < 0.5 or angle_deg > 179.5 or abs(angle_deg - 90.0) < 0.5
+            )
+            color = (0, 255, 0) if aligned else (255, 0, 0)
+            a, b = np.cos(theta), np.sin(theta)
+            x0, y0 = a * r, b * r
+            dist = float(max(h, w) * 2)
+            p1 = (int(x0 + dist * -b), int(y0 + dist * a))
+            p2 = (int(x0 - dist * -b), int(y0 - dist * a))
+            cv2.line(vis, p1, p2, color, 1)
+    return vis.transpose(2, 0, 1).astype(np.float32) / 255.0

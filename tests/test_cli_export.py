@@ -1,6 +1,7 @@
 """CLI + export service end-to-end tests (CPU)."""
 
 import json
+from pathlib import Path
 
 import numpy as np
 from PIL import Image
@@ -77,3 +78,103 @@ def test_cli_auto_and_histogram(tmp_path, capsys):
     assert main(["histogram", str(src)]) == 0
     h = json.loads(capsys.readouterr().out)
     assert len(h["luma"]) == 256
+
+
+def test_filename_template_variables(tmp_path):
+    import datetime
+
+    from rapidraw_tpu.pipeline.export import generate_filename_from_template
+
+    d = datetime.datetime(2026, 3, 7, 14, 5)
+    out = generate_filename_from_template(
+        "{YYYY}-{MM}-{DD}_{hh}{mm}_{original_filename}_{sequence}",
+        "/x/IMG_0042.jpg", 3, 120, d,
+    )
+    assert out == "2026-03-07_1405_IMG_0042_003"
+    # alias + width-1 padding
+    assert generate_filename_from_template("{filename}-{sequence}", "a.png", 2, 9, d) == "a-2"
+
+
+def test_export_preserve_folders_and_timestamps(tmp_path):
+    import os
+
+    from rapidraw_tpu.io.sidecar import save_sidecar
+    from rapidraw_tpu.pipeline.export import ExportSettings, export_images
+
+    sub = tmp_path / "shoot" / "day1"
+    sub.mkdir(parents=True)
+    p = _make_jpeg(sub / "pic.jpg")
+    save_sidecar(p, {"adjustments": {"exposure": 0.3}})
+    old = 946684800.0  # 2000-01-01
+    os.utime(p, (old, old))
+
+    out_dir = tmp_path / "out"
+    results = export_images(
+        [str(p)], out_dir,
+        ExportSettings(
+            preserve_folders=True, base_origin_folders=(str(tmp_path / "shoot"),),
+            preserve_timestamps=True, copy_exif=False,
+        ),
+    )
+    assert results[0].ok, results[0].error
+    dst = results[0].output
+    assert dst.endswith(str(out_dir / "day1" / "pic_edited.jpg"))
+    # mtime restored from the source capture date (fs mtime fallback)
+    assert abs(os.path.getmtime(dst) - old) < 2.0
+
+
+def test_export_virtual_copies(tmp_path):
+    from rapidraw_tpu.io.sidecar import save_sidecar
+    from rapidraw_tpu.pipeline.export import ExportSettings, export_images
+
+    p = _make_jpeg(tmp_path / "vc.jpg")
+    save_sidecar(p, {"adjustments": {"exposure": 0.2}})
+    save_sidecar(f"{p}?vc=1", {"adjustments": {"exposure": -0.5}})
+    results = export_images(
+        [str(p), f"{p}?vc=1"], tmp_path / "out", ExportSettings(copy_exif=False)
+    )
+    assert all(r.ok for r in results), [r.error for r in results]
+    names = sorted(Path(r.output).name for r in results)
+    assert names == ["vc_edited.jpg", "vc_edited_VC01.jpg"]
+
+
+def test_export_masks_emits_image_and_alpha(tmp_path):
+    from rapidraw_tpu.io.sidecar import save_sidecar
+    from rapidraw_tpu.pipeline.export import ExportSettings, export_images
+
+    p = _make_jpeg(tmp_path / "m.jpg")
+    save_sidecar(p, {"adjustments": {
+        "exposure": 0.2,
+        "masks": [{
+            "name": "m0", "visible": True,
+            "adjustments": {"exposure": 1.0},
+            "subMasks": [{"type": "radial", "visible": True, "mode": "additive",
+                          "parameters": {"centerX": 32, "centerY": 24, "radiusX": 20,
+                                         "radiusY": 15, "rotation": 0.0, "feather": 0.5}}],
+        }],
+    }})
+    out_dir = tmp_path / "out"
+    results = export_images(
+        [str(p)], out_dir, ExportSettings(copy_exif=False, export_masks=True)
+    )
+    assert results[0].ok, results[0].error
+    assert (out_dir / "m_edited_mask_0_image.jpg").exists()
+    alpha = out_dir / "m_edited_mask_0_alpha.png"
+    assert alpha.exists()
+    a = np.asarray(Image.open(alpha))
+    assert a.shape == (48, 64)
+    assert a.max() > 200 and a.min() < 50  # radial mask has on+off regions
+
+
+def test_estimate_export_sizes(tmp_path):
+    from rapidraw_tpu.io.sidecar import save_sidecar
+    from rapidraw_tpu.pipeline.export import ExportSettings, estimate_export_sizes
+
+    p = _make_jpeg(tmp_path / "e.jpg", h=64, w=96)
+    save_sidecar(p, {"adjustments": {"exposure": 0.3}})
+    est = estimate_export_sizes([str(p)] * 3, ExportSettings(quality=90))
+    assert est > 0
+    # should be ~3x a single-image estimate
+    single = estimate_export_sizes([str(p)], ExportSettings(quality=90))
+    assert abs(est - 3 * single) < single * 0.01
+    assert estimate_export_sizes([str(p)], ExportSettings(format="cube")) == 1_050_000

@@ -64,3 +64,47 @@ def test_service_tonemapper_override(tmp_path):
     svc = RenderService(s)
     res = svc.render_preview(p, {})
     assert res.jpeg  # agx path compiles and runs
+
+
+def test_uncropped_preview_ignores_crop(tmp_path):
+    p = _jpg(tmp_path / "u.jpg")
+    svc = RenderService()
+    adj = {"exposure": 0.5, "crop": {"x": 20, "y": 10, "width": 80, "height": 60}}
+    # normal preview honors the crop; uncropped ignores it
+    res = svc.render_preview(p, adj)
+    assert Image.open(io.BytesIO(res.jpeg)).size == (80, 60)
+    jpeg = svc.render_uncropped_preview(p, adj)
+    assert Image.open(io.BytesIO(jpeg)).size == (160, 120)
+
+
+def test_original_preview_skips_grade(tmp_path):
+    p = _jpg(tmp_path / "o.jpg")
+    svc = RenderService()
+    # huge exposure: graded preview differs, original preview does not
+    jpeg = svc.render_original_preview(p, {"exposure": 5.0})
+    orig = np.asarray(Image.open(p), np.float32)
+    got = np.asarray(Image.open(io.BytesIO(jpeg)), np.float32)
+    assert got.shape == orig.shape
+    assert abs(got.mean() - orig.mean()) < 8.0  # jpeg noise only, no grade
+
+
+def test_geometry_preview_and_guides(tmp_path):
+    from rapidraw_tpu.geometry.params import GeometryParams
+
+    p = _jpg(tmp_path / "g.jpg")
+    svc = RenderService()
+    gp = GeometryParams(rotate=2.0)
+    jpeg = svc.preview_geometry_transform(p, gp, {"exposure": 0.2})
+    assert jpeg[:2] == b"\xff\xd8"
+    # cached base reused on second call
+    jpeg2 = svc.preview_geometry_transform(p, gp, {"exposure": 0.2}, show_lines=True)
+    assert jpeg2[:2] == b"\xff\xd8"
+    assert len(svc._geometry_base) == 1
+
+
+def test_preset_preview_small(tmp_path):
+    p = _jpg(tmp_path / "pp.jpg", h=600, w=800)
+    svc = RenderService()
+    jpeg = svc.render_preset_preview(p, {"contrast": 40})
+    im = Image.open(io.BytesIO(jpeg))
+    assert max(im.size) == 400
