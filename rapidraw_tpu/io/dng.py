@@ -2,10 +2,10 @@
 
 The reference decodes RAW containers with the rawler crate
 (raw_processing.rs:66-70); this is the host-side equivalent feeding packed
-CFA data to the TPU develop (rapidraw_tpu.raw.develop). Supported today:
-uncompressed (Compression=1) CFA and LinearRaw DNG/TIFF, 8/16-bit, strip or
-tile layout. Lossless-JPEG (Compression=7) DNGs raise a clear error until
-the native decoder lands.
+CFA data to the TPU develop (rapidraw_tpu.raw.develop). Supported:
+uncompressed (Compression=1) and lossless-JPEG (Compression=7, decoded by
+the native C++ decoder in native/ljpeg.cc) CFA and LinearRaw DNG/TIFF,
+8/16-bit, strip or tile layout.
 """
 
 from __future__ import annotations
@@ -163,30 +163,41 @@ def parse_dng(data: bytes) -> RawFile:
     compression = ifd.get(_T["Compression"], [1])[0]
     photometric = ifd.get(_T["Photometric"], [32803])[0]
     spp = ifd.get(_T["SamplesPerPixel"], [1])[0]
-    if compression == 7:
-        raise DngError(
-            "lossless-JPEG compressed DNG not yet supported (native decoder pending); "
-            "re-export as uncompressed DNG"
-        )
-    if compression != 1:
+    if compression not in (1, 7):
         raise DngError(f"unsupported DNG compression {compression}")
-    if bits not in (8, 16):
+    if compression == 1 and bits not in (8, 16):
         raise DngError(f"unsupported bit depth {bits}")
 
-    dtype = np.uint16 if bits == 16 else np.uint8
+    dtype = np.uint16 if (bits == 16 or compression == 7) else np.uint8
     plane = np.zeros((height, width * spp), dtype)
+
+    def _ljpeg(off: int, cnt: int) -> np.ndarray:
+        # lossless-JPEG tile/strip (native C++ decoder, native/ljpeg.cc);
+        # decoded rows are (sof_w * ncomp) samples = the tile's CFA columns
+        from rapidraw_tpu.native import ljpeg_decode
+
+        return ljpeg_decode(bytes(data[off : off + cnt]))
 
     if _T["TileOffsets"] in ifd:
         tw = ifd[_T["TileWidth"]][0]
         tl = ifd[_T["TileLength"]][0]
         offsets = ifd[_T["TileOffsets"]]
+        counts = ifd.get(_T["TileByteCounts"], [0] * len(offsets))
         tiles_x = -(-width // tw)
         for idx, off in enumerate(offsets):
+            if compression == 7:
+                tile = _ljpeg(off, counts[idx] or (len(data) - off))
+                if tile.size != tl * tw * spp:
+                    raise DngError(
+                        f"tile {idx}: decoded {tile.shape} != {tl}x{tw * spp}"
+                    )
+                tile = tile.reshape(tl, tw * spp)
+            else:
+                tile = np.frombuffer(
+                    data, dtype=endian + ("u2" if bits == 16 else "u1"),
+                    count=tw * tl * spp, offset=off,
+                ).reshape(tl, tw * spp)
             ty, tx = divmod(idx, tiles_x)
-            tile = np.frombuffer(
-                data, dtype=endian + ("u2" if bits == 16 else "u1"),
-                count=tw * tl * spp, offset=off,
-            ).reshape(tl, tw * spp)
             y0, x0 = ty * tl, tx * tw * spp
             h = min(tl, height - y0)
             w = min(tw * spp, width * spp - x0)
@@ -198,10 +209,18 @@ def parse_dng(data: bytes) -> RawFile:
         row = 0
         for off, cnt in zip(offsets, counts):
             n_rows = min(rps, height - row)
-            strip = np.frombuffer(
-                data, dtype=endian + ("u2" if bits == 16 else "u1"),
-                count=n_rows * width * spp, offset=off,
-            ).reshape(n_rows, width * spp)
+            if compression == 7:
+                strip = _ljpeg(off, cnt)
+                if strip.size != n_rows * width * spp:
+                    raise DngError(
+                        f"strip: decoded {strip.shape} != {n_rows}x{width * spp}"
+                    )
+                strip = strip.reshape(n_rows, width * spp)
+            else:
+                strip = np.frombuffer(
+                    data, dtype=endian + ("u2" if bits == 16 else "u1"),
+                    count=n_rows * width * spp, offset=off,
+                ).reshape(n_rows, width * spp)
             plane[row : row + n_rows] = strip
             row += n_rows
 

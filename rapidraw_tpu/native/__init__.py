@@ -1,0 +1,99 @@
+"""Native (C++) runtime components, loaded over ctypes.
+
+The reference keeps its performance-critical host code in Rust (rawler RAW
+decode, rayon loops); here the native pieces are C++ compiled on first use
+with the toolchain baked into the image. Artifacts are cached next to the
+source (or in RAPIDRAW_NATIVE_CACHE) keyed by a source hash, so rebuilds
+only happen when the .cc changes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+from pathlib import Path
+
+_DIR = Path(__file__).parent
+
+
+class NativeBuildError(RuntimeError):
+    pass
+
+
+def _cache_dir() -> Path:
+    env = os.environ.get("RAPIDRAW_NATIVE_CACHE")
+    if env:
+        d = Path(env)
+    else:
+        d = _DIR
+        if not os.access(d, os.W_OK):
+            d = Path.home() / ".cache" / "rapidraw_tpu" / "native"
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def _build(name: str) -> Path:
+    src = _DIR / f"{name}.cc"
+    code = src.read_bytes()
+    tag = hashlib.blake2b(code, digest_size=8).hexdigest()
+    out = _cache_dir() / f"_{name}_{tag}.so"
+    if out.exists():
+        return out
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", str(src), "-o", str(out)]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    except (OSError, subprocess.TimeoutExpired) as e:
+        raise NativeBuildError(f"failed to run g++: {e}") from e
+    if proc.returncode != 0:
+        raise NativeBuildError(f"g++ failed:\n{proc.stderr[:2000]}")
+    return out
+
+
+_libs: dict[str, ctypes.CDLL] = {}
+
+
+def load(name: str) -> ctypes.CDLL:
+    if name not in _libs:
+        _libs[name] = ctypes.CDLL(str(_build(name)))
+    return _libs[name]
+
+
+def ljpeg_decode(stream: bytes):
+    """Decode one lossless-JPEG (SOF3) stream -> uint16 array (h, w*comps).
+
+    Raises NativeBuildError if the toolchain is unavailable and ValueError
+    on malformed/unsupported streams.
+    """
+    import numpy as np
+
+    lib = load("ljpeg")
+    fn = lib.ljpeg_decode
+    fn.restype = ctypes.c_int
+    fn.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    # DNG tiles are <= a few MPix; start at 4M samples and grow on -3
+    cap = 1 << 22
+    for _ in range(4):
+        buf = np.empty(cap, np.uint16)
+        w = ctypes.c_int(0)
+        h = ctypes.c_int(0)
+        nc = ctypes.c_int(0)
+        rc = fn(
+            stream, len(stream),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), cap,
+            ctypes.byref(w), ctypes.byref(h), ctypes.byref(nc),
+        )
+        if rc == -3:
+            cap *= 4
+            continue
+        if rc != 0:
+            raise ValueError(f"ljpeg decode failed (code {rc})")
+        n = w.value * h.value * nc.value
+        return buf[:n].reshape(h.value, w.value * nc.value).copy()
+    raise ValueError("ljpeg stream too large")
