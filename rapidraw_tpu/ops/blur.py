@@ -23,6 +23,7 @@ v5e; this whole pyramid level runs in a few ms).
 
 from __future__ import annotations
 
+import contextvars
 import functools
 
 import jax
@@ -35,7 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 F16_MAX = 65504.0
 
 _TB = 128  # tile size along the blurred axis (matches K block size)
-_TP = 256  # tile size along the passive axis
+_TP = 512  # tile size along the passive axis
+_S = 4  # output sub-blocks per tile (halo DMA amortization)
 
 
 @functools.lru_cache(maxsize=64)
@@ -77,7 +79,7 @@ def _bf16_dot(a, b):
     )
 
 
-def _make_kernel(nb: int, axis: int):
+def _make_kernel(nb: int, axis: int, s: int):
     """Banded-matmul kernel with manual 3-pass bf16 splitting.
 
     Default MXU precision truncates inputs to bf16 (~2e-3 error on the
@@ -85,31 +87,43 @@ def _make_kernel(nb: int, axis: int):
     HIGH (3-pass) mode, so we split both operands into bf16 hi+lo halves
     and take the three significant products — ~1.5e-5 relative error, well
     inside the 1e-3 fidelity budget, at half the cost of HIGHEST.
+
+    `s` output sub-blocks are produced per tile from s+nb-1 input blocks —
+    the halo blocks amortize over the superblock (DMA read amplification
+    (s+nb-1)/s instead of nb).
     """
 
     def kernel(*refs):
         khi_ref, klo_ref = refs[0], refs[1]
-        x_refs = refs[2 : 2 + nb]
-        out_ref = refs[2 + nb]
-        acc = None
-        for q in range(nb):
-            x = x_refs[q][0]
+        x_refs = refs[2 : 2 + s + nb - 1]
+        out_ref = refs[2 + s + nb - 1]
+        # split each input block once; sub-blocks share their halo splits
+        hi_lo = []
+        for r in x_refs:
+            x = r[0]
             xhi = x.astype(jnp.bfloat16).astype(jnp.float32)
-            xlo = x - xhi
+            hi_lo.append((xhi, x - xhi))
+        for si in range(s):
+            acc = None
+            for q in range(nb):
+                xhi, xlo = hi_lo[si + q]
+                if axis == 0:
+                    d = (
+                        _bf16_dot(khi_ref[q], xhi)
+                        + _bf16_dot(khi_ref[q], xlo)
+                        + _bf16_dot(klo_ref[q], xhi)
+                    )
+                else:
+                    d = (
+                        _bf16_dot(xhi, khi_ref[q].T)
+                        + _bf16_dot(xlo, khi_ref[q].T)
+                        + _bf16_dot(xhi, klo_ref[q].T)
+                    )
+                acc = d if acc is None else acc + d
             if axis == 0:
-                d = (
-                    _bf16_dot(khi_ref[q], xhi)
-                    + _bf16_dot(khi_ref[q], xlo)
-                    + _bf16_dot(klo_ref[q], xhi)
-                )
+                out_ref[0, si * _TB : (si + 1) * _TB, :] = acc
             else:
-                d = (
-                    _bf16_dot(xhi, khi_ref[q].T)
-                    + _bf16_dot(xlo, khi_ref[q].T)
-                    + _bf16_dot(xhi, klo_ref[q].T)
-                )
-            acc = d if acc is None else acc + d
-        out_ref[0] = acc
+                out_ref[0, :, si * _TB : (si + 1) * _TB] = acc
 
     return kernel
 
@@ -126,44 +140,45 @@ def _blur_axis(x: jnp.ndarray, radius: int, axis: int) -> jnp.ndarray:
     nb = 2 * hb + 1
     pad = hb * _TB
 
+    # superblock: s output blocks per tile -> halo DMA amortized
+    blocks_b = -(-(n if axis == 0 else m) // _TB)
+    s = _S if blocks_b >= _S else 1
+    grid_b = -(-blocks_b // s)
+
     if axis == 0:
-        grid_b, grid_p = -(-n // _TB), -(-m // _TP)
-        total_b = (grid_b + 2 * hb) * _TB
-        x = jnp.pad(x, ((0, 0), (radius, radius), (0, 0)), mode="edge")
+        grid_p = -(-m // _TP)
+        total_b = (grid_b * s + 2 * hb) * _TB
+        # one edge-mode pad: band weights are zero beyond `radius`, and the
+        # passive-axis extension is cropped, so edge copies are safe filler
         x = jnp.pad(
             x,
-            (
-                (0, 0),
-                (pad - radius, total_b - (pad + radius) - n),
-                (0, -m % _TP),
-            ),
+            ((0, 0), (pad, total_b - pad - n), (0, -m % _TP)),
+            mode="edge",
         )
         block = (1, _TB, _TP)
-        out_shape = (c, grid_b * _TB, grid_p * _TP)
+        oblock = (1, s * _TB, _TP)
+        out_shape = (c, grid_b * s * _TB, grid_p * _TP)
         grid = (c, grid_b, grid_p)
 
         def imap(q):
-            return lambda ci, i, j, q=q: (ci, i + q, j)
+            return lambda ci, i, j, q=q: (ci, i * s + q, j)
 
         omap = lambda ci, i, j: (ci, i, j)
     else:
-        grid_b, grid_p = -(-m // _TB), -(-n // _TP)
-        total_b = (grid_b + 2 * hb) * _TB
-        x = jnp.pad(x, ((0, 0), (0, 0), (radius, radius)), mode="edge")
+        grid_p = -(-n // _TP)
+        total_b = (grid_b * s + 2 * hb) * _TB
         x = jnp.pad(
             x,
-            (
-                (0, 0),
-                (0, -n % _TP),
-                (pad - radius, total_b - (pad + radius) - m),
-            ),
+            ((0, 0), (0, -n % _TP), (pad, total_b - pad - m)),
+            mode="edge",
         )
         block = (1, _TP, _TB)
-        out_shape = (c, grid_p * _TP, grid_b * _TB)
+        oblock = (1, _TP, s * _TB)
+        out_shape = (c, grid_p * _TP, grid_b * s * _TB)
         grid = (c, grid_b, grid_p)
 
         def imap(q):
-            return lambda ci, i, j, q=q: (ci, j, i + q)
+            return lambda ci, i, j, q=q: (ci, j, i * s + q)
 
         omap = lambda ci, i, j: (ci, j, i)
 
@@ -175,18 +190,25 @@ def _blur_axis(x: jnp.ndarray, radius: int, axis: int) -> jnp.ndarray:
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
-    for q in range(nb):
+    for q in range(s + nb - 1):
         in_specs.append(pl.BlockSpec(block, imap(q), memory_space=pltpu.VMEM))
 
     out = pl.pallas_call(
-        _make_kernel(nb, axis),
+        _make_kernel(nb, axis, s),
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(block, omap, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(oblock, omap, memory_space=pltpu.VMEM),
         interpret=_use_interpret(),
-    )(khi, klo, *([x] * nb))
+    )(khi, klo, *([x] * (s + nb - 1)))
     return out[:, :n, :m]
+
+
+# When set, gaussian_blur lowers to lax.conv instead of the Pallas banded
+# matmul. Used by the spatially-sharded multi-chip path: XLA's SPMD
+# partitioner inserts halo exchanges for convs automatically, while a
+# pallas_call would be gathered+replicated across shards.
+FORCE_CONV = contextvars.ContextVar("rapidraw_blur_force_conv", default=False)
 
 
 def gaussian_blur(img: jnp.ndarray, radius: int) -> jnp.ndarray:
@@ -195,6 +217,8 @@ def gaussian_blur(img: jnp.ndarray, radius: int) -> jnp.ndarray:
     Input samples are clamped to [0, F16_MAX] exactly as blur.wgsl:35,44 does
     before accumulation (the reference pyramid lives in rgba16f textures).
     """
+    if FORCE_CONV.get():
+        return gaussian_blur_reference(img, radius)
     x = jnp.clip(img, 0.0, F16_MAX)
     x = _blur_axis(x, radius, axis=1)  # horizontal (blur.wgsl pass 1)
     return _blur_axis(x, radius, axis=0)  # vertical (pass 2)
@@ -228,5 +252,6 @@ def _conv1d(img: jnp.ndarray, weights: jnp.ndarray, axis: int) -> jnp.ndarray:
         padding="VALID",
         feature_group_count=c,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=lax.Precision.HIGHEST,
     )
     return out[0]

@@ -48,11 +48,44 @@ def sharded_develop_batch(mesh: Mesh, cfg: DevelopConfig):
 
     Returns fn(images (B,3,H,W), params, masks|None) -> (B,3,H,W); B must be
     divisible by the mesh batch axis, W by the x axis.
+
+    Two regimes, chosen by the mesh shape:
+      * batch-only (x == 1): shard_map over 'batch' — every device runs the
+        full single-chip pipeline (including the fused Pallas megakernel)
+        on its local batch shard, zero collectives.
+      * spatial (x > 1): jit + sharding constraints with the Pallas paths
+        disabled — the blur lowers to lax.conv so XLA's SPMD partitioner
+        inserts the halo exchanges over ICI (the analog of the reference's
+        128px tile overlap, gpu_processing.rs:1279), and the grade chain
+        stays elementwise (trivially partitionable).
     """
-    # images are planar (B, 3, H, W): batch-shard B, spatially shard W
+    from jax import shard_map
+
+    from rapidraw_tpu.ops import blur as blur_mod
+
+    spatial = mesh.shape["x"] > 1
     img_sh = NamedSharding(mesh, P("batch", None, None, "x"))
     mask_sh = NamedSharding(mesh, P("batch", None, None, "x"))
     param_sh = NamedSharding(mesh, P("batch"))
+
+    if not spatial:
+        def body(images, params, masks):
+            out = develop_batch(images, params, cfg, masks=masks)
+            return out
+
+        @jax.jit
+        def fn(images, params, masks=None):
+            has_masks = masks is not None
+            m_spec = P("batch") if has_masks else P()
+            sm = shard_map(
+                body, mesh=mesh,
+                in_specs=(P("batch"), P("batch"), m_spec),
+                out_specs=P("batch"),
+                check_vma=False,  # pallas_call outputs carry no vma info
+            )
+            return sm(images, params, masks)
+
+        return fn
 
     @functools.partial(jax.jit, static_argnames=())
     def fn(images, params, masks=None):
@@ -62,7 +95,11 @@ def sharded_develop_batch(mesh: Mesh, cfg: DevelopConfig):
         )
         if masks is not None:
             masks = jax.lax.with_sharding_constraint(masks, mask_sh)
-        out = develop_batch(images, params, cfg, masks=masks)
+        token = blur_mod.FORCE_CONV.set(True)
+        try:
+            out = develop_batch(images, params, cfg, masks=masks, fused=False)
+        finally:
+            blur_mod.FORCE_CONV.reset(token)
         return jax.lax.with_sharding_constraint(out, img_sh)
 
     return fn

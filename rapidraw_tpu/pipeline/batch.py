@@ -90,12 +90,19 @@ def develop_batch(
     masks: jnp.ndarray | None = None,
     lut: jnp.ndarray | None = None,
     flare: jnp.ndarray | None = None,
+    fused: bool | None = None,
 ) -> jnp.ndarray:
     """Develop planar (B, 3, H, W) images with per-image stacked params.
 
     masks: (B, N, H, W) or None; lut/flare shared across the batch.
+    fused: force the Pallas megakernel on/off (None = auto: TPU backend,
+    env RAPIDRAW_FUSED override). The spatially-sharded multi-chip path
+    passes False — pallas_call has no SPMD partitioning rule, so XLA would
+    gather+replicate it across shards.
     """
-    if _use_fused(cfg):
+    if fused is None:
+        fused = _use_fused(cfg)
+    if fused:
         from rapidraw_tpu.pipeline.fused import develop_fused
 
         # scan (not vmap/unroll): the megakernel traces+compiles ONCE for any

@@ -71,10 +71,14 @@ def prepare_inputs(
     cfg: DevelopConfig,
     masks: jnp.ndarray | None,
     flare: jnp.ndarray | None,
+    linearize_blurs: bool = True,
 ):
     """Shared front half: CA, linearize, NR, blur pyramid, flare sampling.
 
     Returns (initial_linear, blurs dict, flare_rgb, gated_infl, scale).
+    `linearize_blurs=False` leaves the blur levels in input space — the
+    fused megakernel linearizes them per tile in VMEM instead, saving one
+    full HBM round-trip per level.
     """
     g = params["glob"]
     m = params["mask"]
@@ -114,7 +118,9 @@ def prepare_inputs(
     # blur pyramid, pre-linearized once (gpu_processing.rs:1402-1405)
     def blur_linear(base_radius: float) -> jnp.ndarray:
         b = gaussian_blur(input_rgb, scales.blur_radius(base_radius, scale))
-        return b if is_raw else cs.srgb_to_linear(b)
+        if is_raw or not linearize_blurs:
+            return b
+        return cs.srgb_to_linear(b)
 
     blurs = {"sharp": None, "tonal": None, "clarity": None, "structure": None}
     if cfg.sharpness_blur_needed:

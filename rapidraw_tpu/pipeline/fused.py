@@ -122,8 +122,10 @@ def develop_fused(
 
     scale = max(0.1, min(h, w) / scales.REFERENCE_DIMENSION)
 
+    # blur levels stay in INPUT space; the kernel linearizes each tile once
+    # in VMEM (saves a full HBM round-trip per level vs pre-linearizing)
     initial_linear, blurs, flare_rgb, gated_infl, scale = prepare_inputs(
-        image, params, cfg, masks, flare
+        image, params, cfg, masks, flare, linearize_blurs=False
     )
 
     params_t = _trim_param_curves(params, cfg.curve_segments)
@@ -140,10 +142,10 @@ def develop_fused(
     if has_masks:
         tile_inputs.append(gated_infl)
 
-    hp = -h % _TH
-    wp = -w % _TW
-    padded = [jnp.pad(x, ((0, 0), (0, hp), (0, wp))) for x in tile_inputs]
-    grid = ((h + hp) // _TH, (w + wp) // _TW)
+    # no explicit padding: Mosaic handles partial edge tiles (reads are
+    # garbage-padded, writes clipped) — safe because the chain is elementwise
+    padded = tile_inputs
+    grid = (-(-h // _TH), -(-w // _TW))
 
     n_blurs = len(blur_keys)
     include_finish = not cfg.has_lut
@@ -154,7 +156,12 @@ def develop_fused(
         idx = 2
         blur_tiles = {"sharp": None, "tonal": None, "clarity": None, "structure": None}
         for k in blur_keys:
-            blur_tiles[k] = refs[idx][...]
+            t = refs[idx][...]
+            if not cfg.is_raw:
+                from rapidraw_tpu.ops import colorspace as _cs
+
+                t = _cs.srgb_to_linear(t)  # once per level per tile, in VMEM
+            blur_tiles[k] = t
             idx += 1
         flare_tile = None
         if has_flare_map:
@@ -201,15 +208,23 @@ def develop_fused(
             pl.BlockSpec((nb, _TH, _TW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM)
         )
 
+    interpret = jax.devices()[0].platform != "tpu"
+    if interpret:
+        # the interpreter lacks Mosaic's partial-tile handling: pad explicitly
+        hp, wp = -h % _TH, -w % _TW
+        padded = [jnp.pad(x, ((0, 0), (0, hp), (0, wp))) for x in padded]
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((3, h + hp, w + wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (3, h, w) if not interpret else (3, h + (-h % _TH), w + (-w % _TW)),
+            jnp.float32,
+        ),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (3, _TH, _TW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
         ),
-        interpret=jax.devices()[0].platform != "tpu",
+        interpret=interpret,
     )(vec, *padded)
     final = out[:, :h, :w]
 
