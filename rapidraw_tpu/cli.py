@@ -54,10 +54,16 @@ def _cmd_develop(args) -> int:
         from rapidraw_tpu.io.lut import parse_lut_file
 
         lut = jnp.asarray(parse_lut_file(adj["lutPath"]))
-    out = develop(
-        timg, params, cfg,
-        masks=jnp.asarray(masks) if masks is not None else None, lut=lut,
-    )
+    if max(timg.shape[1], timg.shape[2]) > 8192:
+        # beyond the reference's texture cap: host-side 2048/128 tiling
+        from rapidraw_tpu.pipeline.tiled import develop_tiled
+
+        out = develop_tiled(np.asarray(timg), params, cfg, masks=masks, lut=lut)
+    else:
+        out = develop(
+            timg, params, cfg,
+            masks=jnp.asarray(masks) if masks is not None else None, lut=lut,
+        )
     dst = args.output or str(Path(args.image).with_suffix("")) + "_edited.jpg"
     encode_image(np.asarray(out), dst, quality=args.quality)
     print(dst)

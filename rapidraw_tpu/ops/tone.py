@@ -133,9 +133,11 @@ def apply_tonal_adjustments(
     perceptual = jnp.power(safe_rgb, 1.0 / g)
     clamped_perceptual = jnp.clip(perceptual, 0.0, 1.0)
     strength = jnp.exp2(con * 1.25)
-    high_part = 1.0 - 0.5 * jnp.power(2.0 * (1.0 - clamped_perceptual), strength)
-    low_part = 0.5 * jnp.power(2.0 * clamped_perceptual, strength)
-    curved = jnp.where(clamped_perceptual < 0.5, low_part, high_part)
+    # one pow instead of two: both branches are 0.5*base^strength reflected
+    lo = clamped_perceptual < 0.5
+    base = jnp.where(lo, 2.0 * clamped_perceptual, 2.0 * (1.0 - clamped_perceptual))
+    powed = 0.5 * jnp.power(base, strength)
+    curved = jnp.where(lo, powed, 1.0 - powed)
     contrast_adjusted = jnp.power(curved, g)
     mix_factor = smoothstep(1.0, 1.01, safe_rgb)
     contrasted = mix(contrast_adjusted, rgb, mix_factor)

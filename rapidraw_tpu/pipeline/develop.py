@@ -72,6 +72,8 @@ def prepare_inputs(
     masks: jnp.ndarray | None,
     flare: jnp.ndarray | None,
     linearize_blurs: bool = True,
+    full_size: tuple[int, int] | None = None,
+    tile_offset: tuple[int, int] = (0, 0),
 ):
     """Shared front half: CA, linearize, NR, blur pyramid, flare sampling.
 
@@ -83,7 +85,8 @@ def prepare_inputs(
     g = params["glob"]
     m = params["mask"]
     _, h, w = image.shape
-    scale = max(0.1, min(h, w) / scales.REFERENCE_DIMENSION)
+    w_full, h_full = full_size if full_size is not None else (w, h)
+    scale = max(0.1, min(h_full, w_full) / scales.REFERENCE_DIMENSION)
     is_raw = cfg.is_raw
     input_rgb = image
 
@@ -142,8 +145,9 @@ def prepare_inputs(
             flare = generate_flare_map(
                 input_rgb, g["flare"], g["exposure"], g["brightness"], g["whites"], is_raw
             )
-        ys = (jnp.arange(h, dtype=jnp.float32)[:, None] + jnp.zeros((1, w))) / h
-        xs = (jnp.arange(w, dtype=jnp.float32)[None, :] + jnp.zeros((h, 1))) / w
+        x0, y0 = tile_offset
+        ys = (jnp.arange(h, dtype=jnp.float32)[:, None] + float(y0) + jnp.zeros((1, w))) / h_full
+        xs = (jnp.arange(w, dtype=jnp.float32)[None, :] + float(x0) + jnp.zeros((h, 1))) / w_full
         flare_rgb = _bilinear_sample(flare, xs, ys) * 1.4
         flare_rgb = flare_rgb * flare_rgb  # shader.wgsl:1599-1600
 
@@ -157,6 +161,8 @@ def develop(
     masks: jnp.ndarray | None = None,
     lut: jnp.ndarray | None = None,
     flare: jnp.ndarray | None = None,
+    tile_offset: tuple[int, int] = (0, 0),
+    full_size: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """Develop one image.
 
@@ -169,23 +175,36 @@ def develop(
       masks: (N, H, W) float32 mask influence bitmaps in [0, 1].
       lut: (L, L, L, 3) 3D LUT (required when cfg.has_lut).
       flare: (512, 512, 3) flare map (generated on the fly when absent).
+      tile_offset/full_size: when developing one tile of a larger image
+        (host-side tiled dispatch, pipeline.tiled — the analog of the
+        reference's tile_offset_x/y uniforms, image_processing.rs:1402-1407),
+        the absolute pixel coordinates and full dimensions keep the
+        spatially-dependent stages (vignette, centre, grain, dither)
+        consistent across tiles.
 
     Returns planar (3, H, W) float32 sRGB in [0, 1].
     """
     g = params["glob"]
     m = params["mask"]
     _, h, w = image.shape
+    x0, y0 = tile_offset
+    w_full, h_full = full_size if full_size is not None else (w, h)
 
     initial_linear, blurs, flare_rgb, gated_infl, scale = prepare_inputs(
-        image, params, cfg, masks, flare
+        image, params, cfg, masks, flare, full_size=full_size,
+        tile_offset=tile_offset,
     )
 
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones((1, w), jnp.float32)
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :] * jnp.ones((h, 1), jnp.float32)
+    ys = (jnp.arange(h, dtype=jnp.float32)[:, None] + float(y0)) * jnp.ones(
+        (1, w), jnp.float32
+    )
+    xs = (jnp.arange(w, dtype=jnp.float32)[None, :] + float(x0)) * jnp.ones(
+        (h, 1), jnp.float32
+    )
 
     final = grade_chain(
         initial_linear,
         blurs["sharp"], blurs["tonal"], blurs["clarity"], blurs["structure"],
-        flare_rgb, g, m, gated_infl, cfg, xs, ys, w, h, scale,
+        flare_rgb, g, m, gated_infl, cfg, xs, ys, w_full, h_full, scale,
     )
     return finish_chain(final, g, cfg, xs, ys, scale, lut=lut)

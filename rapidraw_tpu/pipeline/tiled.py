@@ -1,0 +1,93 @@
+"""Host-side tiled dispatch for images too large for one develop pass.
+
+The reference renders everything through 2048-pixel tiles with a 128-pixel
+halo (gpu_processing.rs:1279-1280 TILE_SIZE/TILE_OVERLAP) because wgpu
+textures cap at 8192px. The TPU engine develops 24MP-class frames whole in
+HBM; this module exists for the genuinely huge cases (stitched panoramas,
+scan masters) where the blur pyramid + activations would exceed device
+memory. Same contract as the reference: the halo feeds the spatial stages
+(blur pyramid, NR, CA), so seams only appear where a blur radius exceeds
+the overlap — identical to the reference's behavior.
+
+Spatially-dependent per-pixel stages (vignette, centre mask, grain, dither,
+flare sampling) stay exact: tiles carry their absolute offset + the full
+dimensions (the analog of the reference's tile_offset uniforms,
+image_processing.rs:1402-1407).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rapidraw_tpu.params.parse import DevelopConfig
+
+TILE_SIZE = 2048  # gpu_processing.rs:1279
+TILE_OVERLAP = 128  # gpu_processing.rs:1280
+
+
+def develop_tiled(
+    image: np.ndarray,
+    params: dict,
+    cfg: DevelopConfig,
+    masks: np.ndarray | None = None,
+    lut=None,
+    tile_size: int = TILE_SIZE,
+    overlap: int = TILE_OVERLAP,
+) -> np.ndarray:
+    """Develop a huge planar (3, H, W) image tile-by-tile on device.
+
+    The input/output stay host-side (numpy); only one padded tile lives in
+    HBM at a time. The fused megakernel handles each tile via the normal
+    develop path (same jit cache key for all interior tiles).
+    """
+    from rapidraw_tpu.pipeline.develop import develop
+
+    _, h, w = image.shape
+    if h <= tile_size and w <= tile_size:
+        out = develop(jnp.asarray(image), params, cfg,
+                      masks=jnp.asarray(masks) if masks is not None else None,
+                      lut=lut)
+        return np.asarray(out)
+
+    flare = None
+    if cfg.flare_active:
+        # the flare map is global: build it once from a downscaled proxy of
+        # the full image (the map itself is 512x512; gpu_processing.rs
+        # renders it from the full-res input, a downscale is equivalent at
+        # map resolution)
+        from rapidraw_tpu.geometry.resize import downscale_to_long_edge
+        from rapidraw_tpu.ops.flare import generate_flare_map
+
+        g = params["glob"]
+        proxy = downscale_to_long_edge(jnp.asarray(image), 1024)
+        flare = generate_flare_map(
+            proxy, g["flare"], g["exposure"], g["brightness"], g["whites"], cfg.is_raw
+        )
+
+    fn = jax.jit(
+        lambda img, p, mk, fl, off: develop(
+            img, p, cfg, masks=mk, lut=lut, flare=fl,
+            tile_offset=off, full_size=(w, h),
+        ),
+        static_argnames=("off",),
+    )
+
+    out = np.empty((3, h, w), np.float32)
+    for y0 in range(0, h, tile_size):
+        for x0 in range(0, w, tile_size):
+            y1 = min(y0 + tile_size, h)
+            x1 = min(x0 + tile_size, w)
+            # halo-extended source window (clamped to the image)
+            ys0 = max(0, y0 - overlap)
+            xs0 = max(0, x0 - overlap)
+            ys1 = min(h, y1 + overlap)
+            xs1 = min(w, x1 + overlap)
+            tile = jnp.asarray(image[:, ys0:ys1, xs0:xs1])
+            mk = jnp.asarray(masks[:, ys0:ys1, xs0:xs1]) if masks is not None else None
+            res = fn(tile, params, mk, flare, (xs0, ys0))
+            res = np.asarray(res)
+            out[:, y0:y1, x0:x1] = res[:, y0 - ys0 : y0 - ys0 + (y1 - y0),
+                                       x0 - xs0 : x0 - xs0 + (x1 - x0)]
+    return out

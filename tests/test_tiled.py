@@ -1,0 +1,98 @@
+"""Tiled dispatch vs whole-image develop.
+
+Interior pixels (further than the blur radius from any tile seam) must be
+bit-identical; seam bands only differ when a blur radius exceeds the
+overlap — the same contract as the reference's 2048/128 tiling
+(gpu_processing.rs:1279-1280).
+"""
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from rapidraw_tpu.params.parse import parse_adjustments
+from rapidraw_tpu.pipeline.develop import develop
+from rapidraw_tpu.pipeline.tiled import develop_tiled
+
+
+def _img(h, w, seed=0):
+    return np.random.default_rng(seed).random((3, h, w)).astype(np.float32)
+
+
+def _develop_jit(img, p, c, masks=None):
+    # jit like the tiled path does — eager XLA uses a different sin()
+    # fusion than compiled XLA, which shifts the dither/grain hash by ulps
+    fn = jax.jit(lambda x, q, mk: develop(x, q, c, masks=mk))
+    return np.asarray(fn(jnp.asarray(img), p, masks))
+
+
+def test_tiled_elementwise_doc_is_exact():
+    # no spatial stages -> tiling must be exact everywhere incl. the
+    # coordinate-dependent vignette (absolute-coordinate parametrization).
+    # dither/grain are excluded: their fract(sin(x)*43758) hash shifts by
+    # whole dither steps from sin() ulp differences across array shapes
+    # (SIMD lane assignment), an accepted approximation per SURVEY.
+    import dataclasses
+
+    doc = {"exposure": 0.5, "contrast": 20, "vignetteAmount": -40,
+           "toneMapper": "agx"}
+    img = _img(96, 160)
+    p, c = parse_adjustments(doc, is_raw=False)
+    c = dataclasses.replace(c, dither_active=False)
+    whole = _develop_jit(img, p, c)
+    tiled = develop_tiled(img, p, c, tile_size=64, overlap=16)
+    np.testing.assert_allclose(tiled, whole, atol=1e-5)
+
+
+def test_tiled_grain_dither_bounded():
+    # hash stages stay within their amplitude across tile boundaries
+    doc = {"exposure": 0.5, "grainAmount": 25, "toneMapper": "agx"}
+    img = _img(96, 160)
+    p, c = parse_adjustments(doc, is_raw=False)
+    whole = _develop_jit(img, p, c)
+    tiled = develop_tiled(img, p, c, tile_size=64, overlap=16)
+    assert np.abs(tiled - whole).max() < 0.1
+    assert np.abs(np.mean(tiled - whole)) < 1e-3  # zero-mean noise
+
+
+def test_tiled_blur_doc_interior_exact():
+    doc = {"shadows": 40, "clarity": 30, "exposure": 0.2}
+    img = _img(96, 160, seed=1)
+    p, c = parse_adjustments(doc, is_raw=False)
+    # blur radii at this size: scale=0.1 -> radius 1 for both levels
+    whole = _develop_jit(img, p, c)
+    tiled = develop_tiled(img, p, c, tile_size=64, overlap=16)
+    assert np.abs(tiled - whole).max() < 1e-5  # overlap >> radius: exact
+
+
+def test_tiled_single_tile_path():
+    import dataclasses
+
+    doc = {"exposure": 1.0}
+    img = _img(40, 60, seed=2)
+    p, c = parse_adjustments(doc, is_raw=False)
+    c = dataclasses.replace(c, dither_active=False)  # jit-vs-eager sin ulps
+    whole = _develop_jit(img, p, c)
+    tiled = develop_tiled(img, p, c)  # fits in one tile
+    np.testing.assert_allclose(tiled, whole, atol=1e-6)
+
+
+def test_tiled_with_masks():
+    doc = {
+        "exposure": 0.2,
+        "masks": [{
+            "name": "m", "visible": True,
+            "adjustments": {"exposure": 1.5},
+            "subMasks": [{"type": "radial", "visible": True, "mode": "additive",
+                          "parameters": {"centerX": 80, "centerY": 48, "radiusX": 50,
+                                         "radiusY": 30, "rotation": 0.0, "feather": 0.5}}],
+        }],
+    }
+    from rapidraw_tpu.masks.rasterize import rasterize_masks
+
+    img = _img(96, 160, seed=3)
+    masks = rasterize_masks(doc, 160, 96, scale=1.0)
+    p, c = parse_adjustments(doc, is_raw=False)
+    whole = _develop_jit(img, p, c, masks=jnp.asarray(masks))
+    tiled = develop_tiled(img, p, c, masks=masks, tile_size=64, overlap=16)
+    np.testing.assert_allclose(tiled, whole, atol=1e-6)
