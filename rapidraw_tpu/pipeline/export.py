@@ -38,6 +38,37 @@ class ExportSettings:
     export_masks: bool = False  # also emit per-mask image+alpha pairs (rs:471-585)
 
 
+def settings_from_preset(preset: dict) -> ExportSettings:
+    """Build ExportSettings from a saved export preset (app_settings.rs
+    ExportPreset :218-292; presets live under settings['exportPresets'])."""
+    watermark = None
+    if preset.get("enable_watermark") and preset.get("watermark_path"):
+        from rapidraw_tpu.pipeline.watermark import WatermarkSettings
+
+        watermark = WatermarkSettings(
+            path=preset["watermark_path"],
+            anchor=preset.get("watermark_anchor") or "bottomRight",
+            scale=float(preset.get("watermark_scale", 15)),
+            spacing=float(preset.get("watermark_spacing", 2)),
+            opacity=float(preset.get("watermark_opacity", 100)),
+        )
+    long_edge = None
+    if preset.get("enable_resize") and preset.get("resize_value"):
+        long_edge = int(preset["resize_value"])
+    return ExportSettings(
+        format=preset.get("file_format", "jpeg").lower(),
+        quality=int(preset.get("jpeg_quality", 90)),
+        long_edge=long_edge,
+        filename_template=preset.get("filename_template") or "{original_filename}_edited",
+        watermark=watermark,
+        copy_exif=bool(preset.get("keep_metadata", True)),
+        strip_gps=bool(preset.get("strip_gps", True)),
+        preserve_folders=bool(preset.get("preserve_folders") or False),
+        preserve_timestamps=bool(preset.get("preserve_timestamps") or False),
+        export_masks=bool(preset.get("export_masks") or False),
+    )
+
+
 @dataclasses.dataclass
 class ExportResult:
     source: str

@@ -41,6 +41,18 @@ class PreviewResult:
     histogram: dict | None = None
     waveform: dict | None = None
 
+    def to_binary(self) -> bytes:
+        """The reference's interactive reply framing (lib.rs:575-582):
+        six little-endian u32 [x, y, w, h, fullW, fullH] + the JPEG bytes.
+        ROI-less renders use x=y=0 with the full preview dims."""
+        import struct
+
+        x, y = (self.roi[0], self.roi[1]) if self.roi else (0, 0)
+        header = struct.pack(
+            "<6I", x, y, self.width, self.height, self.full_width, self.full_height
+        )
+        return header + self.jpeg
+
 
 class RenderService:
     def __init__(self, settings: AppSettings | None = None):

@@ -178,3 +178,18 @@ def test_estimate_export_sizes(tmp_path):
     single = estimate_export_sizes([str(p)], ExportSettings(quality=90))
     assert abs(est - 3 * single) < single * 0.01
     assert estimate_export_sizes([str(p)], ExportSettings(format="cube")) == 1_050_000
+
+
+def test_settings_from_preset():
+    from rapidraw_tpu.pipeline.export import settings_from_preset
+
+    s = settings_from_preset({
+        "name": "web", "file_format": "JPEG", "jpeg_quality": 80,
+        "enable_resize": True, "resize_mode": "longEdge", "resize_value": 2048,
+        "keep_metadata": False, "strip_gps": True,
+        "filename_template": "{original_filename}_web",
+        "enable_watermark": False, "export_masks": True,
+    })
+    assert s.format == "jpeg" and s.quality == 80 and s.long_edge == 2048
+    assert not s.copy_exif and s.export_masks
+    assert s.filename_template == "{original_filename}_web"

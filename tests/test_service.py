@@ -108,3 +108,16 @@ def test_preset_preview_small(tmp_path):
     jpeg = svc.render_preset_preview(p, {"contrast": 40})
     im = Image.open(io.BytesIO(jpeg))
     assert max(im.size) == 400
+
+
+def test_preview_binary_protocol(tmp_path):
+    import struct
+
+    p = _jpg(tmp_path / "b.jpg")
+    svc = RenderService()
+    res = svc.render_preview(p, {"exposure": 0.3}, roi=(0.25, 0.25, 0.5, 0.5))
+    blob = res.to_binary()
+    x, y, w, h, fw, fh = struct.unpack("<6I", blob[:24])
+    assert (fw, fh) == (160, 120)
+    assert blob[24:26] == b"\xff\xd8"
+    assert (w, h) == (res.width, res.height)
