@@ -87,7 +87,23 @@ def generate_thumbnail(
 
 
 def generate_thumbnails(
-    paths: list[str], resolution: int = 720, cache_dir: str | Path | None = None
+    paths: list[str],
+    resolution: int = 720,
+    cache_dir: str | Path | None = None,
+    cancel=None,  # utils.recovery.CancellationToken (lib.rs:239-258)
+    progress=None,  # callable(done, total, path)
 ) -> dict[str, bytes]:
-    """Batch thumbnail generation (the worker-pool equivalent)."""
-    return {p: generate_thumbnail(p, resolution, cache_dir) for p in paths}
+    """Batch thumbnail generation (the worker-pool equivalent).
+
+    Cancellation and progress mirror the reference's thumbnail queue
+    (file_management.rs:1440-1568): the walk stops at the next item when
+    the token fires, returning whatever completed.
+    """
+    out: dict[str, bytes] = {}
+    for i, p in enumerate(paths):
+        if cancel is not None and cancel.cancelled:
+            break
+        if progress:
+            progress(i, len(paths), p)
+        out[p] = generate_thumbnail(p, resolution, cache_dir)
+    return out

@@ -214,6 +214,7 @@ def export_images(
     output_dir: str | Path,
     settings: ExportSettings | None = None,
     progress: Callable[[int, int, str], None] | None = None,
+    cancel=None,  # utils.recovery.CancellationToken (export_processing.rs:1006-1018)
 ) -> list[ExportResult]:
     """Export a list of image paths using their sidecar adjustments.
 
@@ -231,6 +232,9 @@ def export_images(
     results: list[ExportResult] = []
     prepared = []
     for i, p in enumerate(paths):
+        if cancel is not None and cancel.cancelled:
+            results.append(ExportResult(p, None, False, "cancelled"))
+            continue
         if progress:
             progress(i, len(paths), p)
         t0 = time.perf_counter()
@@ -252,6 +256,10 @@ def export_images(
     appearance: dict = {}
     for key, items in buckets.items():
         for start in range(0, len(items), settings.batch_size):
+            if cancel is not None and cancel.cancelled:
+                for p, *_ in items[start:]:
+                    results.append(ExportResult(p, None, False, "cancelled"))
+                break
             chunk = items[start : start + settings.batch_size]
             t0 = time.perf_counter()
             imgs = jnp.stack([c[1] for c in chunk])

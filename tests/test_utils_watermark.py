@@ -98,3 +98,50 @@ def test_export_adjustments_as_lut_identity_and_grade():
     cube2 = export_adjustments_as_lut({"exposure": 1.0}, lut_size=5)
     lut2 = parse_cube(cube2)
     assert lut2.mean() > lut.mean() + 0.02  # brighter grade baked in
+
+
+def test_cancellation_token_stops_export(tmp_path):
+    import numpy as np
+    from PIL import Image
+
+    from rapidraw_tpu.io.sidecar import save_sidecar
+    from rapidraw_tpu.pipeline.export import ExportSettings, export_images
+    from rapidraw_tpu.utils.recovery import CancellationToken
+
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"c{i}.jpg"
+        arr = (np.random.default_rng(i).random((32, 48, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(p)
+        save_sidecar(p, {"adjustments": {"exposure": 0.2}})
+        paths.append(str(p))
+    tok = CancellationToken()
+    tok.cancel()
+    results = export_images(paths, tmp_path / "out", ExportSettings(), cancel=tok)
+    assert all(not r.ok and r.error == "cancelled" for r in results)
+
+
+def test_stage_timer_and_logging(tmp_path):
+    from rapidraw_tpu.utils.trace import setup_logging, stage_timer, log_render_fps
+
+    setup_logging("debug", tmp_path / "log.txt")
+    with stage_timer("unit") as t:
+        pass
+    assert t["seconds"] >= 0.0
+    for _ in range(10):
+        log_render_fps(0.01)
+    assert (tmp_path / "log.txt").exists()
+
+
+def test_guarded_backend_init(tmp_path, monkeypatch):
+    from rapidraw_tpu.utils import recovery
+
+    monkeypatch.setenv("RAPIDRAW_CACHE_DIR", str(tmp_path))
+    platform = recovery.guarded_backend_init()
+    assert platform  # normal path: flag cleaned up
+    assert not (tmp_path / "backend_crash_flag").exists()
+    # simulate a crash: flag left behind -> CPU fallback signalled
+    (tmp_path / "backend_crash_flag").write_text("init")
+    platform2 = recovery.guarded_backend_init()
+    assert "cpu" in platform2
+    assert not (tmp_path / "backend_crash_flag").exists()
