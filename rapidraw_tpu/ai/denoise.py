@@ -1,0 +1,100 @@
+"""AI denoiser: UtNet (NIND) architecture in flax + tiled execution.
+
+The reference runs the NIND UtNet ONNX model through its tiling harness
+(ai_processing.rs denoise path + denoising.rs:51-88 'ai' mode). Zero-egress
+environments can't fetch weights, so the network is defined natively
+(flax) and loads parameters from RAPIDRAW_MODELS/utnet.npz when present;
+`denoise_ai` raises ModelUnavailable otherwise (callers fall back to BM3D,
+matching the reference's behavior when the model file is absent).
+
+UtNet (Benoit Brummer, "Natural Image Noise Dataset", CVPRW 2019) is a
+U-Net: 4 down levels (conv-conv-pool) widening 32..256, a bottleneck, and
+transpose-conv up path with skip concatenation, LeakyReLU activations.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+from rapidraw_tpu.ai.models import ModelUnavailable
+from rapidraw_tpu.ai.tiled_inference import run_tiled, select_tile_params
+
+
+def _utnet():
+    import flax.linen as nn
+
+    class UtNet(nn.Module):
+        base: int = 32
+
+        @nn.compact
+        def __call__(self, x):  # (B, H, W, 3)
+            act = lambda v: nn.leaky_relu(v, 0.1)
+            skips = []
+            f = self.base
+            for _ in range(4):
+                x = act(nn.Conv(f, (3, 3))(x))
+                x = act(nn.Conv(f, (3, 3))(x))
+                skips.append(x)
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                f *= 2
+            x = act(nn.Conv(f, (3, 3))(x))
+            x = act(nn.Conv(f, (3, 3))(x))
+            for skip in reversed(skips):
+                f //= 2
+                import jax.numpy as jnp
+
+                x = nn.ConvTranspose(f, (2, 2), strides=(2, 2))(x)
+                x = jnp.concatenate([x[:, : skip.shape[1], : skip.shape[2], :], skip], axis=-1)
+                x = act(nn.Conv(f, (3, 3))(x))
+                x = act(nn.Conv(f, (3, 3))(x))
+            return nn.Conv(3, (3, 3))(x)
+
+    return UtNet()
+
+
+def _load_params(model):
+    """Load utnet.npz (flat {path: array}) from the models dir."""
+    import jax
+    import jax.numpy as jnp
+
+    d = Path(os.environ.get("RAPIDRAW_MODELS", Path.home() / ".cache" / "rapidraw_tpu" / "models"))
+    p = d / "utnet.npz"
+    if not p.exists():
+        raise ModelUnavailable(
+            f"UtNet weights not found at {p}; place the NIND UtNet parameters "
+            "there as a flat npz (convert from the published checkpoint), or "
+            "use the BM3D denoiser which needs no model."
+        )
+    flat = dict(np.load(p))
+    tree = {}
+    for k, v in flat.items():
+        node = tree
+        parts = k.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = jnp.asarray(v)
+    return {"params": tree}
+
+
+def denoise_ai(image: np.ndarray, quality: float = 0.5) -> np.ndarray:
+    """Denoise planar (3, H, W) float32 with UtNet over blended tiles.
+
+    Raises ModelUnavailable when weights are absent (denoising.apply_denoising
+    falls back to BM3D, like the reference without its model download).
+    """
+    import jax
+
+    model = _utnet()
+    variables = _load_params(model)
+    params = select_tile_params(quality)
+
+    @jax.jit
+    def fwd(batch):  # (B, 3, cs, cs) planar -> same
+        x = batch.transpose(0, 2, 3, 1)
+        y = model.apply(variables, x)
+        return y.transpose(0, 3, 1, 2)
+
+    return run_tiled(fwd, image, params)

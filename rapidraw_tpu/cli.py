@@ -224,7 +224,16 @@ def _cmd_denoise(args) -> int:
 
     _require_file(args.image)
     img, _ = load_image(args.image)
-    out = run_bm3d(np.asarray(img), intensity=args.intensity)
+    if args.method == "ai":
+        from rapidraw_tpu.ai.denoise import denoise_ai
+        from rapidraw_tpu.ai.models import ModelUnavailable
+
+        try:
+            out = denoise_ai(np.asarray(img), quality=args.intensity)
+        except ModelUnavailable as e:
+            raise SystemExit(f"error: {e}")
+    else:
+        out = run_bm3d(np.asarray(img), intensity=args.intensity)
     dst = args.output or str(Path(args.image).with_suffix("")) + "_denoised.png"
     encode_image(out, dst)
     print(dst)
@@ -369,10 +378,12 @@ def main(argv=None) -> int:
     m.add_argument("-o", "--output")
     m.set_defaults(fn=_cmd_hdr)
 
-    dn = sub.add_parser("denoise", help="BM3D denoise an image")
+    dn = sub.add_parser("denoise", help="denoise an image (BM3D or AI)")
     dn.add_argument("image")
     dn.add_argument("-o", "--output")
     dn.add_argument("--intensity", type=float, default=0.5)
+    dn.add_argument("--method", choices=("bm3d", "ai"), default="bm3d",
+                    help="ai requires UtNet weights in RAPIDRAW_MODELS")
     dn.set_defaults(fn=_cmd_denoise)
 
     pa = sub.add_parser("panorama", help="stitch overlapping frames")

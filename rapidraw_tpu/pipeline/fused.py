@@ -36,7 +36,9 @@ from rapidraw_tpu.params.parse import DevelopConfig
 from rapidraw_tpu.pipeline.develop import prepare_inputs
 from rapidraw_tpu.pipeline.grade import finish_chain, grade_chain
 
-_TH = 128
+# measured on v5e (24MP full grade): 128x512 28.7ms, 256x512 21.2ms,
+# 512x512 28.3ms, 128x1024 27.5ms — 256x512 with the raised VMEM limit wins
+_TH = 256
 _TW = 512
 
 
@@ -225,6 +227,13 @@ def develop_fused(
             (3, _TH, _TW), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=(
+                pltpu.GridDimensionSemantics.PARALLEL,
+                pltpu.GridDimensionSemantics.PARALLEL,
+            ),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(vec, *padded)
     final = out[:, :h, :w]
 
