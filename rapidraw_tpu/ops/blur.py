@@ -193,13 +193,22 @@ def _blur_axis(x: jnp.ndarray, radius: int, axis: int) -> jnp.ndarray:
     for q in range(s + nb - 1):
         in_specs.append(pl.BlockSpec(block, imap(q), memory_space=pltpu.VMEM))
 
+    interpret = _use_interpret()
     out = pl.pallas_call(
         _make_kernel(nb, axis, s),
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(oblock, omap, memory_space=pltpu.VMEM),
-        interpret=_use_interpret(),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=(
+                pltpu.GridDimensionSemantics.PARALLEL,
+                pltpu.GridDimensionSemantics.PARALLEL,
+                pltpu.GridDimensionSemantics.PARALLEL,
+            ),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(khi, klo, *([x] * (s + nb - 1)))
     return out[:, :n, :m]
 
