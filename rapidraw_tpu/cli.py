@@ -47,7 +47,11 @@ def _cmd_develop(args) -> int:
 
     timg, crop_offset = apply_all_transformations(jnp.asarray(img), adj)
     _, h, w = timg.shape
-    masks = rasterize_masks(adj, w, h, scale=1.0, crop_offset=crop_offset)
+    from rapidraw_tpu.masks.rasterize import resolve_warped_image
+
+    warped = resolve_warped_image(img, adj, is_raw)
+    masks = rasterize_masks(adj, w, h, scale=1.0, crop_offset=crop_offset,
+                            warped_image=warped)
     params, cfg = parse_adjustments(adj, is_raw=is_raw)
     lut = None
     if cfg.has_lut:

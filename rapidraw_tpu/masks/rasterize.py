@@ -299,3 +299,43 @@ def rasterize_masks(
     if not out:
         return None
     return np.stack(out)
+
+
+def requires_warped_image(adjustments: dict) -> bool:
+    """Does any visible sub-mask sample image content?
+    (MaskDefinition::requires_warped_image, mask_generation.rs:1452)."""
+    for m in adjustments.get("masks") or []:
+        if not isinstance(m, dict) or not m.get("visible", False):
+            continue
+        for sub in m.get("subMasks") or []:
+            if isinstance(sub, dict) and sub.get("visible", True) and \
+                    sub.get("type") in ("color", "luminance"):
+                return True
+    return False
+
+
+def resolve_warped_image(
+    image, adjustments: dict, is_raw: bool = False
+) -> np.ndarray | None:
+    """The geometry-warped (pre-crop, pre-rotation) full image as (H, W, 3)
+    u8 for color/luminance range masks (lib.rs get_cached_full_warped_image
+    :260-288: warp only; RAW gets the default gamma/contrast look first).
+    Returns None when no mask needs it."""
+    if not requires_warped_image(adjustments):
+        return None
+    import jax.numpy as jnp
+
+    from rapidraw_tpu.geometry.params import (
+        geometry_params_from_json, is_geometry_identity,
+    )
+    from rapidraw_tpu.geometry.warp import warp_image_geometry
+
+    x = jnp.asarray(image)
+    if is_raw:
+        g = jnp.power(jnp.maximum(x, 0.0), 1.0 / 2.38)
+        x = jnp.clip((g - 0.5) * 1.28 + 0.5, 0.0, 1.0)
+    gp = geometry_params_from_json(adjustments)
+    if not is_geometry_identity(gp):
+        x = warp_image_geometry(x, gp)
+    arr = np.asarray(jnp.clip(x, 0.0, 1.0))
+    return (arr * 255.0 + 0.5).astype(np.uint8).transpose(1, 2, 0)

@@ -110,7 +110,11 @@ def _prepare_one(path: str, settings: ExportSettings):
 
     timg, crop_offset = apply_all_transformations(jnp.asarray(img), adj)
     _, h, w = timg.shape
-    masks = rasterize_masks(adj, w, h, scale=1.0, crop_offset=crop_offset)
+    from rapidraw_tpu.masks.rasterize import resolve_warped_image
+
+    warped = resolve_warped_image(img, adj, is_raw)
+    masks = rasterize_masks(adj, w, h, scale=1.0, crop_offset=crop_offset,
+                            warped_image=warped)
     params, cfg = parse_adjustments(adj, is_raw=is_raw)
 
     lut = None
@@ -351,7 +355,12 @@ def _export_masks_for_image(path: str, main_output: Path, settings: ExportSettin
 
     timg, crop_offset = apply_all_transformations(jnp.asarray(img), adj)
     _, h, w = timg.shape
-    bitmaps = rasterize_masks(adj, w, h, scale=1.0, crop_offset=crop_offset)
+    from rapidraw_tpu.masks.rasterize import resolve_warped_image
+
+    bitmaps = rasterize_masks(
+        adj, w, h, scale=1.0, crop_offset=crop_offset,
+        warped_image=resolve_warped_image(img, adj, is_raw),
+    )
     if bitmaps is None:
         return
 

@@ -65,6 +65,7 @@ class RenderService:
         self._transformed = LruCache(8)
         self._mask_cache = LruCache(50)  # cap like mask_generation.rs:1503
         self._geometry_base = LruCache(6)  # graded geometry-preview base (lib.rs:1007)
+        self._warped_cache = LruCache(1)  # full warped image (lib.rs:260-288)
         self._jit = {}
 
     # -- loading ----------------------------------------------------------
@@ -97,7 +98,27 @@ class RenderService:
         self._transformed.put(key, entry)
         return entry
 
-    def _masks(self, adjustments: dict, w: int, h: int, scale: float, crop_offset):
+    def _warped_for_masks(self, path: str, adjustments: dict):
+        """Geometry-warped full image for color/luminance masks, cached by
+        (path, geometry hash) like lib.rs:260-288."""
+        from rapidraw_tpu.masks.rasterize import requires_warped_image, resolve_warped_image
+        from rapidraw_tpu.utils.hashing import calculate_geometry_hash
+
+        if not requires_warped_image(adjustments):
+            return None
+        key = (path, calculate_geometry_hash(adjustments))
+        hit = self._warped_cache.get(key)
+        if hit is not None:
+            return hit
+        img, is_raw = self.load(path)
+        warped = resolve_warped_image(img, adjustments, is_raw)
+        self._warped_cache.put(key, warped)
+        return warped
+
+    def _masks(
+        self, adjustments: dict, w: int, h: int, scale: float, crop_offset,
+        warped_image=None,
+    ):
         import hashlib
 
         mask_defs = adjustments.get("masks")
@@ -114,6 +135,7 @@ class RenderService:
         masks = rasterize_masks(
             adjustments, w, h, scale=scale,
             crop_offset=(crop_offset[0] * scale, crop_offset[1] * scale),
+            warped_image=warped_image,
         )
         self._mask_cache.put(key, masks)
         return masks
@@ -157,7 +179,8 @@ class RenderService:
 
         _, h, w = x.shape
         scale = h / full_h if full_h else 1.0
-        masks = self._masks(adjustments, w, h, scale, crop_offset)
+        warped = self._warped_for_masks(path, adjustments)
+        masks = self._masks(adjustments, w, h, scale, crop_offset, warped_image=warped)
 
         roi_px = None
         if roi is not None:
@@ -264,7 +287,8 @@ class RenderService:
         x = downscale_to_long_edge(x, self.settings.editor_preview_resolution)
         _, h, w = x.shape
         scale = w / pre_w if pre_w else 1.0
-        masks = self._masks(adjustments, w, h, scale, (0.0, 0.0))
+        warped = self._warped_for_masks(path, adjustments)
+        masks = self._masks(adjustments, w, h, scale, (0.0, 0.0), warped_image=warped)
 
         tonemapper_override = self.settings.tonemapper_override(is_raw)
         params, cfg = parse_adjustments(adjustments, is_raw, tonemapper_override)
@@ -383,7 +407,8 @@ class RenderService:
         )
         _, h, w = x.shape
         scale = h / full_h if full_h else 1.0
-        masks = self._masks(adjustments, w, h, scale, crop_offset)
+        warped = self._warped_for_masks(path, adjustments)
+        masks = self._masks(adjustments, w, h, scale, crop_offset, warped_image=warped)
         tonemapper_override = self.settings.tonemapper_override(is_raw)
         params, cfg = parse_adjustments(adjustments, is_raw, tonemapper_override)
         lut = self._load_lut(adjustments, cfg)
@@ -412,6 +437,7 @@ class RenderService:
         self._transformed.clear()
         self._mask_cache.clear()
         self._geometry_base.clear()
+        self._warped_cache.clear()
 
 
 def downscale_to_long_edge_np(img: np.ndarray, long_edge: int) -> np.ndarray:

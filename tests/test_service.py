@@ -121,3 +121,31 @@ def test_preview_binary_protocol(tmp_path):
     assert (fw, fh) == (160, 120)
     assert blob[24:26] == b"\xff\xd8"
     assert (w, h) == (res.width, res.height)
+
+
+def test_color_range_mask_resolves_warped_image(tmp_path):
+    # left half red, right half blue; a color-range mask on red must light
+    # up only the left half — requires the service to resolve the warped
+    # image (previously the bitmap came back empty)
+    arr = np.zeros((60, 80, 3), np.uint8)
+    arr[:, :40] = (220, 30, 30)
+    arr[:, 40:] = (30, 30, 220)
+    p = tmp_path / "cr.jpg"
+    Image.fromarray(arr).save(p, quality=98)
+
+    adj = {
+        "exposure": 2.0,
+        "masks": [{
+            "name": "reds", "visible": True,
+            "adjustments": {"exposure": 2.0},
+            "subMasks": [{"type": "color", "visible": True, "mode": "additive",
+                          "parameters": {"targetX": 10, "targetY": 30, "tolerance": 30}}],
+        }],
+    }
+    svc = RenderService()
+    warped = svc._warped_for_masks(str(p), adj)
+    assert warped is not None and warped.shape == (60, 80, 3)
+    masks = svc._masks(adj, 80, 60, 1.0, (0.0, 0.0), warped_image=warped)
+    assert masks is not None
+    assert masks[0][:, :35].mean() > 0.8  # red half selected
+    assert masks[0][:, 45:].mean() < 0.1  # blue half not
