@@ -74,6 +74,7 @@ def prepare_inputs(
     linearize_blurs: bool = True,
     full_size: tuple[int, int] | None = None,
     tile_offset: tuple[int, int] = (0, 0),
+    linearize_image: bool = True,
 ):
     """Shared front half: CA, linearize, NR, blur pyramid, flare sampling.
 
@@ -94,7 +95,13 @@ def prepare_inputs(
         color_from_texture = apply_ca_correction(input_rgb, g["ca_rc"], g["ca_by"])
     else:
         color_from_texture = input_rgb
-    initial_linear = color_from_texture if is_raw else cs.srgb_to_linear(color_from_texture)
+    if is_raw or not linearize_image:
+        # linearize_image=False: the fused kernel applies srgb_to_linear per
+        # tile in VMEM instead (only valid when NR is inactive — NR consumes
+        # the linear image here)
+        initial_linear = color_from_texture
+    else:
+        initial_linear = cs.srgb_to_linear(color_from_texture)
 
     if cfg.mask_count > 0:
         assert masks is not None, "cfg.mask_count > 0 requires mask bitmaps"

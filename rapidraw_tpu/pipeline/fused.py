@@ -125,9 +125,14 @@ def develop_fused(
     scale = max(0.1, min(h, w) / scales.REFERENCE_DIMENSION)
 
     # blur levels stay in INPUT space; the kernel linearizes each tile once
-    # in VMEM (saves a full HBM round-trip per level vs pre-linearizing)
+    # in VMEM (saves a full HBM round-trip per level vs pre-linearizing).
+    # NOTE: doing the same for the image itself measured ~3% SLOWER on v5e
+    # (858 vs 888 MPix/s — the standalone XLA linearize pipelines better
+    # than an extra in-kernel pow on the critical path), so it stays off.
+    kernel_linearize_image = False
     initial_linear, blurs, flare_rgb, gated_infl, scale = prepare_inputs(
-        image, params, cfg, masks, flare, linearize_blurs=False
+        image, params, cfg, masks, flare, linearize_blurs=False,
+        linearize_image=not kernel_linearize_image,
     )
 
     params_t = _trim_param_curves(params, cfg.curve_segments)
@@ -154,7 +159,11 @@ def develop_fused(
 
     def kernel(*refs):
         vec_ref = refs[0]
-        img_ref = refs[1]
+        img_tile = refs[1][...]
+        if kernel_linearize_image:
+            from rapidraw_tpu.ops import colorspace as _cs0
+
+            img_tile = _cs0.srgb_to_linear(img_tile)
         idx = 2
         blur_tiles = {"sharp": None, "tonal": None, "clarity": None, "structure": None}
         for k in blur_keys:
@@ -192,7 +201,7 @@ def develop_fused(
         m = p["mask"]
 
         final = grade_chain(
-            img_ref[...],
+            img_tile,
             blur_tiles["sharp"], blur_tiles["tonal"],
             blur_tiles["clarity"], blur_tiles["structure"],
             flare_tile, g, m, mask_tile, cfg, xs, ys, w, h, scale,
