@@ -170,8 +170,12 @@ def apply_color_grading(rgb: jnp.ndarray, cg: jnp.ndarray, blending, balance) ->
     graded = rgb
     for i, ((sat_str, lum_str), m) in enumerate(zip(strengths, masks)):
         hue, sat, lum = cg[i][0], cg[i][1], cg[i][2]
-        tint_rgb = cs.hsv_to_rgb(hue, jnp.ones_like(hue), jnp.ones_like(hue))
-        contrib = (bcast3(tint_rgb, rgb) - 0.5) * (sat * sat_str) * m
+        one = jnp.ones_like(jnp.asarray(hue))
+        # channel tuple (not a stacked (3,) vector): hue/sat are scalars and
+        # Mosaic rejects tiny 1-D vectors inside the fused kernel
+        tr, tg, tb = cs.hsv_to_rgb_channels(hue, one, one)
+        amt = (sat * sat_str) * m
+        contrib = jnp.stack([(tr - 0.5) * amt, (tg - 0.5) * amt, (tb - 0.5) * amt])
         graded = graded + jnp.where(sat > 0.001, contrib, 0.0)
         graded = graded + (lum * lum_str) * m
     return graded
@@ -206,7 +210,13 @@ def apply_color_calibration(rgb: jnp.ndarray, cal: jnp.ndarray) -> jnp.ndarray:
 
     shadow_luma = luma(jnp.maximum(c, 0.0))
     m = 1.0 - smoothstep(0.0, 0.3, shadow_luma)
-    tint_mult = bcast3(jnp.stack([1.0 + st * 0.25, 1.0 - st * 0.25, 1.0 + st * 0.25]), c)
-    tinted = mix(c, c * tint_mult, m)
+    # per-channel scalar gains (no (3,) vector: Mosaic-incompatible)
+    tinted = jnp.stack(
+        [
+            mix(c[0], c[0] * (1.0 + st * 0.25), m),
+            mix(c[1], c[1] * (1.0 - st * 0.25), m),
+            mix(c[2], c[2] * (1.0 + st * 0.25), m),
+        ]
+    )
     c = jnp.where(jnp.abs(st) > 0.001, tinted, c)
     return c

@@ -53,6 +53,14 @@ def rgb_to_hsv(rgb: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
 
 def hsv_to_rgb(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """shader.wgsl:261-274. h in degrees; returns (3, ...)."""
+    r, g, b = hsv_to_rgb_channels(h, s, v)
+    return jnp.stack([r, g, b])
+
+
+def hsv_to_rgb_channels(h, s, v):
+    """hsv_to_rgb returning a (r, g, b) tuple — for scalar inputs inside
+    Pallas kernels, where stacking scalars into a (3,) vector is rejected
+    by Mosaic (tiny 1-D vectors have no lane layout)."""
     c = v * s
     x = c * (1.0 - jnp.abs(wgsl_mod(h / 60.0, 2.0) - 1.0))
     z = jnp.zeros_like(c)
@@ -70,4 +78,4 @@ def hsv_to_rgb(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
         gp = jnp.where(cond, tg, gp)
         bp = jnp.where(cond, tb, bp)
     m = v - c
-    return jnp.stack([rp + m, gp + m, bp + m])
+    return rp + m, gp + m, bp + m
