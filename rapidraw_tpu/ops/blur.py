@@ -133,28 +133,43 @@ def _use_interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
 
 
-def _blur_axis(x: jnp.ndarray, radius: int, axis: int) -> jnp.ndarray:
-    """Blur (C, N, M) along `axis` (0 -> N, 1 -> M), per-channel edge clamp."""
+def _blur_axis(
+    x: jnp.ndarray, radius: int, axis: int, grid_b_override: int | None = None
+) -> jnp.ndarray:
+    """Blur (C, N, M) along `axis` (0 -> N, 1 -> M), per-channel edge clamp.
+
+    grid_b_override: the fast 2D-prepadded path (gaussian_blur) passes the
+    superblock grid explicitly; the input then already carries the halo pad
+    on the blurred axis and _TP alignment on the passive axis, and the
+    output is returned uncropped."""
     c, n, m = x.shape
     hb = -(-radius // _TB)
     nb = 2 * hb + 1
     pad = hb * _TB
 
-    # superblock: s output blocks per tile -> halo DMA amortized
-    blocks_b = -(-(n if axis == 0 else m) // _TB)
-    s = _S if blocks_b >= _S else 1
-    grid_b = -(-blocks_b // s)
+    if grid_b_override is not None:
+        # prepadded input: the caller already applied the single 2D edge pad
+        s = _S
+        grid_b = grid_b_override
+    else:
+        # superblock: s output blocks per tile -> halo DMA amortized
+        blocks_b = -(-(n if axis == 0 else m) // _TB)
+        s = _S if blocks_b >= _S else 1
+        grid_b = -(-blocks_b // s)
 
     if axis == 0:
-        grid_p = -(-m // _TP)
-        total_b = (grid_b * s + 2 * hb) * _TB
-        # one edge-mode pad: band weights are zero beyond `radius`, and the
-        # passive-axis extension is cropped, so edge copies are safe filler
-        x = jnp.pad(
-            x,
-            ((0, 0), (pad, total_b - pad - n), (0, -m % _TP)),
-            mode="edge",
-        )
+        if grid_b_override is None:
+            grid_p = -(-m // _TP)
+            total_b = (grid_b * s + 2 * hb) * _TB
+            # one edge-mode pad: band weights are zero beyond `radius`, and
+            # the passive-axis extension is cropped, so edge copies are safe
+            x = jnp.pad(
+                x,
+                ((0, 0), (pad, total_b - pad - n), (0, -m % _TP)),
+                mode="edge",
+            )
+        else:
+            grid_p = m // _TP
         block = (1, _TB, _TP)
         oblock = (1, s * _TB, _TP)
         out_shape = (c, grid_b * s * _TB, grid_p * _TP)
@@ -165,13 +180,16 @@ def _blur_axis(x: jnp.ndarray, radius: int, axis: int) -> jnp.ndarray:
 
         omap = lambda ci, i, j: (ci, i, j)
     else:
-        grid_p = -(-n // _TP)
-        total_b = (grid_b * s + 2 * hb) * _TB
-        x = jnp.pad(
-            x,
-            ((0, 0), (0, -n % _TP), (pad, total_b - pad - m)),
-            mode="edge",
-        )
+        if grid_b_override is None:
+            grid_p = -(-n // _TP)
+            total_b = (grid_b * s + 2 * hb) * _TB
+            x = jnp.pad(
+                x,
+                ((0, 0), (0, -n % _TP), (pad, total_b - pad - m)),
+                mode="edge",
+            )
+        else:
+            grid_p = n // _TP
         block = (1, _TP, _TB)
         oblock = (1, _TP, s * _TB)
         out_shape = (c, grid_p * _TP, grid_b * s * _TB)
@@ -210,6 +228,8 @@ def _blur_axis(x: jnp.ndarray, radius: int, axis: int) -> jnp.ndarray:
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(khi, klo, *([x] * (s + nb - 1)))
+    if grid_b_override is not None:
+        return out
     return out[:, :n, :m]
 
 
@@ -229,6 +249,28 @@ def gaussian_blur(img: jnp.ndarray, radius: int) -> jnp.ndarray:
     if FORCE_CONV.get():
         return gaussian_blur_reference(img, radius)
     x = jnp.clip(img, 0.0, F16_MAX)
+    c, n, m = x.shape
+    hb = -(-radius // _TB)
+    pad = hb * _TB
+    blocks_r = -(-n // _TB)
+    blocks_c = -(-m // _TB)
+    if blocks_r >= _S and blocks_c >= _S:
+        # fast path: ONE 2D edge pad serves both passes (edge-padding
+        # commutes with a separable clamp-to-edge blur: the H-blurred pad
+        # rows ARE the blurred edge rows the V pass needs)
+        grid_r = -(-blocks_r // _S)
+        grid_c = -(-blocks_c // _S)
+        need_r = (grid_r * _S + 2 * hb) * _TB
+        row_total = -(-need_r // _TP) * _TP  # H-pass passive alignment
+        col_total = (grid_c * _S + 2 * hb) * _TB
+        x = jnp.pad(
+            x,
+            ((0, 0), (pad, row_total - pad - n), (pad, col_total - pad - m)),
+            mode="edge",
+        )
+        x = _blur_axis(x, radius, axis=1, grid_b_override=grid_c)
+        x = _blur_axis(x, radius, axis=0, grid_b_override=grid_r)
+        return x[:, :n, :m]
     x = _blur_axis(x, radius, axis=1)  # horizontal (blur.wgsl pass 1)
     return _blur_axis(x, radius, axis=0)  # vertical (pass 2)
 
