@@ -21,3 +21,23 @@ from rapidraw_tpu.params.parse import (  # noqa: F401
     parse_adjustments,
 )
 from rapidraw_tpu.pipeline.develop import develop  # noqa: F401
+
+
+def __getattr__(name):  # lazy: keep `import rapidraw_tpu` light
+    if name == "develop_batch":
+        from rapidraw_tpu.pipeline.batch import develop_batch
+
+        return develop_batch
+    if name == "export_images":
+        from rapidraw_tpu.pipeline.export import export_images
+
+        return export_images
+    if name == "RenderService":
+        from rapidraw_tpu.pipeline.service import RenderService
+
+        return RenderService
+    if name == "develop_fused":
+        from rapidraw_tpu.pipeline.fused import develop_fused
+
+        return develop_fused
+    raise AttributeError(name)
