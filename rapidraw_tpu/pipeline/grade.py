@@ -17,7 +17,7 @@ from rapidraw_tpu.ops import curves as curve_ops
 from rapidraw_tpu.ops import local as local_ops
 from rapidraw_tpu.ops import tone as tone_ops
 from rapidraw_tpu.ops import colorspace as cs
-from rapidraw_tpu.ops.common import luma, mix, smoothstep
+from rapidraw_tpu.ops.common import fpow, luma, mix, smoothstep
 from rapidraw_tpu.ops.grain import apply_grain, dither_from_coords
 from rapidraw_tpu.params.parse import DevelopConfig
 
@@ -192,8 +192,8 @@ def grade_chain(
         un = (xs / w_full - 0.5) * 2.0
         vn = (ys / h_full - 0.5) * 2.0
         aspect = h_full / w_full
-        ux = jnp.sign(un) * jnp.power(jnp.abs(un), v_round)
-        uy = jnp.sign(vn) * jnp.power(jnp.abs(vn), v_round)
+        ux = jnp.sign(un) * fpow(jnp.abs(un), v_round)
+        uy = jnp.sign(vn) * fpow(jnp.abs(vn), v_round)
         d = jnp.sqrt(ux * ux + (uy * aspect) ** 2) * 0.5
         vmask = smoothstep(v_mid - v_feather, v_mid + v_feather, d)
         darken = rgb * (1.0 + v_amount * vmask)
