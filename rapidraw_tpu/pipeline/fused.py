@@ -3,7 +3,7 @@
 Motivation (measured on v5e, 24MP): the XLA path splits the ~40-stage
 elementwise chain into many fusions, each paying a full HBM round-trip —
 ~40 ms for work whose flop cost is ~9 ms. This kernel runs the entire
-post-NR chain (pipeline.grade) per (128, 512) tile while it sits in VMEM:
+post-NR chain (pipeline.grade) per (256, 512) tile while it sits in VMEM:
 one read of the inputs, one write of the output — the TPU equivalent of
 the reference's single WGSL megakernel dispatch (shader.wgsl main).
 
@@ -103,11 +103,6 @@ def unpack_params(vec_ref, meta):
         leaves.append(_nest_scalars(vals, shape))
         off += n
     return jax.tree_util.tree_unflatten(treedef, leaves)
-
-
-def _supported(cfg: DevelopConfig) -> bool:
-    # gather-based or full-frame-dependent stages that can't tile
-    return True  # LUT handled by splitting; everything else tiles
 
 
 def develop_fused(
