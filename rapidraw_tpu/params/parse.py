@@ -109,6 +109,13 @@ class DevelopConfig:
 
     ca_active: bool = False
     nr_active: bool = False
+    # STATIC NR amounts (None => masked/per-pixel amounts: the exact gather
+    # path). Amounts come from the document, so for unmasked NR the tap
+    # grid is known when tracing and the TPU path uses static edge-clamped
+    # shifts (jitter dropped — see ops/nr.py) instead of gathers, which
+    # cost seconds per 24MP frame on TPU.
+    nr_static_luma: float | None = None
+    nr_static_color: float | None = None
     sharpness_active: bool = False
     mask_sharpness_active: bool = False
     clarity_active: bool = False
@@ -408,6 +415,14 @@ def parse_adjustments(
         has_lut=meta["has_lut"],
         ca_active=_nz(g["ca_rc"], g["ca_by"]),
         nr_active=any_field("luma_nr") or any_field("color_nr"),
+        nr_static_luma=(
+            float(np.clip(g["luma_nr"], 0.0, 1.0))
+            if not any(_nz(m["luma_nr"]) for m in mask_sets) else None
+        ),
+        nr_static_color=(
+            float(np.clip(g["color_nr"], 0.0, 1.0))
+            if not any(_nz(m["color_nr"]) for m in mask_sets) else None
+        ),
         sharpness_active=_nz(g["sharpness"]),
         mask_sharpness_active=any(_nz(m["sharpness"]) for m in mask_sets),
         clarity_active=any_field("clarity"),
@@ -469,6 +484,9 @@ def merge_configs(configs: list[DevelopConfig]) -> DevelopConfig:
             if len(set(vals)) > 1:
                 raise ValueError(f"cannot batch mixed {name!r} documents in one compile")
             fields[name] = vals[0]
+        elif name in ("nr_static_luma", "nr_static_color"):
+            # static only if identical across the batch; else per-pixel path
+            fields[name] = vals[0] if len(set(vals)) == 1 else None
         else:
             fields[name] = any(vals)
     return DevelopConfig(**fields)

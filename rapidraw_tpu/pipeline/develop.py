@@ -122,7 +122,8 @@ def prepare_inputs(
                 else:
                     color_nr = v
         initial_linear = apply_noise_reduction(
-            initial_linear, input_rgb, luma_nr, color_nr, scale, is_raw
+            initial_linear, input_rgb, luma_nr, color_nr, scale, is_raw,
+            static_luma=cfg.nr_static_luma, static_color=cfg.nr_static_color,
         )
 
     # blur pyramid, pre-linearized once (gpu_processing.rs:1402-1405)

@@ -141,3 +141,51 @@ def test_culling_scores_and_groups(tmp_path):
 
 def test_laplacian_flat_zero():
     assert laplacian_variance(np.full((16, 16), 100, np.uint8)) == 0.0
+
+
+def test_nr_static_path_matches_jittered_within_noise():
+    """The static-grid NR (doc-constant amounts) must denoise equivalently
+    to the jittered gather path: identical weighting math, tap grid fixed
+    at the jitter-free positions. Differences are bounded by the jitter's
+    stochastic effect, well under the noise being removed."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from rapidraw_tpu.ops.nr import apply_noise_reduction
+
+    rng = np.random.default_rng(0)
+    base = rng.random((3, 1, 1)).astype(np.float32)
+    img = np.clip(base + rng.normal(0, 0.03, (3, 96, 128)).astype(np.float32), 0, 1)
+    cl = jnp.asarray(img)
+    g = np.asarray(apply_noise_reduction(cl, cl, 0.5, 0.4, 1.0, True))
+    s = np.asarray(
+        apply_noise_reduction(cl, cl, 0.5, 0.4, 1.0, True,
+                              static_luma=0.5, static_color=0.4)
+    )
+    assert np.abs(g - s).max() < 0.05
+    assert np.abs(g - s).mean() < 0.005
+    # equal denoising power
+    assert abs(float(g.std()) - float(s.std())) < 0.003
+
+
+def test_nr_static_config_fields():
+    from rapidraw_tpu.params.parse import merge_configs, parse_adjustments
+
+    _, c1 = parse_adjustments({"lumaNoiseReduction": 40, "colorNoiseReduction": 20})
+    assert c1.nr_static_luma is not None and c1.nr_static_color is not None
+    # masked NR amounts force the exact per-pixel path
+    _, c2 = parse_adjustments({
+        "lumaNoiseReduction": 40,
+        "masks": [{"name": "m", "visible": True,
+                   "adjustments": {"lumaNoiseReduction": 80},
+                   "subMasks": [{"type": "radial", "visible": True, "mode": "additive",
+                                 "parameters": {"centerX": 10, "centerY": 10,
+                                                "radiusX": 5, "radiusY": 5,
+                                                "rotation": 0, "feather": 0.5}}]}],
+    })
+    assert c2.nr_static_luma is None
+    # mixed amounts across a batch fall back too
+    _, c3 = parse_adjustments({"lumaNoiseReduction": 70})
+    merged = merge_configs([c1, c3])
+    assert merged.nr_static_luma is None
+    assert merge_configs([c1, c1]).nr_static_luma == c1.nr_static_luma
