@@ -116,6 +116,10 @@ class DevelopConfig:
     # cost seconds per 24MP frame on TPU.
     nr_static_luma: float | None = None
     nr_static_color: float | None = None
+    # CA shifts are global-only, so always doc-static: the separable
+    # constant-index resample replaces the 2D gather (437 ms -> 6 ms @24MP)
+    ca_static_rc: float = 0.0
+    ca_static_by: float = 0.0
     sharpness_active: bool = False
     mask_sharpness_active: bool = False
     clarity_active: bool = False
@@ -414,6 +418,8 @@ def parse_adjustments(
         mask_count=len(mask_sets),
         has_lut=meta["has_lut"],
         ca_active=_nz(g["ca_rc"], g["ca_by"]),
+        ca_static_rc=float(g["ca_rc"]),
+        ca_static_by=float(g["ca_by"]),
         nr_active=any_field("luma_nr") or any_field("color_nr"),
         nr_static_luma=(
             float(np.clip(g["luma_nr"], 0.0, 1.0))
@@ -487,6 +493,13 @@ def merge_configs(configs: list[DevelopConfig]) -> DevelopConfig:
         elif name in ("nr_static_luma", "nr_static_color"):
             # static only if identical across the batch; else per-pixel path
             fields[name] = vals[0] if len(set(vals)) == 1 else None
+        elif name in ("ca_static_rc", "ca_static_by"):
+            if len(set(vals)) > 1:
+                raise ValueError(
+                    "cannot batch documents with different chromatic-"
+                    "aberration amounts in one compile (bucket by config)"
+                )
+            fields[name] = vals[0]
         else:
             fields[name] = any(vals)
     return DevelopConfig(**fields)

@@ -92,7 +92,10 @@ def prepare_inputs(
     input_rgb = image
 
     if cfg.ca_active:
-        color_from_texture = apply_ca_correction(input_rgb, g["ca_rc"], g["ca_by"])
+        color_from_texture = apply_ca_correction(
+            input_rgb, g["ca_rc"], g["ca_by"],
+            static_rc=cfg.ca_static_rc, static_by=cfg.ca_static_by,
+        )
     else:
         color_from_texture = input_rgb
     if is_raw or not linearize_image:
