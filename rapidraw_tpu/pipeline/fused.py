@@ -24,8 +24,6 @@ Mechanics:
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np
