@@ -55,6 +55,23 @@ def _trim_curves(curve_set: dict, n_seg: int) -> dict:
     return out
 
 
+def apply_vignette(rgb, xs, ys, w_full, h_full, amount, midpoint, roundness, feather):
+    """Post-grade vignette (shader.wgsl:1645-1662). xs/ys are absolute pixel
+    coordinate maps; w_full/h_full the full image dims (tile-safe)."""
+    v_round = 1.0 - roundness
+    v_feather = feather * 0.5
+    un = (xs / w_full - 0.5) * 2.0
+    vn = (ys / h_full - 0.5) * 2.0
+    aspect = h_full / w_full
+    ux = jnp.sign(un) * fpow(jnp.abs(un), v_round)
+    uy = jnp.sign(vn) * fpow(jnp.abs(vn), v_round)
+    d = jnp.sqrt(ux * ux + (uy * aspect) ** 2) * 0.5
+    vmask = smoothstep(midpoint - v_feather, midpoint + v_feather, d)
+    darken = rgb * (1.0 + amount * vmask)
+    lighten = mix(rgb, 1.0, amount * vmask)
+    return jnp.where(jnp.asarray(amount) < 0.0, darken, lighten)
+
+
 def grade_chain(
     initial_linear: jnp.ndarray,
     sharp_blur,
@@ -185,20 +202,11 @@ def grade_chain(
 
     # ---- vignette (shader.wgsl:1645-1662) ----------------------------------
     if cfg.vignette_active:
-        v_amount = g["vignette_amount"]
-        v_mid = g["vignette_midpoint"]
-        v_round = 1.0 - g["vignette_roundness"]
-        v_feather = g["vignette_feather"] * 0.5
-        un = (xs / w_full - 0.5) * 2.0
-        vn = (ys / h_full - 0.5) * 2.0
-        aspect = h_full / w_full
-        ux = jnp.sign(un) * fpow(jnp.abs(un), v_round)
-        uy = jnp.sign(vn) * fpow(jnp.abs(vn), v_round)
-        d = jnp.sqrt(ux * ux + (uy * aspect) ** 2) * 0.5
-        vmask = smoothstep(v_mid - v_feather, v_mid + v_feather, d)
-        darken = rgb * (1.0 + v_amount * vmask)
-        lighten = mix(rgb, 1.0, v_amount * vmask)
-        rgb = jnp.where(v_amount < 0.0, darken, lighten)
+        rgb = apply_vignette(
+            rgb, xs, ys, w_full, h_full,
+            g["vignette_amount"], g["vignette_midpoint"],
+            g["vignette_roundness"], g["vignette_feather"],
+        )
 
     # ---- tonemap (shader.wgsl:1664-1676) -----------------------------------
     if cfg.tonemapper_agx:

@@ -128,3 +128,217 @@ def test_agx_matches():
         [oracle.agx_tonemap(p, AGX_PIPE_TO_RENDERING, AGX_RENDERING_TO_PIPE) for p in px]
     )
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# round 2: oracle coverage of the remaining stages (VERDICT.md Missing #4)
+# ---------------------------------------------------------------------------
+
+from rapidraw_tpu.ops import ca as ca_ops
+from rapidraw_tpu.ops import grain as grain_ops
+from rapidraw_tpu.ops import local as local_ops
+from rapidraw_tpu.ops import nr as nr_ops
+from rapidraw_tpu.ops.blur import gaussian_blur
+from rapidraw_tpu.pipeline.grade import apply_vignette
+
+
+def test_white_balance_matches():
+    px = _pixels(128)
+    for temp, tint in [(0.3, -0.2), (-0.5, 0.4)]:
+        got = np.asarray(color_ops.apply_white_balance(px.T, np.float32(temp), np.float32(tint))).T
+        want = np.stack([oracle.apply_white_balance(p, temp, tint) for p in px])
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_calibration_matches():
+    px = _pixels(128)
+    for cal in [(0.2, 0.1, -0.3, -0.15, 0.25, 0.05, -0.2), (-0.4, 0.0, 0.5, 0.3, 0.0, -0.1, 0.1)]:
+        got = np.asarray(
+            color_ops.apply_color_calibration(px.T, np.asarray(cal, np.float32))
+        ).T
+        want = np.stack([oracle.apply_color_calibration(p, cal) for p in px])
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_local_contrast_matches():
+    px = _pixels(96, 0.0, 1.3)
+    blur = np.clip(px + (RNG.random((96, 3)).astype(np.float32) - 0.5) * 0.2, 0.0, 1.3)
+    for amount, mode, thr in [(0.5, 0, 0.1), (-0.4, 0, 0.0), (0.7, 1, 0.0), (-0.6, 1, 0.0)]:
+        got = np.asarray(
+            local_ops.apply_local_contrast(px.T, blur.T, np.float32(amount), False, mode, np.float32(thr))
+        ).T
+        want = np.stack(
+            [oracle.apply_local_contrast(p, b, amount, False, mode, thr) for p, b in zip(px, blur)]
+        )
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_dehaze_matches():
+    px = _pixels(96)
+    blur = np.clip(px + (RNG.random((96, 3)).astype(np.float32) - 0.5) * 0.1, 0.0, 1.0)
+    for amount in (0.5, -0.4):
+        got = np.asarray(local_ops.apply_dehaze(px.T, blur.T, False, np.float32(amount))).T
+        want = np.stack([oracle.apply_dehaze(p, b, False, amount) for p, b in zip(px, blur)])
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_glow_matches():
+    px = _pixels(96, 0.0, 1.5)
+    blur = _pixels(96, 0.0, 1.2)
+    got = np.asarray(
+        local_ops.apply_glow_bloom(px.T, blur.T, np.float32(0.6), False,
+                                   np.float32(0.2), np.float32(0.1), np.float32(0.0), np.float32(0.1))
+    ).T
+    want = np.stack(
+        [oracle.apply_glow_bloom(p, b, 0.6, False, 0.2, 0.1, 0.0, 0.1) for p, b in zip(px, blur)]
+    )
+    np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_halation_matches():
+    px = _pixels(96, 0.0, 1.5)
+    blur = _pixels(96, 0.0, 1.5)
+    got = np.asarray(
+        local_ops.apply_halation(px.T, blur.T, np.float32(0.5), False,
+                                 np.float32(0.0), np.float32(0.0), np.float32(0.0), np.float32(0.0))
+    ).T
+    want = np.stack(
+        [oracle.apply_halation(p, b, 0.5, False, 0.0, 0.0, 0.0, 0.0) for p, b in zip(px, blur)]
+    )
+    np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def _coord_grids(h, w):
+    import jax.numpy as jnp
+
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones((1, w), jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :] * jnp.ones((h, 1), jnp.float32)
+    return xs, ys
+
+
+def test_centre_matches():
+    h, w = 12, 16
+    img = RNG.random((3, h, w), dtype=np.float32)
+    blur = RNG.random((3, h, w), dtype=np.float32)
+    for amount in (0.6, -0.5):
+        got = np.asarray(
+            local_ops.apply_centre_local_contrast(img, np.float32(amount), blur, False)
+        )
+        got2 = np.asarray(local_ops.apply_centre_tonal_and_color(got, np.float32(amount)))
+        want = np.empty_like(img)
+        for y in range(h):
+            for x in range(w):
+                c = oracle.apply_centre_local_contrast(
+                    img[:, y, x], amount, (x, y), (float(w), float(h)), blur[:, y, x], False
+                )
+                want[:, y, x] = oracle.apply_centre_tonal_and_color(
+                    c, amount, (x, y), (float(w), float(h))
+                )
+        np.testing.assert_allclose(got2, want, atol=3e-4)
+
+
+def test_vignette_matches():
+    h, w = 12, 16
+    img = RNG.random((3, h, w), dtype=np.float32)
+    xs, ys = _coord_grids(h, w)
+    for amount in (-0.6, 0.5):
+        got = np.asarray(apply_vignette(img, xs, ys, w, h, np.float32(amount),
+                                        np.float32(0.4), np.float32(0.2), np.float32(0.6)))
+        want = np.empty_like(img)
+        for y in range(h):
+            for x in range(w):
+                want[:, y, x] = oracle.apply_vignette(
+                    img[:, y, x], (x, y), (float(w), float(h)), amount, 0.4, 0.2, 0.6
+                )
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_grain_and_dither_match():
+    h, w = 12, 16
+    img = RNG.random((3, h, w), dtype=np.float32)
+    got = np.asarray(grain_ops.apply_grain(img, np.float32(0.5), np.float32(1.2),
+                                           np.float32(0.4), 0.1))
+    want = np.empty_like(img)
+    for y in range(h):
+        for x in range(w):
+            want[:, y, x] = oracle.apply_grain(img[:, y, x], (float(x), float(y)),
+                                               0.5, 1.2, 0.4, 0.1)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # dither: strict-f32 hash agreement
+    dither = np.asarray(grain_ops.dither_pattern(h, w))
+    for y in range(0, h, 3):
+        for x in range(0, w, 3):
+            assert abs(dither[y, x] - (oracle.hash2(float(x), float(y)) - 0.5)) < 1e-6
+
+
+def test_ca_matches():
+    h, w = 14, 18
+    img = RNG.random((3, h, w), dtype=np.float32)
+    for rc, by in [(0.02, -0.015), (-0.01, 0.03)]:
+        want = oracle.apply_ca_correction(img, rc, by)
+        got_static = np.asarray(ca_ops.apply_ca_correction(img, rc, by, static_rc=rc, static_by=by))
+        got_dyn = np.asarray(ca_ops.apply_ca_correction(img, np.float32(rc), np.float32(by)))
+        np.testing.assert_allclose(got_static, want, atol=1e-6)
+        np.testing.assert_allclose(got_dyn, want, atol=1e-6)
+
+
+def test_blur_matches():
+    h, w = 20, 24
+    img = RNG.random((3, h, w), dtype=np.float32)
+    for radius in (1, 3, 7):
+        got = np.asarray(gaussian_blur(img, radius))
+        want = oracle.gaussian_blur(img, radius)
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_nr_matches_oracle():
+    h, w = 12, 14
+    img = RNG.random((3, h, w), dtype=np.float32)
+    import jax.numpy as jnp
+
+    from rapidraw_tpu.ops import colorspace as cs
+
+    center_linear = np.asarray(cs.srgb_to_linear(jnp.asarray(img)))
+    scale = 0.1
+    for luma_a, color_a in [(0.6, 0.0), (0.0, 0.5), (0.7, 0.4)]:
+        # static grid path vs oracle with jitter disabled
+        got = np.asarray(
+            nr_ops.apply_noise_reduction(
+                jnp.asarray(center_linear), jnp.asarray(img), luma_a, color_a, scale,
+                False, static_luma=luma_a, static_color=color_a,
+            )
+        )
+        want = np.empty_like(img)
+        for y in range(h):
+            for x in range(w):
+                want[:, y, x] = oracle.apply_noise_reduction(
+                    center_linear[:, y, x], img, (x, y), luma_a, color_a, scale,
+                    False, jitter=False,
+                )
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_nr_dynamic_jitter_matches_oracle():
+    h, w = 10, 12
+    img = RNG.random((3, h, w), dtype=np.float32)
+    import jax.numpy as jnp
+
+    from rapidraw_tpu.ops import colorspace as cs
+
+    center_linear = np.asarray(cs.srgb_to_linear(jnp.asarray(img)))
+    scale = 4096.0 / 1080.0  # high-res: stride > 1 -> jitter engaged
+    luma_a, color_a = 0.8, 0.6
+    got = np.asarray(
+        nr_ops.apply_noise_reduction(
+            jnp.asarray(center_linear), jnp.asarray(img),
+            jnp.float32(luma_a), jnp.float32(color_a), scale, False,
+        )
+    )
+    want = np.empty_like(img)
+    for y in range(h):
+        for x in range(w):
+            want[:, y, x] = oracle.apply_noise_reduction(
+                center_linear[:, y, x], img, (x, y), luma_a, color_a, scale,
+                False, jitter=True,
+            )
+    np.testing.assert_allclose(got, want, atol=2e-4)
