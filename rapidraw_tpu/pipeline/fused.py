@@ -38,6 +38,12 @@ from rapidraw_tpu.pipeline.grade import finish_chain, grade_chain
 # 512x512 28.3ms, 128x1024 27.5ms — 256x512 with the raised VMEM limit wins
 _TH = 256
 _TW = 512
+# rows per in-kernel chunk: whole-tile elementwise ops are VMEM-bandwidth
+# bound (~12 B/elem/op, measured 0.08 ms per 24MP mul); running the chain
+# over vreg-sized row chunks inside a fori_loop keeps intermediates in
+# vector registers. Measured on a 48-op synthetic chain at 24MP: whole-tile
+# 3.94 ms vs 1.42 ms chunked at 16 rows (tools/prof_chunked.py).
+_CH = 16
 
 
 def _prod(shape) -> int:
@@ -152,56 +158,74 @@ def develop_fused(
 
     def kernel(*refs):
         vec_ref = refs[0]
-        img_tile = refs[1][...]
-        if kernel_linearize_image:
-            from rapidraw_tpu.ops import colorspace as _cs0
-
-            img_tile = _cs0.srgb_to_linear(img_tile)
+        img_ref = refs[1]
         idx = 2
-        blur_tiles = {"sharp": None, "tonal": None, "clarity": None, "structure": None}
+        blur_refs = {"sharp": None, "tonal": None, "clarity": None, "structure": None}
         for k in blur_keys:
-            t = refs[idx][...]
-            if not cfg.is_raw:
-                from rapidraw_tpu.ops import colorspace as _cs
-
-                t = _cs.srgb_to_linear(t)  # once per level per tile, in VMEM
-            blur_tiles[k] = t
+            blur_refs[k] = refs[idx]
             idx += 1
-        flare_tile = None
+        flare_ref = None
         if has_flare_map:
-            flare_tile = refs[idx][...]
+            flare_ref = refs[idx]
             idx += 1
-        mask_tile = None
+        mask_ref = None
         if has_masks:
-            mask_tile = refs[idx][...]
+            mask_ref = refs[idx]
             idx += 1
         out_ref = refs[idx]
 
         i = pl.program_id(0)
         j = pl.program_id(1)
-        # Mosaic's iota is integer-only; cast after
-        ys = (
-            jax.lax.broadcasted_iota(jnp.int32, (_TH, _TW), 0).astype(jnp.float32)
-            + (i * _TH).astype(jnp.float32)
-        )
-        xs = (
-            jax.lax.broadcasted_iota(jnp.int32, (_TH, _TW), 1).astype(jnp.float32)
-            + (j * _TW).astype(jnp.float32)
-        )
 
+        # scalar param reads hoisted out of the chunk loop
         p = unpack_params(vec_ref, meta)
         g = p["glob"]
         m = p["mask"]
 
-        final = grade_chain(
-            img_tile,
-            blur_tiles["sharp"], blur_tiles["tonal"],
-            blur_tiles["clarity"], blur_tiles["structure"],
-            flare_tile, g, m, mask_tile, cfg, xs, ys, w, h, scale,
-        )
-        if include_finish:
-            final = finish_chain(final, g, cfg, xs, ys, scale, lut=None)
-        out_ref[...] = final
+        def body(ci, carry):
+            r0 = ci * _CH
+            rows = pl.ds(r0, _CH)
+            img_tile = img_ref[:, rows, :]
+            if kernel_linearize_image:
+                from rapidraw_tpu.ops import colorspace as _cs0
+
+                img_tile = _cs0.srgb_to_linear(img_tile)
+            blur_tiles = {}
+            for k in ("sharp", "tonal", "clarity", "structure"):
+                if blur_refs[k] is None:
+                    blur_tiles[k] = None
+                    continue
+                t = blur_refs[k][:, rows, :]
+                if not cfg.is_raw:
+                    from rapidraw_tpu.ops import colorspace as _cs
+
+                    t = _cs.srgb_to_linear(t)  # once per level per chunk, in vregs
+                blur_tiles[k] = t
+            flare_tile = flare_ref[:, rows, :] if flare_ref is not None else None
+            mask_tile = mask_ref[:, rows, :] if mask_ref is not None else None
+
+            # Mosaic's iota is integer-only; cast after
+            ys = (
+                jax.lax.broadcasted_iota(jnp.int32, (_CH, _TW), 0).astype(jnp.float32)
+                + (i * _TH + r0).astype(jnp.float32)
+            )
+            xs = (
+                jax.lax.broadcasted_iota(jnp.int32, (_CH, _TW), 1).astype(jnp.float32)
+                + (j * _TW).astype(jnp.float32)
+            )
+
+            final = grade_chain(
+                img_tile,
+                blur_tiles["sharp"], blur_tiles["tonal"],
+                blur_tiles["clarity"], blur_tiles["structure"],
+                flare_tile, g, m, mask_tile, cfg, xs, ys, w, h, scale,
+            )
+            if include_finish:
+                final = finish_chain(final, g, cfg, xs, ys, scale, lut=None)
+            out_ref[:, rows, :] = final
+            return carry
+
+        jax.lax.fori_loop(0, _TH // _CH, body, 0)
 
     # param vector lives in SMEM: scalar-unit loads, far lighter to compile
     # and execute than VMEM vector extracts (610s -> measured much less)
