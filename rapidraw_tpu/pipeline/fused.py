@@ -45,6 +45,14 @@ _TW = 512
 # 3.94 ms vs 1.42 ms chunked at 16 rows (tools/prof_chunked.py).
 _CH = 16
 
+# Linearize the sRGB image inside the kernel (per chunk, in vregs) instead
+# of as a standalone XLA stage. Pre-chunking this measured ~3% SLOWER (858
+# vs 888 MPix/s: the XLA stage pipelined better than an in-kernel pow on
+# the critical path); post-chunking the kernel is register-resident and the
+# saved HBM round-trip wins. Only valid when NR is inactive (NR consumes
+# the pre-linearized image host-side).
+KERNEL_LINEARIZE_IMAGE = True
+
 
 def _prod(shape) -> int:
     out = 1
@@ -125,10 +133,7 @@ def develop_fused(
 
     # blur levels stay in INPUT space; the kernel linearizes each tile once
     # in VMEM (saves a full HBM round-trip per level vs pre-linearizing).
-    # NOTE: doing the same for the image itself measured ~3% SLOWER on v5e
-    # (858 vs 888 MPix/s — the standalone XLA linearize pipelines better
-    # than an extra in-kernel pow on the critical path), so it stays off.
-    kernel_linearize_image = False
+    kernel_linearize_image = KERNEL_LINEARIZE_IMAGE and not cfg.is_raw and not cfg.nr_active
     initial_linear, blurs, flare_rgb, gated_infl, scale = prepare_inputs(
         image, params, cfg, masks, flare, linearize_blurs=False,
         linearize_image=not kernel_linearize_image,
