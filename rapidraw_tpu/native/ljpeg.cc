@@ -82,12 +82,16 @@ struct Huff {
   uint8_t val[1 << 16];
   bool ok = false;
 
-  void build(const uint8_t counts[16], const uint8_t* symbols) {
+  // Returns false for non-canonical tables (over-subscribed prefix space):
+  // an attacker-controlled DHT with e.g. counts[0] = 255 would otherwise
+  // drive `code << (16 - l)` past 1 << 16 and write out of bounds.
+  bool build(const uint8_t counts[16], const uint8_t* symbols) {
     uint32_t code = 0;
     int k = 0;
     std::memset(len, 0, sizeof(len));
     for (int l = 1; l <= 16; ++l) {
       for (int i = 0; i < counts[l - 1]; ++i) {
+        if (code >= (1u << l)) return false;  // canonical-code overflow
         uint32_t lo = code << (16 - l);
         uint32_t hi = lo + (1u << (16 - l));
         for (uint32_t c = lo; c < hi; ++c) {
@@ -100,6 +104,7 @@ struct Huff {
       code <<= 1;
     }
     ok = true;
+    return true;
   }
 };
 
@@ -177,7 +182,9 @@ int ljpeg_decode(const uint8_t* data, long length, uint16_t* out, long out_cap,
         }
         q += 16;
         if (q + total > seg + segbytes) return -1;
-        if (tc == 0 && th < 4) tables[th].build(counts, q);
+        if (tc == 0 && th < 4) {
+          if (!tables[th].build(counts, q)) return -1;
+        }
         q += total;
       }
     } else if (marker == 0xDA) {  // SOS

@@ -257,3 +257,56 @@ def test_dng_compression7_tiled(tmp_path):
     _write_dng(p, cfa, compression=7, tile=True)
     r = parse_dng(p.read_bytes())
     np.testing.assert_array_equal(r.cfa, cfa)
+
+
+def test_oversubscribed_dht_rejected():
+    """A malformed DHT with counts[0] = 255 over-subscribes the canonical
+    prefix space; the decoder must reject it cleanly instead of writing out
+    of bounds (ADVICE r1: Huff::build hardening)."""
+    _skip_if_no_toolchain()
+    samples = np.arange(16, dtype=np.uint16).reshape(4, 4)
+    good = encode_ljpeg(samples)
+    # locate the DHT segment (FFC4) and corrupt its counts
+    i = good.find(b"\xff\xc4")
+    assert i >= 0
+    bad = bytearray(good)
+    bad[i + 5] = 255  # counts[0] (1-bit codes) = 255 -> over-subscribed
+    with pytest.raises(ValueError):
+        ljpeg_decode(bytes(bad))
+
+
+def test_oversubscribed_dht_deep_level_rejected():
+    """Over-subscription can also happen at deeper levels (total prefix
+    space > 1<<16 only after accumulation)."""
+    _skip_if_no_toolchain()
+    samples = np.arange(16, dtype=np.uint16).reshape(4, 4)
+    good = encode_ljpeg(samples)
+    i = good.find(b"\xff\xc4")
+    bad = bytearray(good)
+    # counts = [2, 255, ...]: 2 one-bit codes exhaust the space, any 2-bit
+    # code then overflows
+    bad[i + 5] = 2
+    bad[i + 6] = 255
+    with pytest.raises(ValueError):
+        ljpeg_decode(bytes(bad))
+
+
+def test_noncanonical_dht_with_consistent_symbols_rejected():
+    """DHT whose symbol count matches its counts (passes the segment-length
+    check) but whose code space is over-subscribed: counts[0] = 3 needs
+    three 1-bit codes in a 2-code space. Must fail in Huff::build, not
+    write OOB."""
+    _skip_if_no_toolchain()
+    samples = np.arange(16, dtype=np.uint16).reshape(4, 4)
+    good = encode_ljpeg(samples)
+
+    counts = [3] + [0] * 15
+    symbols = [0, 1, 2]
+    dht = bytes([0x00] + counts + symbols)
+    bad_dht = struct.pack(">HH", 0xFFC4, len(dht) + 2) + dht
+
+    i = good.find(b"\xff\xc4")
+    (seg_len,) = struct.unpack_from(">H", good, i + 2)
+    rest = good[i + 2 + seg_len:]
+    with pytest.raises(ValueError):
+        ljpeg_decode(good[:i] + bad_dht + rest)
