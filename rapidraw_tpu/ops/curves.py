@@ -19,7 +19,10 @@ def eval_curve(val: jnp.ndarray, seg: jnp.ndarray, ends: jnp.ndarray, enabled) -
 
     Args:
       val: (...,) channel values in [0, 1].
-      seg: (MAX_SEGMENTS, 6) [x0, y0, x1, y1, m1, m2] (0..255 domain).
+      seg: (MAX_SEGMENTS, 7) [x0, x1, inv_dx, a, b, c, d] — host-baked
+        power-form cubic per segment (params/curves.py bake_curve), /255
+        pre-folded; identical math to the shader's Hermite basis
+        (shader.wgsl:340-378) with the division and basis blends hoisted.
       ends: (4,) [x_first, y_first, x_last, y_last].
       enabled: scalar; 0 -> identity (count < 2, shader.wgsl:341).
     """
@@ -31,19 +34,9 @@ def eval_curve(val: jnp.ndarray, seg: jnp.ndarray, ends: jnp.ndarray, enabled) -
     any_seg = jnp.zeros_like(x, dtype=bool)
     n_seg = len(seg)
     for i in range(n_seg):
-        x0, y0, x1, y1, m1, m2 = (seg[i][j] for j in range(6))
-        dx = x1 - x0
-        safe_dx = jnp.where(dx <= 0.0, 1.0, dx)
-        t = (x - x0) / safe_dx
-        t2 = t * t
-        t3 = t2 * t
-        h00 = 2.0 * t3 - 3.0 * t2 + 1.0
-        h10 = t3 - 2.0 * t2 + t
-        h01 = -2.0 * t3 + 3.0 * t2
-        h11 = t3 - t2
-        result_y = h00 * y0 + h10 * m1 * dx + h01 * y1 + h11 * m2 * dx
-        result_y = jnp.where(dx <= 0.0, y0, result_y)  # degenerate segment
-        result_y = jnp.clip(result_y / 255.0, 0.0, 1.0)
+        x0, x1, inv_dx, a, b, c, d = (seg[i][j] for j in range(7))
+        t = (x - x0) * inv_dx
+        result_y = jnp.clip(((d * t + c) * t + b) * t + a, 0.0, 1.0)
         in_seg = (x > x0) & (x <= x1)
         seg_val = jnp.where(in_seg, result_y, seg_val)
         any_seg = any_seg | in_seg

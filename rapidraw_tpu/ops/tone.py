@@ -191,8 +191,9 @@ def _agx_scaled_sigmoid(x, scale, slope, power, tx, ty):
     return scale * _agx_sigmoid(slope * (x - tx) / scale, power) + ty
 
 
-def _agx_curve_channel(x):
-    """Piecewise toe/linear/shoulder curve (shader.wgsl:1125-1143)."""
+def _agx_curve_channel_exact(x):
+    """Piecewise toe/linear/shoulder curve (shader.wgsl:1125-1143) —
+    the literal sigmoid formulas; reference implementation for tests."""
     toe = _agx_scaled_sigmoid(
         x,
         agx_c.AGX_TOE_SCALE,
@@ -215,6 +216,26 @@ def _agx_curve_channel(x):
         toe,
         jnp.where(x <= agx_c.AGX_SHOULDER_TRANSITION_X, linear, shoulder),
     )
+    return jnp.clip(result, 0.0, 1.0)
+
+
+def _horner(u, coef):
+    acc = coef[-1] * jnp.ones_like(u)
+    for c in coef[-2::-1]:
+        acc = acc * u + c
+    return acc
+
+
+def _agx_curve_channel(x):
+    """Curve via the import-time branch polynomials (params/agx.py): each
+    sigmoid branch is ~5 pow-class transcendentals on the VPU; the degree-10
+    Horner forms (max |err| ~1.6e-6) are register-resident mul/adds."""
+    tx = agx_c.AGX_TOE_TRANSITION_X
+    t_coef, t_mid, t_inv_half = agx_c.AGX_TOE_POLY
+    s_coef, s_mid, s_inv_half = agx_c.AGX_SHOULDER_POLY
+    ut = (jnp.clip(x, agx_c.AGX_CURVE_M0, tx) - t_mid) * t_inv_half
+    us = (jnp.clip(x, tx, agx_c.AGX_CURVE_M1) - s_mid) * s_inv_half
+    result = jnp.where(x < tx, _horner(ut, t_coef), _horner(us, s_coef))
     return jnp.clip(result, 0.0, 1.0)
 
 

@@ -107,3 +107,58 @@ AGX_SHOULDER_TRANSITION_Y = 0.43446
 AGX_INTERCEPT = -1.0112
 AGX_TOE_SCALE = -1.0359
 AGX_SHOULDER_SCALE = 1.3475
+
+
+# ---------------------------------------------------------------------------
+# Device-side curve polynomials.
+#
+# The AgX toe/shoulder sigmoid (shader.wgsl:1107-1143) costs ~5 pow-class
+# transcendentals per channel on the TPU VPU. Each branch is analytic on its
+# domain ([m0, TX] for the toe, [TX, m1] for the shoulder, where m0/m1 are
+# the points where the curve clips to 0/1), so we fit degree-10 Chebyshev
+# polynomials at import time (max abs error ~1.6e-6, f32-Horner stable in
+# the scaled variable u = (m - mid) / half). Outside [m0, m1] the curve is
+# exactly 0/1 — the kernel clamps m per branch, so no extra selects.
+#
+# Known deviation: at m == TX exactly, the reference takes a linear branch
+# whose value differs from both sigmoids by ~6e-4 (the reference curve is
+# discontinuous there); the poly path returns the shoulder value. A single
+# measure-zero input value, far below the 1e-3 fidelity budget.
+# ---------------------------------------------------------------------------
+
+
+def _agx_scaled_np(x, scale: float):
+    t = AGX_SLOPE * (np.asarray(x, np.float64) - AGX_TOE_TRANSITION_X) / scale
+    s = t / (1.0 + t**1.5) ** (1.0 / 1.5)
+    return scale * s + AGX_TOE_TRANSITION_Y
+
+
+def _bisect(f, lo: float, hi: float) -> float:
+    flo = f(lo)
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if (flo > 0) == (f(mid) > 0):
+            lo, flo = mid, f(mid)
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
+def _fit_curve_polys(deg: int = 10):
+    tx = AGX_TOE_TRANSITION_X
+    m0 = _bisect(lambda m: _agx_scaled_np(m, AGX_TOE_SCALE), 0.1, tx - 1e-9)
+    m1 = _bisect(lambda m: _agx_scaled_np(m, AGX_SHOULDER_SCALE) - 1.0, tx + 1e-9, 1.49)
+
+    def fit(scale, lo, hi):
+        xs = np.linspace(lo, hi, 8192)
+        ys = np.clip(_agx_scaled_np(xs, scale), 0.0, 1.0)
+        ch = np.polynomial.chebyshev.Chebyshev.fit(xs, ys, deg)
+        coef = np.polynomial.chebyshev.cheb2poly(ch.coef)
+        return tuple(float(c) for c in coef), (lo + hi) / 2.0, 2.0 / (hi - lo)
+
+    toe = fit(AGX_TOE_SCALE, m0, tx)
+    shoulder = fit(AGX_SHOULDER_SCALE, tx, m1)
+    return float(m0), float(m1), toe, shoulder
+
+
+AGX_CURVE_M0, AGX_CURVE_M1, AGX_TOE_POLY, AGX_SHOULDER_POLY = _fit_curve_polys()

@@ -32,16 +32,22 @@ def bake_curve(points: np.ndarray | list) -> tuple[np.ndarray, np.ndarray, float
 
     Returns:
       (segments, ends, enabled):
-        segments: (MAX_SEGMENTS, 6) float32 [x0, y0, x1, y1, m1, m2]
+        segments: (MAX_SEGMENTS, 7) float32 [x0, x1, inv_dx, a, b, c, d] —
+          the Hermite basis folded into power-form cubic coefficients
+          (already /255-normalized): y(t) = a + b t + c t^2 + d t^3 with
+          t = (x - x0) * inv_dx. Baking in f64 on host both removes the
+          per-pixel division/tangent math and is more accurate than the
+          shader's f32 basis evaluation. A degenerate segment (dx <= 0,
+          shader.wgsl:373 returns y0) bakes to inv_dx = 0, a = y0/255.
         ends: (4,) float32 [x_first, y_first, x_last, y_last]
         enabled: 1.0 if n >= 2 else 0.0 (count < 2 is identity,
                  shader.wgsl:341)
     """
     pts = np.asarray(points, dtype=np.float32).reshape(-1, 2)
     n = pts.shape[0]
-    seg = np.zeros((MAX_SEGMENTS, 6), dtype=np.float32)
+    seg = np.zeros((MAX_SEGMENTS, 7), dtype=np.float32)
     seg[:, 0] = _PAD_X
-    seg[:, 2] = _PAD_X
+    seg[:, 1] = _PAD_X
     if n < 2:
         return seg, np.array([0.0, 0.0, 255.0, 255.0], np.float32), 0.0
 
@@ -78,7 +84,20 @@ def bake_curve(points: np.ndarray | list) -> tuple[np.ndarray, np.ndarray, float
                 m1 *= tau
                 m2 *= tau
 
-        seg[i] = [p1[0], p1[1], p2[0], p2[1], m1, m2]
+        dx = float(p2[0]) - float(p1[0])
+        if dx <= 0.0:
+            seg[i] = [p1[0], p2[0], 0.0, p1[1] / 255.0, 0.0, 0.0, 0.0]
+            continue
+        dy = float(p2[1]) - float(p1[1])
+        b1 = m1 * dx
+        b2 = m2 * dx
+        seg[i] = [
+            p1[0], p2[0], 1.0 / dx,
+            p1[1] / 255.0,                       # a = y0
+            b1 / 255.0,                          # b = m1 dx
+            (3.0 * dy - 2.0 * b1 - b2) / 255.0,  # c
+            (-2.0 * dy + b1 + b2) / 255.0,       # d
+        ]
 
     ends = np.array([pts[0, 0], pts[0, 1], pts[n - 1, 0], pts[n - 1, 1]], np.float32)
     return seg, ends, 1.0
@@ -174,10 +193,13 @@ def curve_set_is_identity(baked: dict[str, np.ndarray]) -> bool:
     used = seg[:, 0] < _PAD_X / 2
     if not used.any():
         return True
-    # identity check: endpoints on y=x and all segment points on y=x with
-    # unit tangents.
-    pts_on_diag = np.all(np.abs(seg[used][:, 0] - seg[used][:, 1]) <= 0.5) and np.all(
-        np.abs(seg[used][:, 2] - seg[used][:, 3]) <= 0.5
+    # identity check: segment endpoint values on y=x (y0 = a*255 at t=0,
+    # y1 = (a+b+c+d)*255 at t=1).
+    s = seg[used]
+    y0 = s[:, 3] * 255.0
+    y1 = (s[:, 3] + s[:, 4] + s[:, 5] + s[:, 6]) * 255.0
+    pts_on_diag = np.all(np.abs(s[:, 0] - y0) <= 0.5) and np.all(
+        np.abs(s[:, 1] - y1) <= 0.5
     )
     ends = baked["ends"][0]
     pinned = abs(ends[0]) < 0.1 and abs(ends[1]) < 0.1 and abs(ends[2] - 255.0) < 0.1 and abs(
