@@ -76,9 +76,10 @@ def apply_hue_shift(rgb: jnp.ndarray, shift_degrees) -> jnp.ndarray:
 
 
 def _raw_hsl_influence(hue, center, width):
-    """Wrapped-gaussian band influence (shader.wgsl:288-293)."""
+    """Wrapped-gaussian band influence (shader.wgsl:288-293). `width` is a
+    static table constant, so the divide folds into the host reciprocal."""
     dist = jnp.minimum(jnp.abs(hue - center), 360.0 - jnp.abs(hue - center))
-    falloff = dist / (width * 0.5)
+    falloff = dist * (2.0 / width)
     return jnp.exp(-1.5 * falloff * falloff)
 
 

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from rapidraw_tpu.ops.common import fpow, fpow_lt1, wgsl_mod
+from rapidraw_tpu.ops.common import fpow, fpow_lt1
 
 
 def srgb_to_linear(c: jnp.ndarray) -> jnp.ndarray:
@@ -40,9 +40,12 @@ def rgb_to_hsv(rgb: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
     c_min = jnp.minimum(r, jnp.minimum(g, b))
     delta = c_max - c_min
     safe_delta = jnp.where(delta > 0.0, delta, 1.0)
-    h_r = 60.0 * wgsl_mod((g - b) / safe_delta, 6.0)
-    h_g = 60.0 * ((b - r) / safe_delta + 2.0)
-    h_b = 60.0 * ((r - g) / safe_delta + 4.0)
+    inv_delta = 1.0 / safe_delta  # one divide instead of three
+    # the shader's fmod((g-b)/delta, 6.0) is an exact identity: the argument
+    # is already in [-1, 1] (|g-b| <= delta), so the mod is dropped
+    h_r = 60.0 * ((g - b) * inv_delta)
+    h_g = 60.0 * ((b - r) * inv_delta + 2.0)
+    h_b = 60.0 * ((r - g) * inv_delta + 4.0)
     # branch order matches the shader: c_max==r, elif c_max==g, else b
     h = jnp.where(c_max == r, h_r, jnp.where(c_max == g, h_g, h_b))
     h = jnp.where(delta > 0.0, h, 0.0)
@@ -62,7 +65,11 @@ def hsv_to_rgb_channels(h, s, v):
     Pallas kernels, where stacking scalars into a (3,) vector is rejected
     by Mosaic (tiny 1-D vectors have no lane layout)."""
     c = v * s
-    x = c * (1.0 - jnp.abs(wgsl_mod(h / 60.0, 2.0) - 1.0))
+    # h in [0, 360): u = h/60 >= 0, so fmod(u, 2) == u - 2*floor(u*0.5)
+    # exactly; mul-by-reciprocal-of-60 differs from the divide by <= 1 ulp
+    # of u, far below sector width
+    u = h * (1.0 / 60.0)
+    x = c * (1.0 - jnp.abs(u - 2.0 * jnp.floor(u * 0.5) - 1.0))
     z = jnp.zeros_like(c)
     # sector table (shader's if/else chain; final else covers h >= 300)
     conds_trips = [

@@ -28,7 +28,17 @@ def mix(a, b, t):
 
 
 def smoothstep(e0, e1, x):
-    """WGSL smoothstep with a step-function fallback when e0 == e1."""
+    """WGSL smoothstep with a step-function fallback when e0 == e1.
+
+    When both edges are static python floats (nearly every call site), the
+    divide is hoisted to a host-side reciprocal — a VPU divide costs ~2.4x
+    a multiply and the chain has ~15 smoothstep sites.
+    """
+    if isinstance(e0, (int, float)) and isinstance(e1, (int, float)):
+        d = e1 - e0
+        inv = 1.0 / d if d != 0.0 else 1e20
+        t = jnp.clip((x - e0) * inv, 0.0, 1.0)
+        return t * t * (3.0 - 2.0 * t)
     d = e1 - e0
     d = jnp.where(d == 0.0, 1e-20, d)
     t = jnp.clip((x - e0) / d, 0.0, 1.0)
