@@ -59,7 +59,7 @@ def apply_noise_reduction(
         its displacement is below the filter's own smoothing radius.
     """
     if static_luma is not None and static_color is not None:
-        return _apply_nr_static(
+        return _apply_nr_static_pallas(
             center_linear, input_rgb, static_luma, static_color, scale, is_raw
         )
     _, h, w = input_rgb.shape
@@ -356,3 +356,276 @@ def _apply_nr_static(
         new_chroma = jnp.stack([new_r_y, new_g_y, new_b_y])
 
     return new_luma + new_chroma
+
+
+# ---------------------------------------------------------------------------
+# Chunked Pallas kernel for the static-grid path.
+#
+# The XLA shifted-slice formulation above pays an HBM round-trip per fused
+# group (~64 ms for 24MP); this kernel streams full-width row tiles with
+# 16-row halo strips through VMEM and runs all ~50 taps' gate math on
+# 16-row chunks (measured pattern: tools/prof_nr_slices.py — 24 weighted
+# taps 14.3 ms XLA vs 6.3 ms chunked kernel, bit-exact). Mosaic requires
+# dynamic sublane starts to be 8-aligned, and tap offsets are arbitrary
+# ints, so the chunk loop is statically unrolled (all slice starts python
+# ints).
+#
+# Inputs: `planes` = stacked (luma, R-Y, B-Y) of the linearized *original*
+# texture (the neighbor source, shader.wgsl:951,1040) and `center_linear`
+# (the CA-corrected linearized pixel). The halo never exceeds 14 px:
+# res_factor = clamp(sqrt(scale), .5, 2) caps the chroma stride at 7 and
+# taps at 2*stride (see _NR_HALO assert).
+# ---------------------------------------------------------------------------
+
+_NR_TH = 16   # rows per tile (swept on v5e at 24MP: 16 rows won)
+_NR_CH = 16   # rows per chunk (= halo, = sublane alignment unit)
+_NR_HALO = 16
+_NR_CW = 3072  # max block width (swept: 3072 = 26.9 ms, 2048 = 31.2,
+               # 512 = 49.4, full-width 6144 = 37.7 for 24MP on v5e)
+
+
+def _nr_static_meta(luma_a: float, color_a: float, scale: float):
+    """Static tap grids + gate constants shared by kernel and XLA paths."""
+    import math
+
+    res_factor = float(min(max(scale**0.5, 0.5), 2.0))
+    l_curve = math.sqrt(luma_a)
+    stride_f = (1.0 + _smoothstep_f(0.45, 0.95, luma_a)) * res_factor
+    extra = min(max(stride_f - 1.0, 0.0), 1.0)
+    c_curve = math.sqrt(color_a)
+    c_stride = (2.0 + 1.5 * c_curve) * res_factor
+    luma_taps = []
+    for dx, dy in _OFFSETS:
+        ring = max(abs(dx), abs(dy))
+        grow = 1.0 + extra * (1.0 if ring == 2 else 0.5)
+        l_spatial = 1.0 + 0.5 * l_curve
+        l_spat_n = -1.0 / max(2.0 * l_spatial * l_spatial, 1e-6)
+        luma_taps.append(
+            (int(round(dx * grow)), int(round(dy * grow)),
+             math.exp(float(dx * dx + dy * dy) * l_spat_n))
+        )
+    chroma_taps = []
+    c_spatial = 2.0 + 1.5 * c_curve
+    c_spat_n = -1.0 / max(2.0 * c_spatial * c_spatial, 1e-6)
+    for dx, dy in _OFFSETS:
+        chroma_taps.append(
+            (int(round(dx * c_stride)), int(round(dy * c_stride)),
+             math.exp(float(dx * dx + dy * dy) * c_spat_n))
+        )
+    return {
+        "l_curve": l_curve,
+        "c_curve": c_curve,
+        "luma_taps": luma_taps,
+        "chroma_taps": chroma_taps,
+    }
+
+
+def _apply_nr_static_pallas(
+    center_linear: jnp.ndarray,
+    input_rgb: jnp.ndarray,
+    luma_a: float,
+    color_a: float,
+    scale: float,
+    is_raw: bool,
+) -> jnp.ndarray:
+    import functools
+
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _, h, w = input_rgb.shape
+    luma_a = min(max(luma_a, 0.0), 1.0)
+    color_a = min(max(color_a, 0.0), 1.0)
+    meta = _nr_static_meta(luma_a, color_a, scale)
+    offs = []
+    if luma_a > 0.001:
+        offs += [abs(o) for t in meta["luma_taps"] for o in t[:2]]
+    if color_a > 0.001:
+        offs += [abs(o) for t in meta["chroma_taps"] for o in t[:2]]
+    max_off = max(offs) if offs else 0
+    assert max_off <= _NR_HALO, f"NR tap offset {max_off} exceeds halo {_NR_HALO}"
+
+    neighbor_linear = input_rgb if is_raw else cs.srgb_to_linear(input_rgb)
+    n_luma = luma(jnp.maximum(neighbor_linear, 0.0))
+    planes = jnp.stack(
+        [n_luma, neighbor_linear[0] - n_luma, neighbor_linear[2] - n_luma]
+    )
+
+    # 2-D tile grid with a 9-piece halo: center (16, 512) blocks plus N/S
+    # row strips (16, 512) and W/E/corner col strips (16, 128) of the SAME
+    # padded planes array, assembled into a (3, 48, 768) VMEM scratch. The
+    # kernel body is then ONE register-resident chunk with ~50 static tap
+    # slices — small enough for Mosaic's compile budget (a statically
+    # unrolled full-width variant compiled for >10 minutes).
+    ch, hs, th = _NR_CH, _NR_HALO, _NR_TH
+    # block width: widest candidate <= _NR_CW that minimizes column padding
+    # (cw=4096 at w=6144 pads 2048 dead columns and measured 1.8x slower
+    # than the zero-pad cw=3072)
+    w128 = -(-w // 128) * 128
+    cands = [c for c in (3072, 2560, 2048, 1536, 1024, 512) if c <= max(w128, 512)]
+    cw = min(cands, key=lambda c: ((-w128) % c, -c)) if cands else w128
+    cw = min(cw, w128)
+    h16 = h + (-h % th)
+    w512 = w + (-w % cw)
+    planes_p = jnp.pad(
+        planes,
+        ((0, 0), (th, (h16 - h) + th), (cw, (w512 - w) + cw)),
+        mode="edge",
+    )
+    center_p = jnp.pad(
+        center_linear, ((0, 0), (0, h16 - h), (0, w512 - w)), mode="edge"
+    )
+    n_i = h16 // th
+    n_j = w512 // cw
+    cpb = cw // 128   # 128-col units per center block
+    rpb = th // hs    # 16-row units per center block
+
+    lt = meta["luma_taps"]
+    ct = meta["chroma_taps"]
+    l_curve = meta["l_curve"]
+    c_curve = meta["c_curve"]
+
+    def kernel(c_ref, n_ref, c0_ref, s_ref, nw_ref, w_ref, sw_ref,
+               ne_ref, e_ref, se_ref, o_ref, ext_ref):
+        ext_ref[:, 0:hs, 128 : 128 + cw] = n_ref[...]
+        ext_ref[:, hs : hs + th, 128 : 128 + cw] = c0_ref[...]
+        ext_ref[:, hs + th :, 128 : 128 + cw] = s_ref[...]
+        ext_ref[:, 0:hs, 0:128] = nw_ref[...]
+        ext_ref[:, hs : hs + th, 0:128] = w_ref[...]
+        ext_ref[:, hs + th :, 0:128] = sw_ref[...]
+        ext_ref[:, 0:hs, 128 + cw :] = ne_ref[...]
+        ext_ref[:, hs : hs + th, 128 + cw :] = e_ref[...]
+        ext_ref[:, hs + th :, 128 + cw :] = se_ref[...]
+
+        out_chunks = []
+        for ci in range(th // ch):
+            r0 = ci * ch
+
+            def tap(plane: int, dx: int, dy: int, r0=r0):
+                rr = hs + r0 + dy
+                return ext_ref[plane, rr : rr + ch, 128 + dx : 128 + cw + dx]
+
+            c = c_ref[:, r0 : r0 + ch, :]
+            center_safe = jnp.maximum(c, 0.0)
+            center_luma = luma(center_safe)
+
+            new_luma = center_luma
+            if luma_a > 0.001:
+                samp_luma = [center_luma]
+                samp_spat = [1.0]
+                lmin = center_luma
+                lmax = center_luma
+                for dx, dy, spat in lt:
+                    s_luma = tap(0, dx, dy)
+                    samp_luma.append(s_luma)
+                    samp_spat.append(spat)
+                    lmin = jnp.minimum(lmin, s_luma)
+                    lmax = jnp.maximum(lmax, s_luma)
+
+                luma_range = lmax - lmin
+                edge_strength = smoothstep(0.04, 0.20, luma_range)
+                edge_midpoint = (lmin + lmax) * 0.5
+                center_side = center_luma > edge_midpoint
+                l_range_tol = mix(
+                    mix(0.025, 0.075, l_curve),
+                    mix(0.010, 0.025, l_curve),
+                    edge_strength,
+                )
+
+                sum_a = jnp.zeros_like(center_luma)
+                w_a = jnp.zeros_like(center_luma)
+                gates = []
+                for s_luma, s_spat in zip(samp_luma, samp_spat):
+                    diff = jnp.abs(s_luma - center_luma)
+                    g_range = 1.0 - smoothstep(l_range_tol * 0.6, l_range_tol, diff)
+                    s_side = s_luma > edge_midpoint
+                    g_side = jnp.where(s_side == center_side, 1.0, 0.0)
+                    g_edge = mix(1.0, g_side, edge_strength)
+                    wgt = s_spat * g_range * g_edge
+                    gates.append(wgt)
+                    sum_a = sum_a + s_luma * wgt
+                    w_a = w_a + wgt
+                initial_mean = sum_a / jnp.maximum(w_a, 1e-4)
+
+                outlier_tol = mix(0.07, 0.025, edge_strength)
+                inv_outlier = 1.0 / outlier_tol
+                sum_b = jnp.zeros_like(center_luma)
+                w_b = jnp.zeros_like(center_luma)
+                for s_luma, init_w in zip(samp_luma, gates):
+                    r = jnp.abs(s_luma - initial_mean) * inv_outlier
+                    bisq = jnp.maximum(0.0, 1.0 - r * r)
+                    wgt = init_w * bisq * bisq
+                    wgt = jnp.where(init_w > 0.0001, wgt, 0.0)
+                    sum_b = sum_b + s_luma * wgt
+                    w_b = w_b + wgt
+                robust = jnp.where(w_b > 0.01, sum_b / jnp.maximum(w_b, 1e-6), initial_mean)
+                strength = luma_a * mix(1.0, 0.6, edge_strength)
+                new_luma = mix(center_luma, robust, strength)
+
+            cr = c[0] - center_luma
+            cg = c[1] - center_luma
+            cb = c[2] - center_luma
+            if color_a > 0.001:
+                luma_tol = 0.12 + (0.04 - 0.12) * c_curve
+                luma_n = -1.0 / max(2.0 * luma_tol * luma_tol, 1e-6)
+                chroma_tol = 0.20 + (0.08 - 0.20) * c_curve
+                chroma_n = -1.0 / max(2.0 * chroma_tol * chroma_tol, 1e-6)
+                sum_r = cr
+                sum_bv = cb
+                w_sum = jnp.ones_like(cr)
+                for dx, dy, w_s in ct:
+                    s_luma = tap(0, dx, dy)
+                    s_r_y = tap(1, dx, dy)
+                    s_b_y = tap(2, dx, dy)
+                    dl = s_luma - center_luma
+                    w_l = jnp.exp(dl * dl * luma_n)
+                    dr = s_r_y - cr
+                    db = s_b_y - cb
+                    w_c = jnp.exp((dr * dr + db * db) * chroma_n)
+                    wgt = w_s * w_l * w_c
+                    sum_r = sum_r + s_r_y * wgt
+                    sum_bv = sum_bv + s_b_y * wgt
+                    w_sum = w_sum + wgt
+                inv_w = 1.0 / jnp.maximum(w_sum, 1e-6)
+                new_r = mix(cr, sum_r * inv_w, color_a)
+                new_b = mix(cb, sum_bv * inv_w, color_a)
+                new_g = -(LUMA_COEFF[0] * new_r + LUMA_COEFF[2] * new_b) / LUMA_COEFF[1]
+            else:
+                new_r, new_g, new_b = cr, cg, cb
+
+            o_ref[0, r0 : r0 + ch, :] = new_luma + new_r
+            o_ref[1, r0 : r0 + ch, :] = new_luma + new_g
+            o_ref[2, r0 : r0 + ch, :] = new_luma + new_b
+
+    interpret = jax.devices()[0].platform != "tpu"
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((3, h16, w512), jnp.float32),
+        grid=(n_i, n_j),
+        in_specs=[
+            pl.BlockSpec((3, th, cw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+            # planes: N (16-row strip), C (tile), S (16-row strip), cw wide
+            pl.BlockSpec((3, hs, cw), lambda i, j, r=rpb: (0, r * (i + 1) - 1, j + 1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, th, cw), lambda i, j: (0, i + 1, j + 1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, hs, cw), lambda i, j, r=rpb: (0, r * (i + 2), j + 1), memory_space=pltpu.VMEM),
+            # planes: NW, W, SW / NE, E, SE col strips (128 wide)
+            pl.BlockSpec((3, hs, 128), lambda i, j, r=rpb, c=cpb: (0, r * (i + 1) - 1, c * (j + 1) - 1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, th, 128), lambda i, j, c=cpb: (0, i + 1, c * (j + 1) - 1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, hs, 128), lambda i, j, r=rpb, c=cpb: (0, r * (i + 2), c * (j + 1) - 1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, hs, 128), lambda i, j, r=rpb, c=cpb: (0, r * (i + 1) - 1, c * (j + 2)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, th, 128), lambda i, j, c=cpb: (0, i + 1, c * (j + 2)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, hs, 128), lambda i, j, r=rpb, c=cpb: (0, r * (i + 2), c * (j + 2)), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, th, cw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((3, th + 2 * hs, cw + 256), jnp.float32)],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=(
+                pltpu.GridDimensionSemantics.PARALLEL,
+                pltpu.GridDimensionSemantics.PARALLEL,
+            ),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(center_p, *([planes_p] * 9))
+    return out[:, :h, :w]
