@@ -61,10 +61,18 @@ def _pad_mask_sets(params: DevelopParams, target_n: int) -> DevelopParams:
 
 
 def stack_params(
-    params_list: list[DevelopParams], configs: list[DevelopConfig]
+    params_list: list[DevelopParams],
+    configs: list[DevelopConfig],
+    cfg: DevelopConfig | None = None,
 ) -> tuple[DevelopParams, DevelopConfig]:
-    """Stack per-image params into batched arrays + the merged static config."""
-    cfg = merge_configs(configs)
+    """Stack per-image params into batched arrays + the merged static config.
+
+    `cfg` overrides the merge — the export service merges once per *bucket*
+    so every chunk of the bucket shares one compilation (a chunk-local merge
+    would give each chunk its own activity union, hence its own compile).
+    """
+    if cfg is None:
+        cfg = merge_configs(configs)
     padded = [_pad_mask_sets(p, cfg.mask_count) for p in params_list]
     stacked = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *padded)
     return stacked, cfg

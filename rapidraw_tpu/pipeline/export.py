@@ -247,18 +247,50 @@ def export_images(
         except Exception as e:  # noqa: BLE001 — per-image isolation like the reference
             results.append(ExportResult(p, None, False, f"prepare failed: {e}"))
 
-    # bucket by (H, W, config-modulo-mask-count, has-masks, lut identity)
+    # Bucket on STRUCTURAL fields only (shape + the DevelopConfig fields
+    # merge_configs cannot union + LUT content), then merge the per-image
+    # configs inside each bucket — so documents differing in ordinary
+    # sliders still share one compilation. Exact-config bucketing paid one
+    # 30-120 s Mosaic compile per distinct edit; this pays O(buckets)
+    # (the reference runs every export through a single GPU pipeline,
+    # export_processing.rs:661-738).
+    def _lut_fingerprint(lut) -> int | None:
+        if lut is None:
+            return None
+        import zlib
+
+        return zlib.adler32(np.ascontiguousarray(lut).tobytes())
+
     buckets: dict = {}
     for p, (timg, masks, params, cfg, lut), tprep in prepared:
-        key = (timg.shape, cfg, masks is not None and masks.shape[0], lut is not None)
+        key = (
+            timg.shape,
+            cfg.is_raw,
+            cfg.tonemapper_agx,
+            cfg.ca_static_rc,
+            cfg.ca_static_by,
+            _lut_fingerprint(lut),
+        )
         buckets.setdefault(key, []).append((p, timg, masks, params, cfg, lut, tprep))
+
+    # union config per bucket; structural keys make the merge safe, but keep
+    # the exact-config fallback in case a future field turns unmergeable
+    merged: list[tuple] = []  # (bucket_cfg, items)
+    for items in buckets.values():
+        try:
+            merged.append((merge_configs([it[4] for it in items]), items))
+        except ValueError:
+            by_cfg: dict = {}
+            for it in items:
+                by_cfg.setdefault(it[4], []).append(it)
+            merged.extend((c, its) for c, its in by_cfg.items())
 
     from rapidraw_tpu.io.loader import parse_virtual_path
 
     seq = 0
     total = len(paths)
     appearance: dict = {}
-    for key, items in buckets.items():
+    for bucket_cfg, items in merged:
         for start in range(0, len(items), settings.batch_size):
             if cancel is not None and cancel.cancelled:
                 for p, *_ in items[start:]:
@@ -268,7 +300,7 @@ def export_images(
             t0 = time.perf_counter()
             imgs = jnp.stack([c[1] for c in chunk])
             cfgs = [c[4] for c in chunk]
-            params, cfg = stack_params([c[3] for c in chunk], cfgs)
+            params, cfg = stack_params([c[3] for c in chunk], cfgs, cfg=bucket_cfg)
             masks = None
             if cfg.mask_count > 0:
                 n = cfg.mask_count
@@ -318,7 +350,6 @@ def export_images(
                     results.append(ExportResult(p, None, False, f"encode failed: {e}"))
     if progress:
         progress(len(paths), len(paths), "")
-    _ = merge_configs
     return results
 
 

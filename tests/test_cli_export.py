@@ -61,6 +61,51 @@ def test_export_service_batches(tmp_path):
     assert len(list(out_dir.glob("*.jpg"))) == 4
 
 
+def test_export_mixed_edits_share_one_compile(tmp_path):
+    """Documents differing only in sliders must land in ONE bucket/compile
+    (structural bucketing + per-bucket merge_configs; the reference pushes
+    every export through a single pipeline, export_processing.rs:661-738)."""
+    import rapidraw_tpu.pipeline.export as ex
+    from rapidraw_tpu.io.sidecar import save_sidecar
+
+    edits = [
+        {"exposure": 0.5},
+        {"exposure": -1.0, "contrast": 35},
+        {"vibrance": 40, "vignetteAmount": -30},
+        {"hsl": {"reds": {"hue": 10, "saturation": 5, "luminance": 0}}},
+        {"shadows": 25, "temperature": 12},
+    ]
+    paths = []
+    for i, adj in enumerate(edits):
+        p = _make_jpeg(tmp_path / f"m{i}.jpg", seed=i)
+        save_sidecar(p, {"adjustments": adj})
+        paths.append(str(p))
+
+    ex._jit_cache.clear()
+    results = ex.export_images(paths, tmp_path / "out", ex.ExportSettings(batch_size=3))
+    assert all(r.ok for r in results), [r.error for r in results]
+    assert len(ex._jit_cache) == 1, list(ex._jit_cache)
+
+
+def test_export_mixed_ca_splits_buckets(tmp_path):
+    """Different chromatic-aberration amounts can't share a compile
+    (the CA resample grid is doc-static) — the bucketer must split them
+    instead of letting merge_configs raise."""
+    import rapidraw_tpu.pipeline.export as ex
+    from rapidraw_tpu.io.sidecar import save_sidecar
+
+    paths = []
+    for i, ca in enumerate((0.0, 30.0)):
+        p = _make_jpeg(tmp_path / f"ca{i}.jpg", seed=i)
+        save_sidecar(p, {"adjustments": {"exposure": 0.3, "chromaticAberrationRedCyan": ca}})
+        paths.append(str(p))
+
+    ex._jit_cache.clear()
+    results = ex.export_images(paths, tmp_path / "out", ex.ExportSettings())
+    assert all(r.ok for r in results), [r.error for r in results]
+    assert len(ex._jit_cache) == 2
+
+
 def test_export_resize_long_edge(tmp_path):
     from rapidraw_tpu.pipeline.export import ExportSettings, export_images
 
