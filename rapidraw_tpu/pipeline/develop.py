@@ -157,8 +157,14 @@ def prepare_inputs(
                 input_rgb, g["flare"], g["exposure"], g["brightness"], g["whites"], is_raw
             )
         x0, y0 = tile_offset
-        ys = (jnp.arange(h, dtype=jnp.float32)[:, None] + float(y0) + jnp.zeros((1, w))) / h_full
-        xs = (jnp.arange(w, dtype=jnp.float32)[None, :] + float(x0) + jnp.zeros((h, 1))) / w_full
+        ys = (
+            jnp.arange(h, dtype=jnp.float32)[:, None]
+            + jnp.asarray(y0, jnp.float32) + jnp.zeros((1, w))
+        ) / h_full
+        xs = (
+            jnp.arange(w, dtype=jnp.float32)[None, :]
+            + jnp.asarray(x0, jnp.float32) + jnp.zeros((h, 1))
+        ) / w_full
         flare_rgb = _bilinear_sample(flare, xs, ys) * 1.4
         flare_rgb = flare_rgb * flare_rgb  # shader.wgsl:1599-1600
 
@@ -206,12 +212,12 @@ def develop(
         tile_offset=tile_offset,
     )
 
-    ys = (jnp.arange(h, dtype=jnp.float32)[:, None] + float(y0)) * jnp.ones(
-        (1, w), jnp.float32
-    )
-    xs = (jnp.arange(w, dtype=jnp.float32)[None, :] + float(x0)) * jnp.ones(
-        (h, 1), jnp.float32
-    )
+    ys = (
+        jnp.arange(h, dtype=jnp.float32)[:, None] + jnp.asarray(y0, jnp.float32)
+    ) * jnp.ones((1, w), jnp.float32)
+    xs = (
+        jnp.arange(w, dtype=jnp.float32)[None, :] + jnp.asarray(x0, jnp.float32)
+    ) * jnp.ones((h, 1), jnp.float32)
 
     final = grade_chain(
         initial_linear,

@@ -124,12 +124,20 @@ def develop_fused(
     masks: jnp.ndarray | None = None,
     lut: jnp.ndarray | None = None,
     flare: jnp.ndarray | None = None,
+    tile_offset: tuple[int, int] = (0, 0),
+    full_size: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
-    """Drop-in replacement for pipeline.develop.develop on TPU."""
-    _, h, w = image.shape
-    from rapidraw_tpu.params import scales
+    """Drop-in replacement for pipeline.develop.develop on TPU.
 
-    scale = max(0.1, min(h, w) / scales.REFERENCE_DIMENSION)
+    tile_offset/full_size: absolute placement when developing one tile of a
+    larger image (pipeline.tiled) — the coordinate maps fed to the spatial
+    stages (vignette, centre, grain, dither) are offset so tiles agree at
+    seams, matching the reference's tile_offset uniforms
+    (image_processing.rs:1402-1407).
+    """
+    _, h, w = image.shape
+    x_off, y_off = tile_offset
+    w_full, h_full = full_size if full_size is not None else (w, h)
 
     # blur levels stay in INPUT space; the kernel linearizes each tile once
     # in VMEM (saves a full HBM round-trip per level vs pre-linearizing).
@@ -137,9 +145,16 @@ def develop_fused(
     initial_linear, blurs, flare_rgb, gated_infl, scale = prepare_inputs(
         image, params, cfg, masks, flare, linearize_blurs=False,
         linearize_image=not kernel_linearize_image,
+        full_size=full_size, tile_offset=tile_offset,
     )
 
-    params_t = _trim_param_curves(params, cfg.curve_segments)
+    params_t = dict(_trim_param_curves(params, cfg.curve_segments))
+    # tile offsets ride the SMEM param vector as dynamic scalars, so every
+    # interior tile of a huge image reuses ONE compiled kernel
+    params_t["tile_xy"] = (
+        jnp.asarray(x_off, jnp.float32),
+        jnp.asarray(y_off, jnp.float32),
+    )
     vec, meta = pack_params(params_t)
 
     # assemble tile-streamed inputs
@@ -186,6 +201,7 @@ def develop_fused(
         p = unpack_params(vec_ref, meta)
         g = p["glob"]
         m = p["mask"]
+        x0s, y0s = p["tile_xy"]
 
         def body(ci, carry):
             r0 = ci * _CH
@@ -212,18 +228,18 @@ def develop_fused(
             # Mosaic's iota is integer-only; cast after
             ys = (
                 jax.lax.broadcasted_iota(jnp.int32, (_CH, _TW), 0).astype(jnp.float32)
-                + (i * _TH + r0).astype(jnp.float32)
+                + ((i * _TH + r0).astype(jnp.float32) + y0s)
             )
             xs = (
                 jax.lax.broadcasted_iota(jnp.int32, (_CH, _TW), 1).astype(jnp.float32)
-                + (j * _TW).astype(jnp.float32)
+                + ((j * _TW).astype(jnp.float32) + x0s)
             )
 
             final = grade_chain(
                 img_tile,
                 blur_tiles["sharp"], blur_tiles["tonal"],
                 blur_tiles["clarity"], blur_tiles["structure"],
-                flare_tile, g, m, mask_tile, cfg, xs, ys, w, h, scale,
+                flare_tile, g, m, mask_tile, cfg, xs, ys, w_full, h_full, scale,
             )
             if include_finish:
                 final = finish_chain(final, g, cfg, xs, ys, scale, lut=None)
@@ -269,7 +285,11 @@ def develop_fused(
     final = out[:, :h, :w]
 
     if not include_finish:
-        ys = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones((1, w), jnp.float32)
-        xs = jnp.arange(w, dtype=jnp.float32)[None, :] * jnp.ones((h, 1), jnp.float32)
+        ys = (
+            jnp.arange(h, dtype=jnp.float32)[:, None] + jnp.asarray(y_off, jnp.float32)
+        ) * jnp.ones((1, w), jnp.float32)
+        xs = (
+            jnp.arange(w, dtype=jnp.float32)[None, :] + jnp.asarray(x_off, jnp.float32)
+        ) * jnp.ones((h, 1), jnp.float32)
         final = finish_chain(final, params["glob"], cfg, xs, ys, scale, lut=lut)
     return final

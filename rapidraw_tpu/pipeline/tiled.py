@@ -42,13 +42,21 @@ def develop_tiled(
     HBM at a time. The fused megakernel handles each tile via the normal
     develop path (same jit cache key for all interior tiles).
     """
+    from rapidraw_tpu.pipeline.batch import _use_fused
     from rapidraw_tpu.pipeline.develop import develop
+
+    if _use_fused(cfg):
+        # the megakernel takes tile_offset/full_size, so oversized images
+        # keep the whole fused-kernel win (VMEM-resident chain per tile)
+        from rapidraw_tpu.pipeline.fused import develop_fused as _develop
+    else:
+        _develop = develop
 
     _, h, w = image.shape
     if h <= tile_size and w <= tile_size:
-        out = develop(jnp.asarray(image), params, cfg,
-                      masks=jnp.asarray(masks) if masks is not None else None,
-                      lut=lut)
+        out = _develop(jnp.asarray(image), params, cfg,
+                       masks=jnp.asarray(masks) if masks is not None else None,
+                       lut=lut)
         return np.asarray(out)
 
     flare = None
@@ -66,12 +74,14 @@ def develop_tiled(
             proxy, g["flare"], g["exposure"], g["brightness"], g["whites"], cfg.is_raw
         )
 
+    # tile offsets are traced scalars: every interior tile (same padded
+    # shape) reuses ONE compiled executable — with static offsets a 16-tile
+    # image would pay 16 Mosaic compiles
     fn = jax.jit(
-        lambda img, p, mk, fl, off: develop(
+        lambda img, p, mk, fl, off: _develop(
             img, p, cfg, masks=mk, lut=lut, flare=fl,
             tile_offset=off, full_size=(w, h),
-        ),
-        static_argnames=("off",),
+        )
     )
 
     out = np.empty((3, h, w), np.float32)

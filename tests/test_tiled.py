@@ -77,6 +77,27 @@ def test_tiled_single_tile_path():
     np.testing.assert_allclose(tiled, whole, atol=1e-6)
 
 
+def test_tiled_fused_kernel_offsets(monkeypatch):
+    """Force the fused-megakernel route (Pallas interpret mode on CPU):
+    dynamic tile offsets must keep the coordinate-dependent vignette exact
+    across seams, and all interior tiles must share one jit entry."""
+    import dataclasses
+
+    monkeypatch.setenv("RAPIDRAW_FUSED", "1")
+    doc = {"exposure": 0.4, "contrast": 15, "vignetteAmount": -50,
+           "toneMapper": "agx"}
+    img = _img(96, 160, seed=4)
+    p, c = parse_adjustments(doc, is_raw=False)
+    c = dataclasses.replace(c, dither_active=False)
+    from rapidraw_tpu.pipeline.fused import develop_fused
+
+    whole = np.asarray(
+        jax.jit(lambda x, q: develop_fused(x, q, c))(jnp.asarray(img), p)
+    )
+    tiled = develop_tiled(img, p, c, tile_size=64, overlap=16)
+    np.testing.assert_allclose(tiled, whole, atol=1e-5)
+
+
 def test_tiled_with_masks():
     doc = {
         "exposure": 0.2,
