@@ -1,8 +1,15 @@
-"""Benchmark: batch develop throughput on one TPU chip.
+"""Benchmark: batch develop throughput on one TPU chip — all 5 BASELINE configs.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline target: 2 GPix/s per chip (BASELINE.json north star) =>
-vs_baseline = value_MPix_per_s / 2000.
+Prints one JSON line per config. The FIRST line is the driver headline
+(BASELINE config 3, full color grade). Baseline target: 2 GPix/s per chip
+(BASELINE.json north star) => vs_baseline = value_MPix_per_s / 2000.
+
+Configs (BASELINE.md):
+  1. sRGB basic: exposure + contrast + saturation + tone curve
+  2. Bayer RAW develop: malvar demosaic + WB + camera matrix -> sRGB
+  3. full color grade: HSL mixer + hue shift + point curves + vignette (headline)
+  4. local adjustments: radial/linear/brush masks with per-mask stacks
+  5. heavy stencil: sharpen + NR + CA + lens warp (the batch-export path)
 """
 
 from __future__ import annotations
@@ -17,7 +24,7 @@ H, W = 4096, 6144
 BATCH = 2
 ITERS = 8
 
-_BENCH_DOC = {
+_CONFIG3_DOC = {
     # BASELINE config 3: full color grade — HSL mixer + hue shift + point
     # curves + vignette, plus the basic tonal set of config 1.
     "exposure": 0.3,
@@ -43,56 +50,227 @@ _BENCH_DOC = {
     "toneMapper": "agx",
 }
 
+_CONFIG1_DOC = {
+    # BASELINE config 1: sRGB JPEG develop — exposure + contrast +
+    # saturation + tone curve.
+    "exposure": 0.3,
+    "contrast": 20,
+    "saturation": 10,
+    "curves": {
+        "luma": [{"x": 0, "y": 6}, {"x": 128, "y": 120}, {"x": 255, "y": 250}],
+        "red": [{"x": 0, "y": 0}, {"x": 255, "y": 255}],
+        "green": [{"x": 0, "y": 0}, {"x": 255, "y": 255}],
+        "blue": [{"x": 0, "y": 0}, {"x": 255, "y": 255}],
+    },
+    "toneMapper": "basic",
+}
 
-def main() -> None:
+_CONFIG4_DOC = {
+    # BASELINE config 4: local adjustments — radial + linear + brush masks,
+    # each with its own adjustment stack, over a light global grade.
+    "exposure": 0.2,
+    "contrast": 10,
+    "toneMapper": "agx",
+    "masks": [
+        {
+            "name": "sky", "visible": True,
+            "adjustments": {"exposure": -0.8, "saturation": 15, "contrast": 10},
+            "subMasks": [{
+                "type": "linear", "visible": True, "mode": "additive",
+                "parameters": {"startX": 0, "startY": 0, "endX": 0,
+                               "endY": H * 0.45, "range": 40},
+            }],
+        },
+        {
+            "name": "face", "visible": True,
+            "adjustments": {"exposure": 0.6, "shadows": 20},
+            "subMasks": [{
+                "type": "radial", "visible": True, "mode": "additive",
+                "parameters": {"centerX": W * 0.6, "centerY": H * 0.55,
+                               "radiusX": W * 0.12, "radiusY": H * 0.16,
+                               "rotation": 10.0, "feather": 0.5},
+            }],
+        },
+        {
+            "name": "dodge", "visible": True,
+            "adjustments": {"exposure": 0.4, "clarity": 20},
+            "subMasks": [{
+                "type": "brush", "visible": True, "mode": "additive",
+                "parameters": {"lines": [{
+                    "points": [{"x": W * 0.2, "y": H * 0.7},
+                               {"x": W * 0.35, "y": H * 0.75},
+                               {"x": W * 0.5, "y": H * 0.72}],
+                    "brushSize": 600.0, "feather": 0.5,
+                }]},
+            }],
+        },
+    ],
+}
+
+_CONFIG5_DOC = {
+    # BASELINE config 5: the stencil-heavy batch-export doc — sharpen +
+    # luma/chroma NR + CA, rendered after a lens-distortion warp.
+    "exposure": 0.2,
+    "sharpness": 40,
+    "lumaNoiseReduction": 30,
+    "colorNoiseReduction": 25,
+    "chromaticAberrationRedCyan": 12,
+    "chromaticAberrationBlueYellow": -8,
+    "toneMapper": "agx",
+}
+
+_CONFIG5_GEOMETRY = {
+    "transformRotate": 1.5,
+    "lensDistortionParams": {"k1": -0.08, "k2": 0.02, "model": 0,
+                              "vig_k1": -0.3},
+    "lensDistortionAmount": 100.0,
+    "lensVignetteAmount": 100.0,
+}
+
+
+def _emit(metric: str, mpix: float, extra: dict | None = None) -> None:
+    line = {
+        "metric": metric,
+        "value": round(mpix, 1),
+        "unit": "MPix/s",
+        "vs_baseline": round(mpix / 2000.0, 4),
+    }
+    if extra:
+        line.update(extra)
+    print(json.dumps(line), flush=True)
+
+
+def _slope(step, x0, readback, iters: int = ITERS) -> float:
+    """Seconds per iteration via the slope method: chain iterations through
+    a data dependency and force a scalar readback — on the axon tunnel,
+    block_until_ready() returns before execution finishes, so naive timing
+    reports absurd numbers."""
+
+    def run(n: int) -> float:
+        t0 = time.perf_counter()
+        y = x0
+        for _ in range(n):
+            y = step(y)
+        readback(y)
+        return time.perf_counter() - t0
+
+    run(1)  # extra warm: dispatch path + any late compile
+    base = run(2)
+    full = run(2 + iters)
+    if full <= base:  # noise swamped a fast config — re-measure longer
+        base = run(2)
+        full = run(2 + iters * 4)
+        return (full - base) / (iters * 4)
+    return (full - base) / iters
+
+
+def _bench_develop_doc(doc: dict, metric: str, masks_json: bool = False) -> None:
     import jax
     import jax.numpy as jnp
 
-    from rapidraw_tpu.cli import _enable_persistent_jit_cache
     from rapidraw_tpu.params.parse import parse_adjustments
     from rapidraw_tpu.pipeline.batch import develop_batch, stack_params
 
-    # the fused megakernel's Mosaic compile is expensive; persist executables
-    # across processes so repeat runs skip straight to execution
-    _enable_persistent_jit_cache()
+    parsed = [parse_adjustments(doc, is_raw=False) for _ in range(BATCH)]
+    params, cfg = stack_params([p for p, _ in parsed], [c for _, c in parsed])
 
-    parsed = [parse_adjustments(_BENCH_DOC, is_raw=False) for _ in range(BATCH)]
+    masks = None
+    if masks_json:
+        from rapidraw_tpu.masks.rasterize import rasterize_masks
+
+        m = rasterize_masks(doc, W, H, scale=1.0)
+        masks = jnp.asarray(np.stack([m] * BATCH))
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((BATCH, 3, H, W), dtype=np.float32))
+
+    fn = jax.jit(lambda imgs, p, mk: develop_batch(imgs, p, cfg, masks=mk))
+    out = fn(images, params, masks)
+    _ = float(out[0, 0, 0, 0])  # compile + warm
+
+    dt = _slope(lambda y: fn(y, params, masks), images,
+                lambda y: float(y[0, 0, 0, 0]))
+    _emit(metric, BATCH * H * W / dt / 1e6)
+
+
+def _bench_raw() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from rapidraw_tpu.raw.color import camera_to_srgb_matrix
+    from rapidraw_tpu.raw.develop import develop_cfa
+
+    # plausible ColorMatrix (xyz->cam) and daylight WB
+    xyz_to_cam = np.array(
+        [[0.9, -0.3, -0.05], [-0.4, 1.2, 0.2], [-0.05, 0.2, 0.65]], np.float32
+    )
+    cam2srgb = camera_to_srgb_matrix(xyz_to_cam)
+    wb = np.array([2.1, 1.0, 1.55], np.float32)
+
+    rng = np.random.default_rng(0)
+    cfa = jnp.asarray(rng.integers(64, 16383, (H, W), dtype=np.uint16))
+
+    def step_impl(c):
+        rgb = develop_cfa(c.astype(jnp.float32), 64.0, 16383.0, wb, cam2srgb,
+                          pattern="RGGB", algorithm="malvar")
+        # chain the next iteration through a scalar of the output
+        return c + (0.0 * rgb[0, 0, 0]).astype(c.dtype), rgb
+
+    fn = jax.jit(lambda c: step_impl(c))
+    c1, rgb = fn(cfa)
+    _ = float(rgb[0, 0, 0])
+
+    def step(c):
+        c2, _rgb = fn(c)
+        return c2
+
+    dt = _slope(step, cfa, lambda c: float(c[0, 0]))
+    _emit("raw_develop_24mp", H * W / dt / 1e6)
+
+
+def _bench_stencil_export() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from rapidraw_tpu.geometry.params import geometry_params_from_json
+    from rapidraw_tpu.geometry.warp import warp_image_geometry
+    from rapidraw_tpu.params.parse import parse_adjustments
+    from rapidraw_tpu.pipeline.batch import develop_batch, stack_params
+
+    gp = geometry_params_from_json(_CONFIG5_GEOMETRY)
+    parsed = [parse_adjustments(_CONFIG5_DOC, is_raw=False) for _ in range(BATCH)]
     params, cfg = stack_params([p for p, _ in parsed], [c for _, c in parsed])
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.random((BATCH, 3, H, W), dtype=np.float32))
 
-    fn = jax.jit(lambda imgs, p: develop_batch(imgs, p, cfg), donate_argnums=())
+    def pipeline(imgs, p):
+        warped = jax.vmap(lambda im: warp_image_geometry(im, gp))(imgs)
+        return develop_batch(warped, p, cfg)
+
+    fn = jax.jit(pipeline)
     out = fn(images, params)
-    _ = float(out[0, 0, 0, 0])  # compile + warm (readback forces real sync)
+    _ = float(out[0, 0, 0, 0])
 
-    # Slope method: chain iterations through a data dependency and force a
-    # scalar readback, then difference two iteration counts — on the axon
-    # tunnel, block_until_ready() returns before execution finishes, so
-    # naive timing reports absurd numbers.
-    def run(iters: int) -> float:
-        t0 = time.perf_counter()
-        y = images
-        for _ in range(iters):
-            y = fn(y, params)
-        _ = float(y[0, 0, 0, 0])
-        return time.perf_counter() - t0
+    dt = _slope(lambda y: fn(y, params), images, lambda y: float(y[0, 0, 0, 0]))
+    mpix = BATCH * H * W / dt / 1e6
+    _emit("stencil_export_24mp", mpix,
+          {"images_per_sec_24mp": round(mpix * 1e6 / (H * W), 2)})
 
-    base = run(2)
-    full = run(2 + ITERS)
-    dt = full - base
 
-    mpix = BATCH * H * W * ITERS / dt / 1e6
-    print(
-        json.dumps(
-            {
-                "metric": "develop_throughput_full_grade_24mp",
-                "value": round(mpix, 1),
-                "unit": "MPix/s",
-                "vs_baseline": round(mpix / 2000.0, 4),
-            }
-        )
-    )
+def main() -> None:
+    from rapidraw_tpu.cli import _enable_persistent_jit_cache
+
+    # the fused megakernel's Mosaic compile is expensive; persist executables
+    # across processes so repeat runs skip straight to execution
+    _enable_persistent_jit_cache()
+
+    # headline FIRST (the driver records the first JSON line)
+    _bench_develop_doc(_CONFIG3_DOC, "develop_throughput_full_grade_24mp")
+    _bench_develop_doc(_CONFIG1_DOC, "srgb_basic_develop_24mp")
+    _bench_raw()
+    _bench_develop_doc(_CONFIG4_DOC, "local_masks_develop_24mp", masks_json=True)
+    _bench_stencil_export()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,130 @@
+"""RAW container detection + decode dispatch.
+
+The reference delegates the whole camera matrix to the rawler crate
+(raw_processing.rs:15-30, Cargo.toml:33). Here each supported container has
+a host-side parser producing a `RawFile` (io/dng.py) that feeds the TPU
+develop; everything else fails up front with an actionable error instead of
+a deep parse crash.
+
+Containers:
+  TIFF-family: DNG/TIFF (io/dng.py), CR2/NEF/PEF/ARW (io/makers.py).
+  Detected-but-unsupported: CR3 (ISO BMFF), RAF (Fujifilm), X3F (Foveon),
+  ORF (Olympus), RW2 (Panasonic) — clear UnsupportedRawFormat.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from rapidraw_tpu.io.dng import DngError, RawFile, parse_dng
+
+SUPPORTED_FORMATS = ("dng", "tiff", "cr2", "nef", "nrw", "pef", "arw", "srf", "sr2")
+
+
+class UnsupportedRawFormat(ValueError):
+    """Raised for containers we can detect but not decode."""
+
+    def __init__(self, fmt: str, detail: str = ""):
+        self.format = fmt
+        msg = f"RAW format {fmt!r} is not yet supported"
+        if detail:
+            msg += f" ({detail})"
+        msg += f"; supported: {', '.join(SUPPORTED_FORMATS)}"
+        super().__init__(msg)
+
+
+def _tiff_make(data: bytes) -> str:
+    """Read the Make tag (271) from IFD0 of a TIFF-family file, '' on any
+    parse problem — used only as a dispatch hint."""
+    try:
+        endian = "<" if data[:2] == b"II" else ">"
+        _, first = struct.unpack_from(endian + "HI", data, 2)
+        (count,) = struct.unpack_from(endian + "H", data, first)
+        pos = first + 2
+        for _ in range(count):
+            tag, typ, n = struct.unpack_from(endian + "HHI", data, pos)
+            if tag == 271 and typ == 2:
+                if n <= 4:
+                    raw = data[pos + 8 : pos + 8 + n]
+                else:
+                    (off,) = struct.unpack_from(endian + "I", data, pos + 8)
+                    raw = data[off : off + n]
+                return raw.split(b"\0")[0].decode(errors="replace").strip()
+            pos += 12
+    except (struct.error, IndexError):
+        pass
+    return ""
+
+
+def sniff_container(data: bytes, ext: str = "") -> str:
+    """Identify the RAW container from magic bytes (ext is only a hint)."""
+    ext = ext.lower().lstrip(".")
+    if len(data) < 16:
+        return "unknown"
+    # ISO base media file (CR3): size + 'ftyp' + brand
+    if data[4:8] == b"ftyp":
+        return "cr3" if b"crx " in data[8:24] else "bmff"
+    if data[:15] == b"FUJIFILMCCD-RAW"[:15]:
+        return "raf"
+    if data[:4] == b"FOVb":
+        return "x3f"
+    if data[:4] in (b"IIRO", b"IIRS", b"MMOR"):  # Olympus magics 0x4f52/0x5352
+        return "orf"
+    if data[:4] == b"IIU\0":  # Panasonic RW2 magic 85
+        return "rw2"
+    if data[:2] in (b"II", b"MM"):
+        try:
+            endian = "<" if data[:2] == b"II" else ">"
+            (magic,) = struct.unpack_from(endian + "H", data, 2)
+        except struct.error:
+            return "unknown"
+        if magic != 42:
+            return "unknown"
+        if data[8:10] == b"CR":  # CR2 extra magic at offset 8
+            return "cr2"
+        make = _tiff_make(data).upper()
+        if make.startswith("NIKON"):
+            return "nef"
+        if make.startswith("SONY"):
+            return "arw"
+        if make.startswith("PENTAX") or make.startswith("RICOH"):
+            return "pef"
+        if ext in ("nef", "nrw"):
+            return "nef"
+        if ext in ("arw", "srf", "sr2"):
+            return "arw"
+        if ext == "pef":
+            return "pef"
+        return "tiff"
+    return "unknown"
+
+
+def parse_raw(data: bytes, ext: str = "") -> RawFile:
+    """Decode any supported RAW container to a RawFile."""
+    kind = sniff_container(data, ext)
+    if kind == "tiff":
+        return parse_dng(data)
+    if kind == "cr2":
+        from rapidraw_tpu.io.makers import parse_cr2
+
+        return parse_cr2(data)
+    if kind == "nef":
+        from rapidraw_tpu.io.makers import parse_nef
+
+        return parse_nef(data)
+    if kind == "pef":
+        from rapidraw_tpu.io.makers import parse_pef
+
+        return parse_pef(data)
+    if kind == "arw":
+        from rapidraw_tpu.io.makers import parse_arw
+
+        return parse_arw(data)
+    if kind in ("cr3", "raf", "x3f", "orf", "rw2", "bmff"):
+        raise UnsupportedRawFormat(kind)
+    if kind == "unknown":
+        raise DngError(
+            f"unrecognized RAW container (extension {ext or '?'}); "
+            f"supported: {', '.join(SUPPORTED_FORMATS)}"
+        )
+    raise UnsupportedRawFormat(kind)

@@ -1,11 +1,13 @@
-"""Minimal DNG/TIFF RAW container reader (pure Python + NumPy).
+"""TIFF-family RAW container reader (pure Python + NumPy).
 
 The reference decodes RAW containers with the rawler crate
 (raw_processing.rs:66-70); this is the host-side equivalent feeding packed
-CFA data to the TPU develop (rapidraw_tpu.raw.develop). Supported:
-uncompressed (Compression=1) and lossless-JPEG (Compression=7, decoded by
-the native C++ decoder in native/ljpeg.cc) CFA and LinearRaw DNG/TIFF,
-8/16-bit, strip or tile layout.
+CFA data to the TPU develop (rapidraw_tpu.raw.develop). Supported here:
+  * DNG/TIFF: uncompressed (Compression=1) 8/16-bit and bit-packed
+    10/12/14-bit, lossless-JPEG (Compression=7, native C++ decoder in
+    native/ljpeg.cc), strip or tile layout, CFA and LinearRaw.
+  * Vendor TIFF-family containers (CR2/NEF/PEF/ARW) in io/makers.py.
+Container detection + dispatch lives in io/containers.py.
 """
 
 from __future__ import annotations
@@ -128,6 +130,41 @@ def _collect_ifds(buf: bytes, endian: str, first: int) -> list[dict]:
     return ifds
 
 
+def _unpack_msb(raw: bytes, bits: int, row_samples: int, n_rows: int) -> np.ndarray:
+    """MSB-first bit-packed samples -> (n_rows, row_samples) uint16.
+
+    TIFF 6.0 packing for BitsPerSample 10/12/14 (DNG packed CFA): bits fill
+    bytes high-to-low, each ROW padded to a byte boundary.
+    """
+    row_bytes = (row_samples * bits + 7) // 8
+    buf = np.frombuffer(raw, np.uint8, count=row_bytes * n_rows)
+    bit_rows = np.unpackbits(buf.reshape(n_rows, row_bytes), axis=1)
+    bit_rows = bit_rows[:, : row_samples * bits].reshape(n_rows, row_samples, bits)
+    weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint32)
+    return (bit_rows.astype(np.uint32) * weights).sum(axis=2).astype(np.uint16)
+
+
+def _unpack_12le(raw: bytes, row_samples: int, n_rows: int) -> np.ndarray:
+    """Nikon-style little-endian 12-bit packing: 2 samples per 3 bytes,
+    p0 = b0 | (b1 & 0xF) << 8, p1 = b1 >> 4 | b2 << 4 (rawler decode_12le)."""
+    row_bytes = (row_samples * 12 + 7) // 8
+    buf = np.frombuffer(raw, np.uint8, count=row_bytes * n_rows).astype(np.uint16)
+    buf = buf.reshape(n_rows, row_bytes)
+    pairs = row_samples // 2
+    b0 = buf[:, 0 : pairs * 3 : 3]
+    b1 = buf[:, 1 : pairs * 3 : 3]
+    b2 = buf[:, 2 : pairs * 3 : 3]
+    out = np.empty((n_rows, pairs * 2), np.uint16)
+    out[:, 0::2] = b0 | ((b1 & 0xF) << 8)
+    out[:, 1::2] = (b1 >> 4) | (b2 << 4)
+    if row_samples % 2:
+        # odd trailing sample spans bytes 3k, 3k+1
+        t0 = buf[:, pairs * 3]
+        t1 = buf[:, pairs * 3 + 1]
+        out = np.concatenate([out, (t0 | ((t1 & 0xF) << 8))[:, None]], axis=1)
+    return out
+
+
 def _pattern_string(ifd: dict) -> str:
     pat = ifd.get(_T["CFAPattern"])
     if not pat:
@@ -165,11 +202,19 @@ def parse_dng(data: bytes) -> RawFile:
     spp = ifd.get(_T["SamplesPerPixel"], [1])[0]
     if compression not in (1, 7):
         raise DngError(f"unsupported DNG compression {compression}")
-    if compression == 1 and bits not in (8, 16):
+    if compression == 1 and bits not in (8, 10, 12, 14, 16):
         raise DngError(f"unsupported bit depth {bits}")
 
-    dtype = np.uint16 if (bits == 16 or compression == 7) else np.uint8
+    dtype = np.uint16 if (bits > 8 or compression == 7) else np.uint8
     plane = np.zeros((height, width * spp), dtype)
+
+    def _uncompressed(off: int, cnt: int, row_samples: int, n_rows: int) -> np.ndarray:
+        if bits in (8, 16):
+            return np.frombuffer(
+                data, dtype=endian + ("u2" if bits == 16 else "u1"),
+                count=n_rows * row_samples, offset=off,
+            ).reshape(n_rows, row_samples)
+        return _unpack_msb(data[off : off + cnt], bits, row_samples, n_rows)
 
     def _ljpeg(off: int, cnt: int) -> np.ndarray:
         # lossless-JPEG tile/strip (native C++ decoder, native/ljpeg.cc);
@@ -193,10 +238,7 @@ def parse_dng(data: bytes) -> RawFile:
                     )
                 tile = tile.reshape(tl, tw * spp)
             else:
-                tile = np.frombuffer(
-                    data, dtype=endian + ("u2" if bits == 16 else "u1"),
-                    count=tw * tl * spp, offset=off,
-                ).reshape(tl, tw * spp)
+                tile = _uncompressed(off, counts[idx] or (len(data) - off), tw * spp, tl)
             ty, tx = divmod(idx, tiles_x)
             y0, x0 = ty * tl, tx * tw * spp
             h = min(tl, height - y0)
@@ -217,10 +259,7 @@ def parse_dng(data: bytes) -> RawFile:
                     )
                 strip = strip.reshape(n_rows, width * spp)
             else:
-                strip = np.frombuffer(
-                    data, dtype=endian + ("u2" if bits == 16 else "u1"),
-                    count=n_rows * width * spp, offset=off,
-                ).reshape(n_rows, width * spp)
+                strip = _uncompressed(off, cnt, width * spp, n_rows)
             plane[row : row + n_rows] = strip
             row += n_rows
 
@@ -270,10 +309,12 @@ def load_raw_file(path: str | Path) -> np.ndarray:
     """
     import jax.numpy as jnp
 
+    from rapidraw_tpu.io.containers import parse_raw
     from rapidraw_tpu.raw.color import camera_to_srgb_matrix
     from rapidraw_tpu.raw.develop import develop_cfa, develop_linear_raw
 
-    raw = parse_dng(Path(path).read_bytes())
+    p = Path(path)
+    raw = parse_raw(p.read_bytes(), ext=p.suffix)
     if raw.xyz_to_cam is not None:
         cam2srgb = camera_to_srgb_matrix(raw.xyz_to_cam)
     else:

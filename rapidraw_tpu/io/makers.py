@@ -1,0 +1,541 @@
+"""Vendor TIFF-family RAW parsers: CR2 (Canon), NEF (Nikon), PEF (Pentax),
+ARW (Sony).
+
+The reference gets the whole camera matrix from the rawler crate
+(raw_processing.rs:15-30); these are fresh host-side decoders for the
+TIFF-family subset, reusing the generic IFD machinery in io/dng.py, the
+native lossless-JPEG decoder (native/ljpeg.cc, CR2) and the native
+vendor-Huffman decoder (native/vendor_huff.cc, NEF-compressed + PEF).
+Metadata handling (WB / black level / active area) is best-effort from the
+maker notes; missing fields fall back to neutral defaults.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from rapidraw_tpu.io.dng import (
+    DngError,
+    RawFile,
+    _collect_ifds,
+    _read_ifd,
+    _unpack_12le,
+    _unpack_msb,
+    _T,
+)
+
+_TAG_MAKE = 271
+_TAG_EXIF_IFD = 34665
+_TAG_MAKERNOTE = 37500
+_TAG_CFA_REPEAT = 33421
+_TAG_CFA_PATTERN = 33422
+
+
+def _chained_ifds(data: bytes, endian: str) -> list[dict]:
+    """IFD0 chain only (no SubIFD recursion), in file order."""
+    ifds = []
+    try:
+        _, first = struct.unpack_from(endian + "HI", data, 2)
+    except struct.error as e:
+        raise DngError("truncated TIFF header") from e
+    off = first
+    seen = set()
+    while off and off not in seen and off < len(data):
+        seen.add(off)
+        try:
+            entries, off = _read_ifd(data, off, endian)
+        except struct.error:
+            break
+        ifds.append(entries)
+    return ifds
+
+
+def _shift_pattern(pattern: str, top: int, left: int) -> str:
+    """2x2 CFA pattern after cropping `top` rows / `left` cols."""
+    rows = [pattern[0:2], pattern[2:4]]
+    return (
+        rows[top & 1][left & 1]
+        + rows[top & 1][(left + 1) & 1]
+        + rows[(top + 1) & 1][left & 1]
+        + rows[(top + 1) & 1][(left + 1) & 1]
+    )
+
+
+def _first(ifds, tag):
+    for i in ifds:
+        if tag in i:
+            return i[tag]
+    return None
+
+
+# --------------------------------------------------------------- CR2 (Canon)
+
+# Canon ColorData (makernote 0x4001) as-shot WB_RGGB offset in SHORTs,
+# keyed by the tag's element count (exiftool Canon::ColorData* versions);
+# unknown sizes use the modern default 63.
+_CANON_WB_OFFSET = {582: 25, 653: 34, 796: 63, 674: 63, 692: 63, 702: 63}
+
+
+def _canon_makernote(data: bytes, endian: str, ifds: list[dict]) -> dict:
+    """Canon maker note is a bare IFD; value offsets are file-absolute."""
+    exif_off = _first(ifds, _TAG_EXIF_IFD)
+    if not exif_off:
+        return {}
+    try:
+        exif, _ = _read_ifd(data, exif_off[0], endian)
+    except struct.error:
+        return {}
+    mn = exif.get(_TAG_MAKERNOTE)
+    if mn is None:
+        return {}
+    # _read_ifd already decoded it as a byte list; we need its file offset —
+    # re-scan the EXIF IFD entry table for the makernote entry's offset
+    try:
+        (count,) = struct.unpack_from(endian + "H", data, exif_off[0])
+        pos = exif_off[0] + 2
+        for _ in range(count):
+            tag, typ, n = struct.unpack_from(endian + "HHI", data, pos)
+            if tag == _TAG_MAKERNOTE:
+                # UNDEFINED blob (n = byte length, real CR2s) or a LONG
+                # pointer: both store the file-absolute IFD offset in the
+                # value slot once the payload exceeds 4 bytes
+                if typ == 4 or n > 4:
+                    (mn_off,) = struct.unpack_from(endian + "I", data, pos + 8)
+                else:
+                    mn_off = pos + 8
+                entries, _ = _read_ifd(data, mn_off, endian)
+                return entries
+            pos += 12
+    except struct.error:
+        pass
+    return {}
+
+
+def parse_cr2(data: bytes) -> RawFile:
+    """Canon CR2: lossless-JPEG RAW in the last chained IFD, re-sliced by
+    tag 0xc640 (cr2_slice); WB from ColorData (makernote 0x4001), black
+    level from the masked sensor border (makernote 0xe0 SensorInfo)."""
+    if data[:2] != b"II":
+        raise DngError("CR2 must be little-endian TIFF")
+    endian = "<"
+    ifds = _chained_ifds(data, endian)
+    raw_ifds = [
+        i for i in ifds
+        if i.get(_T["Compression"], [0])[0] == 7 and _T["StripOffsets"] in i
+    ]
+    if not raw_ifds:
+        raise DngError("no lossless-JPEG RAW IFD in CR2")
+    ifd = raw_ifds[-1]
+
+    from rapidraw_tpu.native import ljpeg_decode
+
+    off = ifd[_T["StripOffsets"]][0]
+    cnt = ifd.get(_T["StripByteCounts"], [len(data) - off])[0]
+    decoded = ljpeg_decode(bytes(data[off : off + cnt]))  # (sof_h, sof_w*ncomp)
+    h, w = decoded.shape
+
+    slices = ifd.get(0xC640)  # [count, width, last_width] in sensor columns
+    if slices and len(slices) >= 3 and slices[0] > 0:
+        widths = [slices[1]] * slices[0] + [slices[2]]
+        if sum(widths) != w:
+            raise DngError(f"CR2 slice widths {widths} != sensor width {w}")
+        flat = decoded.reshape(-1)
+        plane = np.empty((h, w), np.uint16)
+        col = 0
+        pos = 0
+        for sw in widths:
+            n = sw * h
+            plane[:, col : col + sw] = flat[pos : pos + n].reshape(h, sw)
+            col += sw
+            pos += n
+    else:
+        plane = decoded
+
+    mn = _canon_makernote(data, endian, ifds)
+
+    # active area + black level from SensorInfo (exiftool Canon:0xe0:
+    # [_, width, height, _, _, left, top, right, bottom, ...])
+    top = left = 0
+    black = 0.0
+    si = mn.get(0xE0)
+    if si and len(si) >= 9:
+        left, top, right, bottom = si[5], si[6], si[7], si[8]
+        if 0 < left < w and 0 < top < h and left >= 4:
+            black = float(np.mean(plane[top:, : left - 2]))
+        if 0 < right <= w and 0 < bottom <= h and right > left and bottom > top:
+            plane = plane[top : bottom + 1, left : right + 1]
+
+    # as-shot WB from ColorData
+    wb = np.ones(3, np.float32)
+    cd = mn.get(0x4001)
+    if cd:
+        woff = _CANON_WB_OFFSET.get(len(cd), 63)
+        if woff + 4 <= len(cd):
+            r, g1, g2, b = (float(v) for v in cd[woff : woff + 4])
+            g = (g1 + g2) / 2.0 or 1.0
+            wb = np.array([r / g, 1.0, b / g], np.float32)
+
+    bits = 14 if plane.max(initial=0) > 4095 else 12
+    return RawFile(
+        cfa=plane,
+        pattern=_shift_pattern("RGGB", top, left),
+        black_level=black,
+        white_level=float((1 << bits) - 1),
+        wb=wb,
+        xyz_to_cam=None,
+        orientation=int((_first(ifds, _T["Orientation"]) or [1])[0]),
+    )
+
+
+# --------------------------------------------------------------- NEF (Nikon)
+
+
+def _nikon_makernote(data: bytes, endian: str, ifds: list[dict]):
+    """Nikon maker note: 'Nikon\\0' header + version, then an embedded TIFF
+    whose value offsets are relative to that embedded header. Returns
+    (entries, base_offset) or ({}, 0)."""
+    exif_off = _first(ifds, _TAG_EXIF_IFD)
+    if not exif_off:
+        return {}, 0
+    try:
+        (count,) = struct.unpack_from(endian + "H", data, exif_off[0])
+        pos = exif_off[0] + 2
+        for _ in range(count):
+            tag, typ, n = struct.unpack_from(endian + "HHI", data, pos)
+            if tag == _TAG_MAKERNOTE:
+                (mn_off,) = struct.unpack_from(endian + "I", data, pos + 8)
+                if data[mn_off : mn_off + 5] != b"Nikon":
+                    return {}, 0
+                base = mn_off + 10  # 'Nikon\0' + 4 version bytes
+                sub = data[base:]
+                e2 = "<" if sub[:2] == b"II" else ">"
+                _, first = struct.unpack_from(e2 + "HI", sub, 2)
+                entries, _ = _read_ifd(sub, first, e2)
+                return entries, base
+            pos += 12
+    except (struct.error, IndexError):
+        pass
+    return {}, 0
+
+
+def _nef_wb(mn: dict) -> np.ndarray:
+    # WB_RBLevels (tag 0x0c): rationals [R, B, G-ish, G-ish]
+    v = mn.get(0x0C)
+    if v and len(v) >= 2 and v[0] > 0 and v[1] > 0:
+        return np.array([float(v[0]), 1.0, float(v[1])], np.float32)
+    return np.ones(3, np.float32)
+
+
+def parse_nef(data: bytes) -> RawFile:
+    """Nikon NEF: RAW lives in a SubIFD (photometric CFA). Supported
+    encodings: uncompressed 16-bit, packed little-endian 12-bit, packed
+    MSB 14-bit, and Nikon-compressed (34713) via native/vendor_huff.cc
+    with the curve/vpred/split from LinearizationTable (makernote 0x96)."""
+    endian = "<" if data[:2] == b"II" else ">"
+    ifds = _collect_ifds(data, endian, struct.unpack_from(endian + "HI", data, 2)[1])
+    raw_ifds = [i for i in ifds if i.get(_T["Photometric"], [0])[0] == 32803]
+    if not raw_ifds:
+        raise DngError("no CFA IFD found in NEF")
+    ifd = max(
+        raw_ifds,
+        key=lambda i: i.get(_T["ImageWidth"], [0])[0] * i.get(_T["ImageLength"], [0])[0],
+    )
+    width = ifd[_T["ImageWidth"]][0]
+    height = ifd[_T["ImageLength"]][0]
+    bits = ifd.get(_T["BitsPerSample"], [16])[0]
+    compression = ifd.get(_T["Compression"], [1])[0]
+    off = ifd[_T["StripOffsets"]][0]
+    cnt = sum(ifd.get(_T["StripByteCounts"], [len(data) - off]))
+
+    mn, _base = _nikon_makernote(data, endian, ifds)
+
+    if compression == 1:
+        if bits == 16:
+            plane = np.frombuffer(
+                data, endian + "u2", count=width * height, offset=off
+            ).reshape(height, width)
+        elif bits == 12:
+            plane = _unpack_12le(data[off : off + cnt], width, height)
+        elif bits == 14:
+            plane = _unpack_msb(data[off : off + cnt], 14, width, height)
+        else:
+            raise DngError(f"unsupported NEF bit depth {bits}")
+    elif compression == 34713:
+        plane = _nef_decompress(data[off : off + cnt], width, height, bits, mn)
+    else:
+        raise DngError(f"unsupported NEF compression {compression}")
+
+    pat = ifd.get(_TAG_CFA_PATTERN)
+    pattern = (
+        "".join({0: "R", 1: "G", 2: "B"}.get(v, "G") for v in pat[:4])
+        if pat
+        else "RGGB"
+    )
+    return RawFile(
+        cfa=plane.astype(np.uint16, copy=False),
+        pattern=pattern,
+        black_level=0.0,
+        white_level=float((1 << bits) - 1),
+        wb=_nef_wb(mn),
+        xyz_to_cam=None,
+        orientation=int((_first(ifds, _T["Orientation"]) or [1])[0]),
+    )
+
+
+def _nef_decompress(
+    stream: bytes, width: int, height: int, bits: int, mn: dict
+) -> np.ndarray:
+    """Nikon compression 34713 via native/vendor_huff.cc.
+
+    LinearizationTable (makernote 0x96) layout (documented in
+    dcraw/exiftool): ver0, ver1 bytes; [6 skip bytes for ver 0x49/0x58];
+    2x2 SHORT vertical predictors; SHORT curve size; then either a stepped
+    curve (lossy type 2, ver0=0x44 ver1=0x20, split row at byte 562) or a
+    direct curve (<= 0x4001 entries); lossless (ver0=0x46) keeps an
+    identity curve. Tree: 12-bit lossy 0 / lossless 2; +3 for 14-bit;
+    post-split trees are tree+1 (handled natively).
+    """
+    lt = mn.get(0x96)
+    if not lt:
+        raise DngError("NEF compressed without LinearizationTable (0x96)")
+    raw = bytes(lt)
+    if len(raw) < 12:
+        raise DngError("NEF LinearizationTable too short")
+    v0, v1 = raw[0], raw[1]
+    pos = 2
+    if v0 == 0x49 or v1 == 0x58:
+        pos += 6
+    vpred = struct.unpack_from("<4H", raw, pos)
+    pos += 8
+    (csize,) = struct.unpack_from("<H", raw, pos)
+    pos += 2
+
+    max_v = 1 << bits
+    step = max_v // (csize - 1) if csize > 1 else 0
+    lut = np.arange(max_v, dtype=np.uint16)
+    split = 0
+    if v0 == 0x44 and v1 in (0x20, 0x40) and step > 0:
+        knots = np.array(struct.unpack_from(f"<{csize}H", raw, pos), np.float64)
+        xs = np.arange(csize) * step
+        lut = np.interp(np.arange(max_v), xs, knots).astype(np.uint16)
+        if v1 == 0x20 and len(raw) >= 564:
+            (split,) = struct.unpack_from("<H", raw, 562)
+    elif v0 != 0x46 and csize <= 0x4001:
+        n = min(csize, (len(raw) - pos) // 2, max_v)
+        vals = np.array(struct.unpack_from(f"<{n}H", raw, pos), np.uint16)
+        lut[: vals.size] = vals
+        if vals.size:
+            lut[vals.size :] = vals[-1]
+
+    tree = (2 if v0 == 0x46 else 0) + (3 if bits == 14 else 0)
+
+    from rapidraw_tpu.native import nikon_decode
+
+    vals = nikon_decode(stream, width, height, tree, split, vpred, bits)
+    return lut[np.minimum(vals, lut.size - 1)]
+
+
+# --------------------------------------------------------------- PEF (Pentax)
+
+
+def parse_pef(data: bytes) -> RawFile:
+    """Pentax PEF: CFA IFD with Compression 1 (16-bit / packed MSB 12-bit)
+    or 65535 (Pentax Huffman, native/vendor_huff.cc)."""
+    endian = "<" if data[:2] == b"II" else ">"
+    ifds = _collect_ifds(data, endian, struct.unpack_from(endian + "HI", data, 2)[1])
+    raw_ifds = [i for i in ifds if i.get(_T["Photometric"], [0])[0] == 32803]
+    if not raw_ifds:
+        raise DngError("no CFA IFD found in PEF")
+    ifd = max(
+        raw_ifds,
+        key=lambda i: i.get(_T["ImageWidth"], [0])[0] * i.get(_T["ImageLength"], [0])[0],
+    )
+    width = ifd[_T["ImageWidth"]][0]
+    height = ifd[_T["ImageLength"]][0]
+    bits = ifd.get(_T["BitsPerSample"], [16])[0]
+    compression = ifd.get(_T["Compression"], [1])[0]
+    off = ifd[_T["StripOffsets"]][0]
+    cnt = sum(ifd.get(_T["StripByteCounts"], [len(data) - off]))
+
+    if compression == 1:
+        if bits == 16:
+            plane = np.frombuffer(
+                data, endian + "u2", count=width * height, offset=off
+            ).reshape(height, width)
+        else:
+            plane = _unpack_msb(data[off : off + cnt], bits, width, height)
+    elif compression == 65535:
+        from rapidraw_tpu.native import pentax_decode
+
+        plane = pentax_decode(bytes(data[off : off + cnt]), width, height, bits)
+    else:
+        raise DngError(f"unsupported PEF compression {compression}")
+
+    pat = ifd.get(_TAG_CFA_PATTERN)
+    pattern = (
+        "".join({0: "R", 1: "G", 2: "B"}.get(v, "G") for v in pat[:4])
+        if pat
+        else "RGGB"
+    )
+    return RawFile(
+        cfa=plane.astype(np.uint16, copy=False),
+        pattern=pattern,
+        black_level=0.0,
+        white_level=float((1 << bits) - 1),
+        wb=np.ones(3, np.float32),
+        xyz_to_cam=None,
+        orientation=int((_first(ifds, _T["Orientation"]) or [1])[0]),
+    )
+
+
+# --------------------------------------------------------------- ARW (Sony)
+
+# Sony ARW2 tone curve breakpoints (dcraw sony_arw2_load_raw): output =
+# piecewise-linear expansion of the 11-bit coded value to 16 bits.
+_ARW2_CURVE_X = (0, 0x800, 0x1400, 0x2000, 0x2C00)
+_ARW2_CURVE_STEP = (1, 2, 4, 8, 16)
+
+
+def _arw2_curve() -> np.ndarray:
+    lut = np.zeros(0x4000, np.uint32)
+    v = 0
+    for i in range(1, 0x4000):
+        seg = 0
+        for k, x in enumerate(_ARW2_CURVE_X):
+            if i > x:
+                seg = k
+        v += _ARW2_CURVE_STEP[seg]
+        lut[i] = v
+    return lut
+
+
+def _arw2_decode(raw: bytes, width: int, height: int) -> np.ndarray:
+    """Sony ARW2 compressed (32767): 16 bytes encode 16 pixels of one CFA
+    color covering 32 interleaved columns — 11-bit max/min, 4-bit their
+    positions, 14 7-bit deltas shifted by the dynamic range (dcraw
+    sony_arw2_load_raw), then the Sony tone curve."""
+    row_bytes = width  # 8 bits/pixel average: width bytes per row
+    buf = np.frombuffer(raw, np.uint8, count=row_bytes * height)
+    blocks = buf.reshape(-1, 16)
+    nb = blocks.shape[0]
+
+    lo = blocks[:, :8].copy().view("<u8").reshape(nb).astype(np.uint64)
+    hi = blocks[:, 8:].copy().view("<u8").reshape(nb).astype(np.uint64)
+
+    def bitfield(pos: int, nbits: int) -> np.ndarray:
+        mask = np.uint64((1 << nbits) - 1)
+        if pos + nbits <= 64:
+            return (lo >> np.uint64(pos)) & mask
+        if pos >= 64:
+            return (hi >> np.uint64(pos - 64)) & mask
+        lo_part = lo >> np.uint64(pos)
+        hi_part = (hi << np.uint64(64 - pos)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        return (lo_part | hi_part) & mask
+
+    vmax = bitfield(0, 11).astype(np.int32)
+    vmin = bitfield(11, 11).astype(np.int32)
+    imax = bitfield(22, 4).astype(np.int64)
+    imin = bitfield(26, 4).astype(np.int64)
+
+    # smallest sh (capped at 4) such that (max-min) >> sh < 0x80
+    rng = np.maximum(vmax - vmin, 0)
+    sh = np.zeros(nb, np.int32)
+    for s in range(4):
+        sh = np.where((0x80 << s) <= rng, s + 1, sh)
+
+    vals = np.empty((nb, 16), np.int32)
+    vals[np.arange(nb), imin] = vmin
+    vals[np.arange(nb), imax] = vmax  # max wins an imax==imin tie
+    others = np.zeros((nb, 14), np.int32)
+    for k in range(14):
+        others[:, k] = bitfield(30 + 7 * k, 7).astype(np.int32)
+    # scatter the 14 deltas into the non-max/min slots
+    slot_idx = np.argsort(
+        np.where(
+            (np.arange(16)[None, :] == imax[:, None])
+            | (np.arange(16)[None, :] == imin[:, None]),
+            99,
+            np.arange(16)[None, :],
+        ),
+        axis=1,
+        kind="stable",
+    )[:, :14]
+    np.put_along_axis(
+        vals, slot_idx, vmin[:, None] + (others << sh[:, None]), axis=1
+    )
+    vals = np.clip(vals, 0, 0x7FF)
+
+    curve = _arw2_curve()
+    decoded = curve[np.minimum(vals << 1, curve.size - 1)].astype(np.uint16)
+
+    # blocks tile each row: 2 blocks (32 pixels) cover 32 consecutive
+    # columns of alternating CFA colors — pixels of one block land on
+    # every OTHER column (dcraw: "col = x*2 + ..." interleave)
+    out = np.empty((height, width), np.uint16)
+    per_row = width // 32  # block PAIRS per row
+    dec = decoded.reshape(height, per_row, 2, 16)
+    inter = np.empty((height, per_row, 32), np.uint16)
+    inter[:, :, 0::2] = dec[:, :, 0, :]
+    inter[:, :, 1::2] = dec[:, :, 1, :]
+    out[:] = inter.reshape(height, width)
+    return out
+
+
+def parse_arw(data: bytes) -> RawFile:
+    """Sony ARW: CFA IFD with Compression 1 (16-bit or packed MSB) or
+    32767 (ARW2 block compression, decoded vectorized in numpy)."""
+    endian = "<" if data[:2] == b"II" else ">"
+    ifds = _collect_ifds(data, endian, struct.unpack_from(endian + "HI", data, 2)[1])
+    raw_ifds = [i for i in ifds if i.get(_T["Photometric"], [0])[0] == 32803]
+    if not raw_ifds:
+        raise DngError("no CFA IFD found in ARW")
+    ifd = max(
+        raw_ifds,
+        key=lambda i: i.get(_T["ImageWidth"], [0])[0] * i.get(_T["ImageLength"], [0])[0],
+    )
+    width = ifd[_T["ImageWidth"]][0]
+    height = ifd[_T["ImageLength"]][0]
+    bits = ifd.get(_T["BitsPerSample"], [16])[0]
+    compression = ifd.get(_T["Compression"], [1])[0]
+    off = ifd[_T["StripOffsets"]][0]
+    cnt = sum(ifd.get(_T["StripByteCounts"], [len(data) - off]))
+
+    if compression == 1:
+        if bits == 16:
+            plane = np.frombuffer(
+                data, endian + "u2", count=width * height, offset=off
+            ).reshape(height, width)
+        else:
+            plane = _unpack_msb(data[off : off + cnt], bits, width, height)
+        white = float((1 << bits) - 1)
+    elif compression == 32767:
+        plane = _arw2_decode(data[off : off + cnt], width, height)
+        white = 65535.0  # ARW2 curve expands to 16-bit range
+    else:
+        raise DngError(f"unsupported ARW compression {compression}")
+
+    black = float(np.mean(_first(ifds, _T["BlackLevel"]) or [0]))
+    wb = np.ones(3, np.float32)
+    neutral = _first(ifds, _T["AsShotNeutral"])
+    if neutral and len(neutral) >= 3:
+        n = np.asarray(neutral[:3], np.float64)
+        n[n <= 0] = 1.0
+        wb = (1.0 / n / (1.0 / n[1])).astype(np.float32)
+
+    pat = ifd.get(_TAG_CFA_PATTERN)
+    pattern = (
+        "".join({0: "R", 1: "G", 2: "B"}.get(v, "G") for v in pat[:4])
+        if pat
+        else "RGGB"
+    )
+    return RawFile(
+        cfa=plane,
+        pattern=pattern,
+        black_level=black,
+        white_level=white,
+        wb=wb,
+        xyz_to_cam=None,
+        orientation=int((_first(ifds, _T["Orientation"]) or [1])[0]),
+    )

@@ -60,6 +60,55 @@ def load(name: str) -> ctypes.CDLL:
     return _libs[name]
 
 
+def nikon_decode(stream: bytes, width: int, height: int, tree: int,
+                 split: int, vpred, bits: int):
+    """Nikon NEF compression 34713 -> (H, W) uint16 predicted values
+    (pre-curve). vpred: 4 uint16 initial vertical predictors."""
+    import numpy as np
+
+    lib = load("vendor_huff")
+    fn = lib.nikon_decode
+    fn.restype = ctypes.c_int
+    fn.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.c_int,
+    ]
+    out = np.empty((height, width), np.uint16)
+    vp = np.ascontiguousarray(np.asarray(vpred, np.uint16).reshape(4))
+    rc = fn(
+        stream, len(stream),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        width, height, tree, split,
+        vp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), bits,
+    )
+    if rc != 0:
+        raise ValueError(f"nikon decode failed (code {rc})")
+    return out
+
+
+def pentax_decode(stream: bytes, width: int, height: int, bits: int = 16):
+    """Pentax PEF compression 65535 (default Huffman table) -> (H, W) u16."""
+    import numpy as np
+
+    lib = load("vendor_huff")
+    fn = lib.pentax_decode
+    fn.restype = ctypes.c_int
+    fn.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    out = np.empty((height, width), np.uint16)
+    rc = fn(
+        stream, len(stream),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        width, height, bits,
+    )
+    if rc != 0:
+        raise ValueError(f"pentax decode failed (code {rc})")
+    return out
+
+
 def ljpeg_decode(stream: bytes):
     """Decode one lossless-JPEG (SOF3) stream -> uint16 array (h, w*comps).
 

@@ -23,17 +23,26 @@ _PATTERNS = ("RGGB", "BGGR", "GRBG", "GBRG")
 
 
 def _phase_masks(h: int, w: int, pattern: str) -> dict[str, jnp.ndarray]:
-    """(H, W) 0/1 masks for R, G, B sites."""
+    """(H, W) 0/1 masks for R, G, B sites.
+
+    Built from broadcast iotas ON DEVICE — materializing them as numpy
+    constants embeds 3x(H,W) f32 into the compiled executable (~300 MB at
+    24MP), which blows past the axon remote-compile payload limit.
+    """
     if pattern not in _PATTERNS:
         raise ValueError(f"unsupported CFA pattern {pattern!r}")
-    grid = np.zeros((2, 2), dtype="<U1")
-    grid[0, 0], grid[0, 1], grid[1, 0], grid[1, 1] = pattern
+    ym = (jnp.arange(h, dtype=jnp.int32) % 2).astype(jnp.float32)[:, None]
+    xm = (jnp.arange(w, dtype=jnp.int32) % 2).astype(jnp.float32)[None, :]
+    cell = (
+        (1.0 - ym) * (1.0 - xm),  # pattern[0]: even row, even col
+        (1.0 - ym) * xm,          # pattern[1]
+        ym * (1.0 - xm),          # pattern[2]
+        ym * xm,                  # pattern[3]
+    )
     masks = {}
-    ys = np.arange(h) % 2
-    xs = np.arange(w) % 2
-    cell = grid[ys[:, None], xs[None, :]]
     for c in "RGB":
-        masks[c] = jnp.asarray((cell == c).astype(np.float32))
+        terms = [cell[i] for i in range(4) if pattern[i] == c]
+        masks[c] = sum(terms[1:], terms[0])
     return masks
 
 

@@ -1,0 +1,533 @@
+"""Fixture-based decode tests for the RAW container matrix.
+
+Each format gets a synthetic in-memory fixture written by the generic TIFF
+builder below plus a format-specific stream encoder (test-only oracles),
+and the parser must reproduce the known CFA samples exactly — the same
+strategy as the LJPEG round-trip tests. Covers: packed 10/12/14-bit
+DNG/TIFF, CR2 (sliced lossless-JPEG), NEF (packed 12-bit + lossless
+compressed), PEF (Huffman), ARW (packed + ARW2 blocks), container
+sniffing, and actionable unsupported-format errors.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from rapidraw_tpu.io.containers import (
+    UnsupportedRawFormat,
+    parse_raw,
+    sniff_container,
+)
+from rapidraw_tpu.io.dng import DngError, parse_dng
+
+
+def _skip_if_no_native():
+    from rapidraw_tpu.native import NativeBuildError, load
+
+    try:
+        load("vendor_huff")
+        load("ljpeg")
+    except NativeBuildError as e:
+        pytest.skip(f"native toolchain unavailable: {e}")
+
+
+# ------------------------------------------------------------ TIFF builder
+TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
+
+
+class Ifd:
+    """One IFD: entries is a list of (tag, type, value).
+
+    value forms: list[int] (types 1/3/4), bytes (1/7), str (2),
+    ("blob", bytes) -> LONG offset to raw data,
+    ("ifd", Ifd) -> LONG offset to a nested IFD (EXIF pointer / SubIFDs).
+    """
+
+    def __init__(self, entries=None):
+        self.entries = list(entries or [])
+
+    def add(self, tag, typ, value):
+        self.entries.append((tag, typ, value))
+        return self
+
+
+def build_tiff(chain: list[Ifd], endian: str = "<", magic_extra: bytes = b"") -> bytes:
+    """Serialize chained IFDs (+ nested) into a TIFF byte string.
+
+    magic_extra: bytes placed at offset 8 (e.g. CR2's b"CR\\x02\\x00" +
+    raw-IFD pointer placeholder is NOT handled — CR2 just needs the magic).
+    """
+    # collect every IFD depth-first so nested ones get offsets
+    all_ifds: list[Ifd] = []
+
+    def collect(ifd: Ifd):
+        all_ifds.append(ifd)
+        for _, _, v in ifd.entries:
+            if isinstance(v, tuple) and v[0] == "ifd":
+                collect(v[1])
+
+    for ifd in chain:
+        collect(ifd)
+
+    header = 8 + len(magic_extra)
+    offsets: dict[int, int] = {}
+    pos = header
+    for ifd in all_ifds:
+        offsets[id(ifd)] = pos
+        pos += 2 + 12 * len(ifd.entries) + 4
+
+    # extra-value area and blob area
+    extra_start = pos
+    extra = bytearray()
+    blob_area = bytearray()
+
+    def value_bytes(typ, v) -> bytes:
+        if isinstance(v, tuple):
+            raise AssertionError("resolved earlier")
+        if isinstance(v, bytes):
+            return v
+        if isinstance(v, str):
+            return v.encode() + b"\0"
+        fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[typ]
+        return b"".join(struct.pack(endian + fmt, x) for x in v)
+
+    # first pass: compute extra sizes for >4-byte values
+    resolved: dict[int, list] = {}
+    for ifd in all_ifds:
+        rows = []
+        for tag, typ, v in sorted(ifd.entries, key=lambda e: e[0]):
+            if isinstance(v, tuple) and v[0] == "ifd":
+                rows.append((tag, 4, 1, ("ifdref", v[1])))
+                continue
+            if isinstance(v, tuple) and v[0] == "blob":
+                rows.append((tag, 4, 1, ("blobref", v[1])))
+                continue
+            raw = value_bytes(typ, v)
+            count = (
+                len(raw) // TYPE_SIZES[typ]
+                if not isinstance(v, list)
+                else len(v)
+            )
+            rows.append((tag, typ, count, raw))
+        resolved[id(ifd)] = rows
+
+    # lay out extra + blobs
+    blob_offsets: dict[int, int] = {}
+    extra_cursor = extra_start
+    for ifd in all_ifds:
+        for i, (tag, typ, count, raw) in enumerate(resolved[id(ifd)]):
+            if isinstance(raw, tuple):
+                continue
+            if len(raw) > 4:
+                resolved[id(ifd)][i] = (tag, typ, count, ("extra", extra_cursor, raw))
+                extra_cursor += len(raw)
+    blob_start = extra_cursor
+    blob_cursor = blob_start
+    for ifd in all_ifds:
+        for tag, typ, count, raw in resolved[id(ifd)]:
+            if isinstance(raw, tuple) and raw[0] == "blobref":
+                blob_offsets[id(raw[1])] = blob_cursor
+                blob_cursor += len(raw[1])
+
+    out = bytearray()
+    out += (b"II" if endian == "<" else b"MM") + struct.pack(endian + "HI", 42, header)
+    out += magic_extra
+    for idx, ifd in enumerate(all_ifds):
+        rows = resolved[id(ifd)]
+        out += struct.pack(endian + "H", len(rows))
+        for tag, typ, count, raw in rows:
+            if isinstance(raw, tuple) and raw[0] == "ifdref":
+                out += struct.pack(endian + "HHII", tag, 4, 1, offsets[id(raw[1])])
+            elif isinstance(raw, tuple) and raw[0] == "blobref":
+                out += struct.pack(endian + "HHII", tag, 4, 1, blob_offsets[id(raw[1])])
+            elif isinstance(raw, tuple) and raw[0] == "extra":
+                out += struct.pack(endian + "HHII", tag, typ, count, raw[1])
+            else:
+                out += struct.pack(endian + "HHI", tag, typ, count) + raw.ljust(4, b"\0")
+        # chain pointer: next top-level IFD, only for members of `chain`
+        nxt = 0
+        if ifd in chain:
+            ci = chain.index(ifd)
+            if ci + 1 < len(chain):
+                nxt = offsets[id(chain[ci + 1])]
+        out += struct.pack(endian + "I", nxt)
+    # pad out to extra_start (DFS collection may interleave; keep simple)
+    assert len(out) == extra_start, (len(out), extra_start)
+    for ifd in all_ifds:
+        for tag, typ, count, raw in resolved[id(ifd)]:
+            if isinstance(raw, tuple) and raw[0] == "extra":
+                out += raw[2]
+    for ifd in all_ifds:
+        for tag, typ, count, raw in resolved[id(ifd)]:
+            if isinstance(raw, tuple) and raw[0] == "blobref":
+                out += raw[1]
+    return bytes(out)
+
+
+def _pack_msb(samples: np.ndarray, bits: int) -> bytes:
+    """Row-padded MSB-first packing (TIFF 6.0) — encoder oracle."""
+    h, w = samples.shape
+    out = bytearray()
+    for row in samples:
+        acc = 0
+        n = 0
+        rowb = bytearray()
+        for v in row:
+            acc = (acc << bits) | int(v)
+            n += bits
+            while n >= 8:
+                rowb.append((acc >> (n - 8)) & 0xFF)
+                n -= 8
+        if n:
+            rowb.append((acc << (8 - n)) & 0xFF)
+        out += rowb
+    return bytes(out)
+
+
+def _pack_12le(samples: np.ndarray) -> bytes:
+    """Nikon little-endian 12-bit packing — encoder oracle."""
+    h, w = samples.shape
+    assert w % 2 == 0
+    out = bytearray()
+    for row in samples:
+        for i in range(0, w, 2):
+            a, b = int(row[i]), int(row[i + 1])
+            out.append(a & 0xFF)
+            out.append(((a >> 8) & 0xF) | ((b & 0xF) << 4))
+            out.append((b >> 4) & 0xFF)
+    return bytes(out)
+
+
+# ------------------------------------------------- packed DNG/TIFF fixtures
+def _cfa_ifd(w, h, bits, compression, payload: bytes, extra_tags=()) -> Ifd:
+    ifd = Ifd()
+    ifd.add(256, 4, [w]).add(257, 4, [h]).add(258, 3, [bits])
+    ifd.add(259, 3, [compression]).add(262, 3, [32803]).add(277, 3, [1])
+    ifd.add(273, 4, ("blob", payload)).add(278, 4, [h]).add(279, 4, [len(payload)])
+    ifd.add(33422, 1, bytes([0, 1, 1, 2]))  # RGGB
+    for tag, typ, v in extra_tags:
+        ifd.add(tag, typ, v)
+    return ifd
+
+
+@pytest.mark.parametrize("bits", [10, 12, 14])
+def test_dng_packed_bits_roundtrip(bits):
+    rng = np.random.default_rng(bits)
+    cfa = rng.integers(0, 1 << bits, size=(10, 20), dtype=np.uint16)
+    data = build_tiff([_cfa_ifd(20, 10, bits, 1, _pack_msb(cfa, bits))])
+    r = parse_dng(data)
+    np.testing.assert_array_equal(r.cfa, cfa)
+    assert r.pattern == "RGGB"
+    assert r.white_level == (1 << bits) - 1
+
+
+# --------------------------------------------------------------- sniffing
+def test_sniff_and_unsupported_errors():
+    assert sniff_container(b"\0\0\0\x18ftypcrx " + b"\0" * 64) == "cr3"
+    assert sniff_container(b"FUJIFILMCCD-RAW " + b"\0" * 64) == "raf"
+    assert sniff_container(b"FOVb" + b"\0" * 64) == "x3f"
+    assert sniff_container(b"IIRO\x08\0\0\0" + b"\0" * 64) == "orf"
+    assert sniff_container(b"IIU\0\x08\0\0\0" + b"\0" * 64) == "rw2"
+
+    with pytest.raises(UnsupportedRawFormat) as ei:
+        parse_raw(b"\0\0\0\x18ftypcrx " + b"\0" * 64, ext="cr3")
+    assert "cr3" in str(ei.value) and "supported" in str(ei.value)
+
+    with pytest.raises(DngError):
+        parse_raw(b"garbage-not-a-raw-file" + b"\0" * 64, ext="xyz")
+
+
+def test_sniff_tiff_family_dispatch():
+    cfa = np.zeros((4, 8), np.uint16)
+    plain = build_tiff([_cfa_ifd(8, 4, 16, 1, cfa.astype("<u2").tobytes())])
+    assert sniff_container(plain) == "tiff"
+    # Make-based dispatch
+    nikon = build_tiff([
+        Ifd([(271, 2, "NIKON CORPORATION")]),
+        _cfa_ifd(8, 4, 16, 1, cfa.astype("<u2").tobytes()),
+    ])
+    assert sniff_container(nikon) == "nef"
+    sony = build_tiff([
+        Ifd([(271, 2, "SONY")]),
+        _cfa_ifd(8, 4, 16, 1, cfa.astype("<u2").tobytes()),
+    ])
+    assert sniff_container(sony) == "arw"
+    pentax = build_tiff([
+        Ifd([(271, 2, "PENTAX Corporation")]),
+        _cfa_ifd(8, 4, 16, 1, cfa.astype("<u2").tobytes()),
+    ])
+    assert sniff_container(pentax) == "pef"
+
+
+# -------------------------------------------------------------------- CR2
+def test_cr2_sliced_ljpeg_roundtrip():
+    _skip_if_no_native()
+    from test_native_ljpeg import encode_ljpeg
+
+    rng = np.random.default_rng(2)
+    h, w = 12, 36
+    cfa = rng.integers(0, 1 << 14, size=(h, w), dtype=np.uint16)
+
+    # CR2 stores the sensor as vertical slices laid out sequentially:
+    # 2 slices of 16 columns + final 4 (tag 0xc640 = [2, 16, 4])
+    widths = [16, 16, 4]
+    flat = np.concatenate([cfa[:, c0:c0 + sw].reshape(-1)
+                           for c0, sw in zip([0, 16, 32], widths)])
+    # encode as a 2-component SOF3 image with total samples h*w
+    sof = flat.reshape(h, w)
+    payload = encode_ljpeg(sof, precision=14, ncomp=2)
+
+    # makernote: SensorInfo zeros (no crop), ColorData len 796 w/ WB at 63
+    cd = [0] * 796
+    cd[63:67] = [512, 256, 256, 384]  # R G1 G2 B -> wb (2, 1, 1.5)
+    mn = Ifd([(0xE0, 3, [0] * 9), (0x4001, 3, cd)])
+    exif = Ifd([(37500, 7, ("ifd", mn))])  # makernote as bare IFD via offset
+
+    ifd0 = Ifd([(271, 2, "Canon"), (34665, 4, ("ifd", exif))])
+    raw_ifd = Ifd([
+        (259, 3, [7]),
+        (273, 4, ("blob", payload)),
+        (279, 4, [len(payload)]),
+        (0xC640, 3, [2, 16, 4]),
+    ])
+    data = build_tiff([ifd0, raw_ifd], magic_extra=b"CR\x02\x00\0\0\0\0")
+    assert sniff_container(data) == "cr2"
+    r = parse_raw(data, ext="cr2")
+    np.testing.assert_array_equal(r.cfa, cfa)
+    np.testing.assert_allclose(r.wb, [2.0, 1.0, 1.5])
+    assert r.pattern == "RGGB"
+
+
+# -------------------------------------------------------------------- NEF
+def _nikon_makernote_blob(entries: Ifd) -> bytes:
+    """'Nikon\\0' + version + embedded little-endian TIFF."""
+    inner = build_tiff([entries])
+    return b"Nikon\x00\x02\x10\x00\x00" + inner
+
+
+def _encode_nikon_lossless12(cfa: np.ndarray) -> bytes:
+    """Test-only encoder for NEF compression 34713, 12-bit lossless
+    (tree 2), vpred = 0: emits huffman(len) + len raw bits per diff."""
+    counts = [0, 1, 4, 2, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    values = [5, 4, 6, 3, 7, 2, 8, 1, 9, 0, 10, 11, 12]
+    codes = {}
+    code = 0
+    k = 0
+    for l in range(1, 17):
+        for _ in range(counts[l - 1]):
+            codes[values[k]] = (code, l)
+            code += 1
+            k += 1
+        code <<= 1
+
+    h, w = cfa.shape
+    bits = []
+
+    def put(v, n):
+        for i in range(n - 1, -1, -1):
+            bits.append((v >> i) & 1)
+
+    vpred = [[0, 0], [0, 0]]
+    hpred = [0, 0]
+    for row in range(h):
+        for col in range(w):
+            target = int(cfa[row, col])
+            if col < 2:
+                diff = target - vpred[row & 1][col]
+                vpred[row & 1][col] = target
+                hpred[col] = target
+            else:
+                diff = target - hpred[col & 1]
+                hpred[col & 1] = target
+            # JPEG-style: category + offset bits
+            ssss = abs(diff).bit_length()
+            put(codes[ssss][0], codes[ssss][1])
+            if ssss:
+                v = diff if diff >= 0 else diff + (1 << ssss) - 1
+                put(v, ssss)
+    # pad to byte
+    while len(bits) % 8:
+        bits.append(1)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        for j in range(8):
+            b = (b << 1) | bits[i + j]
+        out.append(b)
+    return bytes(out)
+
+
+def test_nef_packed12_roundtrip():
+    rng = np.random.default_rng(3)
+    h, w = 8, 16
+    cfa = rng.integers(0, 1 << 12, size=(h, w), dtype=np.uint16)
+    mn = _nikon_makernote_blob(Ifd([(0x0C, 4, [2, 1, 1, 1])]))  # dummy WB longs
+    exif = Ifd([(37500, 7, mn)])
+    sub = _cfa_ifd(w, h, 12, 1, _pack_12le(cfa))
+    ifd0 = Ifd([(271, 2, "NIKON CORPORATION"), (330, 4, ("ifd", sub)),
+                (34665, 4, ("ifd", exif))])
+    data = build_tiff([ifd0])
+    r = parse_raw(data, ext="nef")
+    np.testing.assert_array_equal(r.cfa, cfa)
+
+
+def test_nef_compressed_lossless12_roundtrip():
+    _skip_if_no_native()
+    rng = np.random.default_rng(4)
+    h, w = 10, 14
+    cfa = rng.integers(0, 1 << 12, size=(h, w), dtype=np.uint16)
+    stream = _encode_nikon_lossless12(cfa)
+
+    # LinearizationTable: ver 0x46 0x14 (lossless), vpred zeros, csize 0
+    lt = bytes([0x46, 0x14]) + struct.pack("<4H", 0, 0, 0, 0) + struct.pack("<H", 0)
+    mn = _nikon_makernote_blob(Ifd([(0x96, 7, lt), (0x0C, 4, [2, 1, 1, 1])]))
+    exif = Ifd([(37500, 7, mn)])
+    sub = Ifd()
+    sub.add(256, 4, [w]).add(257, 4, [h]).add(258, 3, [12])
+    sub.add(259, 3, [34713]).add(262, 3, [32803]).add(277, 3, [1])
+    sub.add(273, 4, ("blob", stream)).add(279, 4, [len(stream)])
+    ifd0 = Ifd([(271, 2, "NIKON CORPORATION"), (330, 4, ("ifd", sub)),
+                (34665, 4, ("ifd", exif))])
+    data = build_tiff([ifd0])
+    r = parse_raw(data, ext="nef")
+    np.testing.assert_array_equal(r.cfa, cfa)
+
+
+# -------------------------------------------------------------------- PEF
+def _encode_pentax(cfa: np.ndarray) -> bytes:
+    counts = [0, 2, 3, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0]
+    values = [3, 4, 2, 5, 1, 6, 0, 7, 8, 9, 10, 11, 12]
+    codes = {}
+    code = 0
+    k = 0
+    for l in range(1, 17):
+        for _ in range(counts[l - 1]):
+            codes[values[k]] = (code, l)
+            code += 1
+            k += 1
+        code <<= 1
+
+    h, w = cfa.shape
+    bits = []
+
+    def put(v, n):
+        for i in range(n - 1, -1, -1):
+            bits.append((v >> i) & 1)
+
+    vpred = [[0, 0], [0, 0]]
+    hpred = [0, 0]
+    for row in range(h):
+        for col in range(w):
+            target = int(cfa[row, col])
+            if col < 2:
+                diff = target - vpred[row & 1][col]
+                vpred[row & 1][col] = target
+                hpred[col] = target
+            else:
+                diff = target - hpred[col & 1]
+                hpred[col & 1] = target
+            ssss = abs(diff).bit_length()
+            put(codes[ssss][0], codes[ssss][1])
+            if ssss:
+                v = diff if diff >= 0 else diff + (1 << ssss) - 1
+                put(v, ssss)
+    while len(bits) % 8:
+        bits.append(1)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        for j in range(8):
+            b = (b << 1) | bits[i + j]
+        out.append(b)
+    return bytes(out)
+
+
+def test_pef_huffman_roundtrip():
+    _skip_if_no_native()
+    rng = np.random.default_rng(5)
+    h, w = 8, 12
+    cfa = rng.integers(0, 1 << 12, size=(h, w), dtype=np.uint16)
+    stream = _encode_pentax(cfa)
+    ifd = _cfa_ifd(w, h, 12, 65535, stream)
+    data = build_tiff([Ifd([(271, 2, "PENTAX Corporation")]), ifd])
+    r = parse_raw(data, ext="pef")
+    np.testing.assert_array_equal(r.cfa, cfa)
+
+
+# -------------------------------------------------------------------- ARW
+def _encode_arw2(plane: np.ndarray) -> bytes:
+    """Pack 11-bit samples into ARW2 16-byte blocks (16 pixels per block,
+    pairs of blocks interleaving 32 columns)."""
+    h, w = plane.shape
+    assert w % 32 == 0
+    out = bytearray()
+    for row in range(h):
+        for c0 in range(0, w, 32):
+            for phase in range(2):
+                pix = plane[row, c0 + phase : c0 + 32 : 2].astype(int)
+                imax = int(np.argmax(pix))
+                # pick a DIFFERENT index for min (decoder tie-break)
+                order = np.argsort(pix)
+                imin = int(order[0]) if int(order[0]) != imax else int(order[1])
+                vmax, vmin = int(pix[imax]), int(pix[imin])
+                rng_ = vmax - vmin
+                sh = 0
+                while sh < 4 and (0x80 << sh) <= rng_:
+                    sh += 1
+                acc = 0
+                acc |= vmax
+                acc |= vmin << 11
+                acc |= imax << 22
+                acc |= imin << 26
+                bit = 30
+                for i in range(16):
+                    if i in (imax, imin):
+                        continue
+                    delta = (int(pix[i]) - vmin) >> sh
+                    assert delta < 0x80
+                    acc |= delta << bit
+                    bit += 7
+                out += acc.to_bytes(16, "little")
+    return bytes(out)
+
+
+def test_arw2_roundtrip_quantized():
+    rng = np.random.default_rng(6)
+    h, w = 6, 64
+    plane = rng.integers(0, 0x800, size=(h, w), dtype=np.uint16)
+    stream = _encode_arw2(plane)
+    ifd = _cfa_ifd(w, h, 8, 32767, stream)
+    data = build_tiff([Ifd([(271, 2, "SONY")]), ifd])
+    r = parse_raw(data, ext="arw")
+
+    # decode then invert the tone curve: values quantized by the per-block
+    # shift must match within the quantization step
+    from rapidraw_tpu.io.makers import _arw2_curve
+
+    curve = _arw2_curve()
+    decoded_coded = np.searchsorted(curve, r.cfa.astype(np.uint32), side="left") >> 1
+    assert np.abs(decoded_coded.astype(int) - plane.astype(int)).max() <= (1 << 4)
+
+
+def test_arw_packed14_roundtrip():
+    rng = np.random.default_rng(7)
+    h, w = 8, 16
+    cfa = rng.integers(0, 1 << 14, size=(h, w), dtype=np.uint16)
+    ifd = _cfa_ifd(w, h, 14, 1, _pack_msb(cfa, 14))
+    data = build_tiff([Ifd([(271, 2, "SONY")]), ifd])
+    r = parse_raw(data, ext="arw")
+    np.testing.assert_array_equal(r.cfa, cfa)
+
+
+def test_loader_unsupported_is_actionable(tmp_path):
+    from rapidraw_tpu.io.loader import load_image
+
+    p = tmp_path / "img.cr3"
+    p.write_bytes(b"\0\0\0\x18ftypcrx " + b"\0" * 64)
+    with pytest.raises(UnsupportedRawFormat) as ei:
+        load_image(str(p))
+    assert "cr3" in str(ei.value)
+    assert "supported" in str(ei.value)
