@@ -234,6 +234,7 @@ def _bench_stencil_export() -> None:
 
     from rapidraw_tpu.geometry.params import geometry_params_from_json
     from rapidraw_tpu.geometry.warp import warp_image_geometry
+    from rapidraw_tpu.geometry.warp_fast import plan_warp, warp_with_plan
     from rapidraw_tpu.params.parse import parse_adjustments
     from rapidraw_tpu.pipeline.batch import develop_batch, stack_params
 
@@ -244,15 +245,32 @@ def _bench_stencil_export() -> None:
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.random((BATCH, 3, H, W), dtype=np.float32))
 
-    def pipeline(imgs, p):
-        warped = jax.vmap(lambda im: warp_image_geometry(im, gp))(imgs)
-        return develop_batch(warped, p, cfg)
+    # two-pass Pallas warp: plan on host, thread the coordinate arrays as
+    # jit ARGUMENTS (closing over them would bake ~100 MB constants)
+    plan = plan_warp(gp, H, W)
 
-    fn = jax.jit(pipeline)
-    out = fn(images, params)
+    if plan is not None:
+        plan_args = {k: jnp.asarray(v) for k, v in plan.arrays.items()}
+
+        def pipeline(imgs, p, pa):
+            # batched entry (NOT vmap: Pallas ANY-space operands can't batch)
+            warped = warp_with_plan(imgs, pa, plan.static)
+            return develop_batch(warped, p, cfg)
+
+        fn = jax.jit(pipeline)
+        step = lambda y: fn(y, params, plan_args)
+    else:
+        def pipeline(imgs, p):
+            warped = jax.vmap(lambda im: warp_image_geometry(im, gp))(imgs)
+            return develop_batch(warped, p, cfg)
+
+        fn = jax.jit(pipeline)
+        step = lambda y: fn(y, params)
+
+    out = step(images)
     _ = float(out[0, 0, 0, 0])
 
-    dt = _slope(lambda y: fn(y, params), images, lambda y: float(y[0, 0, 0, 0]))
+    dt = _slope(step, images, lambda y: float(y[0, 0, 0, 0]))
     mpix = BATCH * H * W / dt / 1e6
     _emit("stencil_export_24mp", mpix,
           {"images_per_sec_24mp": round(mpix * 1e6 / (H * W), 2)})

@@ -103,7 +103,16 @@ def apply_all_transformations(
 
     p = geometry_params_from_json(adjustments)
     if not is_geometry_identity(p):
-        image = warp_image_geometry(image, p)
+        import jax
+
+        if jax.devices()[0].platform == "tpu":
+            # planned two-pass Pallas warp (exact-path fallback inside);
+            # the XLA gather costs ~2 s per 24MP frame on TPU
+            from rapidraw_tpu.geometry.warp_fast import warp_image_fast
+
+            image = warp_image_fast(image, p)
+        else:
+            image = warp_image_geometry(image, p)
 
     steps = int(adjustments.get("orientationSteps", 0) or 0)
     image = apply_coarse_rotation(image, steps)

@@ -149,9 +149,114 @@ def _bilinear_clamped(plane_flat, xq, yq, w, h):
     return top * (1 - wy) + bot * wy
 
 
-def warp_image_geometry(image: jnp.ndarray, p: GeometryParams) -> jnp.ndarray:
-    """Warp planar (3, H, W) by GeometryParams. Same-size output."""
-    _, h, w = image.shape
+def source_coords(xp, p: GeometryParams, h: int, w: int):
+    """Inverse-map source coordinates for every output pixel.
+
+    `xp` is the array namespace (jnp on device, np for host-side use —
+    identical formulas, so the two-pass planner in geometry/warp_fast.py
+    cannot drift from the exact path).
+
+    Returns (src_x, src_y, z_ok, meta) where meta carries the TCA/vignette
+    specialization flags and constants.
+    """
+    f32 = np.float32 if xp is np else jnp.float32
+    ys = xp.arange(h, dtype=f32)[:, None] * xp.ones((1, w), f32)
+    xs = xp.arange(w, dtype=f32)[None, :] * xp.ones((h, 1), f32)
+    return source_coords_at(xp, p, h, w, xs, ys)
+
+
+def geometry_values(p: GeometryParams, h: int, w: int) -> dict:
+    """Dynamic scalar bundle for the TRACED coordinate math
+    (source_coords_values): inverse homography, auto-crop, effective
+    distortion/TCA/vignette coefficients. Letting these be jit *inputs*
+    (instead of static) means the two-pass warp planner compiles once per
+    image shape, not once per slider value."""
+    forward = build_transform_matrix(p, float(w), float(h))
+    try:
+        inv = np.linalg.inv(forward)
+    except np.linalg.LinAlgError:
+        inv = np.eye(3, dtype=np.float32)
+    has_lens = p.lens_distortion_enabled and (
+        abs(p.lens_dist_k1) > 1e-6 or abs(p.lens_dist_k2) > 1e-6 or abs(p.lens_dist_k3) > 1e-6
+    )
+    k_distortion = (p.distortion / 100.0) * 2.5
+    auto_crop = (
+        compute_lens_auto_crop_scale(p, float(w), float(h))
+        if (has_lens or abs(k_distortion) > 1e-5)
+        else 1.0
+    )
+    vr = p.tca_vr + (1.0 - p.tca_vr) * (1.0 - p.lens_tca_amount) if abs(p.tca_vr - 1.0) > 1e-5 else 1.0
+    vb = p.tca_vb + (1.0 - p.tca_vb) * (1.0 - p.lens_tca_amount) if abs(p.tca_vb - 1.0) > 1e-5 else 1.0
+    return {
+        "inv": inv.astype(np.float32),
+        "auto_crop": np.float32(auto_crop),
+        "lens_amt": np.float32(p.lens_distortion_amount * 2.5 if has_lens else 0.0),
+        "k1": np.float32(p.lens_dist_k1 if has_lens else 0.0),
+        "k2": np.float32(p.lens_dist_k2 if has_lens else 0.0),
+        "k3": np.float32(p.lens_dist_k3 if has_lens else 0.0),
+        "k_distortion": np.float32(k_distortion if abs(k_distortion) > 1e-5 else 0.0),
+        "vr": np.float32(vr if p.lens_tca_enabled else 1.0),
+        "vb": np.float32(vb if p.lens_tca_enabled else 1.0),
+    }
+
+
+def source_coords_values(vals: dict, h: int, w: int, xs, ys, lens_model: int):
+    """Traced (jnp) variant of source_coords_at driven by geometry_values.
+
+    Every stage is applied UNCONDITIONALLY with neutral coefficients when
+    inactive (k=0 => rd_norm == ru_norm => scale exactly 1.0; auto_crop
+    clamped to >= 1), which matches the branchy exact path to float
+    rounding. Only `lens_model` stays a static arg (structural branch).
+    """
+    cx, cy = w / 2.0, h / 2.0
+    half_diag = float(np.sqrt(cx * cx + cy * cy))
+    max_radius_sq_inv = 1.0 / (cx * cx + cy * cy)
+    inv = vals["inv"]
+
+    hx = inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2]
+    hy = inv[1, 0] * xs + inv[1, 1] * ys + inv[1, 2]
+    hz = inv[2, 0] * xs + inv[2, 1] * ys + inv[2, 2]
+    z_ok = jnp.abs(hz) > 1e-6
+    inv_z = 1.0 / jnp.where(z_ok, hz, 1.0)
+    src_x = hx * inv_z
+    src_y = hy * inv_z
+
+    ac = jnp.where(vals["auto_crop"] > 1.0, vals["auto_crop"], 1.0)
+    src_x = cx + (src_x - cx) / ac
+    src_y = cy + (src_y - cy) / ac
+
+    dx = src_x - cx
+    dy = src_y - cy
+    ru = jnp.sqrt(dx * dx + dy * dy)
+    ru_norm = ru / half_diag
+    r2 = ru_norm * ru_norm
+    if lens_model == 1:
+        a, b, c = vals["k1"], vals["k2"], vals["k3"]
+        d = 1.0 - a - b - c
+        rd_norm = ru_norm * (a * r2 * ru_norm + b * r2 + c * ru_norm + d)
+    else:
+        rd_norm = ru_norm * (1.0 + vals["k1"] * r2 + vals["k2"] * r2 * r2
+                             + vals["k3"] * r2 * r2 * r2)
+    safe_ru = jnp.where(ru_norm > 1e-9, ru_norm, 1.0)
+    eff = ru_norm + (rd_norm - ru_norm) * vals["lens_amt"]
+    s = eff / safe_ru
+    apply = ru > 1e-6
+    src_x = jnp.where(apply, cx + dx * s, src_x)
+    src_y = jnp.where(apply, cy + dy * s, src_y)
+
+    dx = src_x - cx
+    dy = src_y - cy
+    r2n = (dx * dx + dy * dy) * max_radius_sq_inv
+    f = 1.0 + vals["k_distortion"] * r2n
+    src_x = cx + dx * f
+    src_y = cy + dy * f
+    return src_x, src_y, z_ok
+
+
+def source_coords_at(xp, p: GeometryParams, h: int, w: int, xs, ys):
+    """source_coords evaluated at ARBITRARY (fractional) output coordinates
+    — the map is analytic, which is what lets the two-pass planner invert
+    it by Newton iteration instead of per-row table interpolation."""
     cx, cy = w / 2.0, h / 2.0
     forward = build_transform_matrix(p, float(w), float(h))
     try:
@@ -180,13 +285,11 @@ def warp_image_geometry(image: jnp.ndarray, p: GeometryParams) -> jnp.ndarray:
         abs(p.vig_k1) > 1e-6 or abs(p.vig_k2) > 1e-6 or abs(p.vig_k3) > 1e-6
     ) and lens_vig_amt > 0.01
 
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones((1, w), jnp.float32)
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :] * jnp.ones((h, 1), jnp.float32)
     hx = inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2]
     hy = inv[1, 0] * xs + inv[1, 1] * ys + inv[1, 2]
     hz = inv[2, 0] * xs + inv[2, 1] * ys + inv[2, 2]
-    z_ok = jnp.abs(hz) > 1e-6
-    inv_z = 1.0 / jnp.where(z_ok, hz, 1.0)
+    z_ok = xp.abs(hz) > 1e-6
+    inv_z = 1.0 / xp.where(z_ok, hz, 1.0)
     src_x = hx * inv_z
     src_y = hy * inv_z
 
@@ -197,15 +300,15 @@ def warp_image_geometry(image: jnp.ndarray, p: GeometryParams) -> jnp.ndarray:
     if has_lens:
         dx = src_x - cx
         dy = src_y - cy
-        ru = jnp.sqrt(dx * dx + dy * dy)
+        ru = xp.sqrt(dx * dx + dy * dy)
         ru_norm = ru / half_diag
         rd_norm = _distort_radius_norm(ru_norm, p)
-        safe_ru = jnp.where(ru_norm > 1e-9, ru_norm, 1.0)
+        safe_ru = xp.where(ru_norm > 1e-9, ru_norm, 1.0)
         eff = ru_norm + (rd_norm - ru_norm) * lens_amt
         s = eff / safe_ru
         apply = ru > 1e-6
-        src_x = jnp.where(apply, cx + dx * s, src_x)
-        src_y = jnp.where(apply, cy + dy * s, src_y)
+        src_x = xp.where(apply, cx + dx * s, src_x)
+        src_y = xp.where(apply, cy + dy * s, src_y)
 
     if abs(k_distortion) > 1e-5:
         dx = src_x - cx
@@ -214,6 +317,31 @@ def warp_image_geometry(image: jnp.ndarray, p: GeometryParams) -> jnp.ndarray:
         f = 1.0 + k_distortion * r2n
         src_x = cx + dx * f
         src_y = cy + dy * f
+
+    meta = {
+        "has_tca": has_tca, "vr": vr, "vb": vb,
+        "has_vig": has_vig, "lens_vig_amt": lens_vig_amt,
+        "half_diag": half_diag, "cx": cx, "cy": cy,
+    }
+    return src_x, src_y, z_ok, meta
+
+
+def apply_lens_vignette(xp, out, src_x, src_y, p: GeometryParams, meta):
+    """Lens vignetting polynomial gain at the source coords (:775-795)."""
+    dx = src_x - meta["cx"]
+    dy = src_y - meta["cy"]
+    ru_norm2 = (dx * dx + dy * dy) / (meta["half_diag"] * meta["half_diag"])
+    v = 1.0 + p.vig_k1 * ru_norm2 + p.vig_k2 * ru_norm2**2 + p.vig_k3 * ru_norm2**3
+    gain = 1.0 + (1.0 / xp.where(v > 1e-6, v, 1.0) - 1.0) * meta["lens_vig_amt"]
+    return out * xp.where(v > 1e-6, gain, 1.0)
+
+
+def warp_image_geometry(image: jnp.ndarray, p: GeometryParams) -> jnp.ndarray:
+    """Warp planar (3, H, W) by GeometryParams. Same-size output."""
+    _, h, w = image.shape
+    cx, cy = w / 2.0, h / 2.0
+    src_x, src_y, z_ok, meta = source_coords(jnp, p, h, w)
+    has_tca, vr, vb = meta["has_tca"], meta["vr"], meta["vb"]
 
     flat = [image[c].reshape(-1) for c in range(3)]
     if has_tca:
@@ -231,13 +359,8 @@ def warp_image_geometry(image: jnp.ndarray, p: GeometryParams) -> jnp.ndarray:
     else:
         out = jnp.stack([_bilinear_zero_outside(f, src_x, src_y, w, h) for f in flat])
 
-    if has_vig:
-        dx = src_x - cx
-        dy = src_y - cy
-        ru_norm2 = (dx * dx + dy * dy) / (half_diag * half_diag)
-        v = 1.0 + p.vig_k1 * ru_norm2 + p.vig_k2 * ru_norm2**2 + p.vig_k3 * ru_norm2**3
-        gain = 1.0 + (1.0 / jnp.where(v > 1e-6, v, 1.0) - 1.0) * lens_vig_amt
-        out = out * jnp.where(v > 1e-6, gain, 1.0)
+    if meta["has_vig"]:
+        out = apply_lens_vignette(jnp, out, src_x, src_y, p, meta)
 
     # pixels whose homography z ~ 0 stay black (:718)
     return jnp.where(z_ok, out, 0.0)
