@@ -269,9 +269,13 @@ def precompute_ai_submasks(adjustments: dict, image_planar: np.ndarray) -> dict:
     frontend patch-dedup cache) can reuse it.
 
     ai-foreground / quick-eraser -> U2-Net; ai-sky -> skyseg U2-Net;
-    ai-depth -> Depth-Anything map. ai-subject needs SAM point prompts and
-    raises ModelUnavailable for now. Returns a NEW adjustments dict.
+    ai-depth -> Depth-Anything map; ai-subject -> SAM with the sub-mask's
+    startX/endX drag prompt (un-transformed back through
+    rotation/flip/orientation like ai_commands.rs:248-317; the SAM
+    embeddings are computed once and reused across sub-masks). Returns a
+    NEW adjustments dict.
     """
+    sam_embeddings = None  # lazy; shared by every ai-subject sub-mask
     out = dict(adjustments)
     masks_json = [dict(m) if isinstance(m, dict) else m for m in (out.get("masks") or [])]
     for m in masks_json:
@@ -294,11 +298,21 @@ def precompute_ai_submasks(adjustments: dict, image_planar: np.ndarray) -> dict:
 
                 mask = generate_depth_map(image_planar)
             elif t == "ai-subject":
-                raise ModelUnavailable(
-                    "ai-subject masks need the SAM encoder/decoder, which has "
-                    "no native port yet; provide maskDataBase64 directly or "
-                    "use ai-foreground"
+                from rapidraw_tpu.ai import sam
+
+                if sam_embeddings is None:
+                    sam_embeddings = sam.generate_image_embeddings(image_planar)
+                _, ih, iw = image_planar.shape
+                sp, ep = sam.unproject_prompt_rect(
+                    (float(params.get("startX", 0.0)), float(params.get("startY", 0.0))),
+                    (float(params.get("endX", 0.0)), float(params.get("endY", 0.0))),
+                    iw, ih,
+                    rotation=float(params.get("rotation", 0.0) or 0.0),
+                    flip_horizontal=bool(params.get("flipHorizontal", False)),
+                    flip_vertical=bool(params.get("flipVertical", False)),
+                    orientation_steps=int(params.get("orientationSteps", 0) or 0),
                 )
+                mask = sam.run_sam_decoder(sam_embeddings, sp, ep)
             else:
                 continue
             params["maskDataBase64"] = mask_to_data_url(mask)
