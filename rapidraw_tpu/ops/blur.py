@@ -14,7 +14,8 @@ A depthwise conv is VPU-bound and catastrophically slow at radius ~150
     horizontal: out[j] = sum_q  x_block[j + q] @ K_q^T
 
 where K_q are 128x128 blocks of the Gaussian band matrix and q runs over
-2*ceil(r/128)+1 *aligned* blocks of the same array — expressing the
+1+ceil(2r/128) *aligned* blocks of the same array (pad_lo = r keeps the
+tap window block-aligned with no centered-scheme waste) — expressing the
 overlapping window as multiple shifted BlockSpecs of one input lets Pallas
 pipeline the HBM->VMEM streams automatically. Planar (3, H, W) layout makes
 both directions transpose-free (a 24MP (H,W,3) transpose costs ~200 ms on
@@ -48,22 +49,33 @@ def _gauss_weights(radius: int) -> np.ndarray:
     return (w / w.sum()).astype(np.float32)
 
 
+def _n_band_blocks(radius: int) -> int:
+    """Number of TB-aligned input blocks covering one output block's taps.
+
+    With pad_lo = radius (NOT rounded up to a block), output row o's taps
+    land on storage rows [o, o + 2r] — so an output block's window is
+    [i*TB, i*TB + TB - 1 + 2r], i.e. 1 + ceil(2r/TB) aligned blocks. The
+    naive centered scheme (pad = ceil(r/TB)*TB) costs 2*ceil(r/TB)+1
+    blocks: one extra 128-contraction matmul per tile at r <= 64, and one
+    extra at r = 152 — pure MXU zero-padding waste.
+    """
+    return 1 + -(-(2 * radius) // _TB)
+
+
 @functools.lru_cache(maxsize=64)
 def _k_blocks(radius: int) -> np.ndarray:
     """(nb, TB, TB) blocks of the band matrix.
 
-    With pad = ceil(r/TB)*TB elements prepended to the blurred axis,
-    out[i*TB + b] = sum_q sum_t K[q, b, t] * P[(i+q)*TB + t], where
-    K[q, b, t] = w[q*TB + t - pad - b + r].
+    With pad_lo = radius elements prepended to the blurred axis,
+    out[i*TB + b] = sum_q sum_t K[q, b, t] * P[i*TB + q*TB + t], where
+    K[q, b, t] = w[q*TB + t - b].
     """
     w = _gauss_weights(radius)
-    hb = -(-radius // _TB)
-    nb = 2 * hb + 1
-    pad = hb * _TB
+    nb = _n_band_blocks(radius)
     k = np.zeros((nb, _TB, _TB), np.float32)
     for q in range(nb):
         for b in range(_TB):
-            base = q * _TB - pad - b + radius
+            base = q * _TB - b
             t0 = max(0, -base)
             t1 = min(_TB, 2 * radius + 1 - base)
             if t1 > t0:
@@ -143,9 +155,8 @@ def _blur_axis(
     on the blurred axis and _TP alignment on the passive axis, and the
     output is returned uncropped."""
     c, n, m = x.shape
-    hb = -(-radius // _TB)
-    nb = 2 * hb + 1
-    pad = hb * _TB
+    nb = _n_band_blocks(radius)
+    pad = radius  # pad_lo = r: taps for output o live at storage [o, o+2r]
 
     if grid_b_override is not None:
         # prepadded input: the caller already applied the single 2D edge pad
@@ -160,7 +171,7 @@ def _blur_axis(
     if axis == 0:
         if grid_b_override is None:
             grid_p = -(-m // _TP)
-            total_b = (grid_b * s + 2 * hb) * _TB
+            total_b = (grid_b * s + nb - 1) * _TB
             # one edge-mode pad: band weights are zero beyond `radius`, and
             # the passive-axis extension is cropped, so edge copies are safe
             x = jnp.pad(
@@ -182,7 +193,7 @@ def _blur_axis(
     else:
         if grid_b_override is None:
             grid_p = -(-n // _TP)
-            total_b = (grid_b * s + 2 * hb) * _TB
+            total_b = (grid_b * s + nb - 1) * _TB
             x = jnp.pad(
                 x,
                 ((0, 0), (0, -n % _TP), (pad, total_b - pad - m)),
@@ -250,8 +261,8 @@ def gaussian_blur(img: jnp.ndarray, radius: int) -> jnp.ndarray:
         return gaussian_blur_reference(img, radius)
     x = jnp.clip(img, 0.0, F16_MAX)
     c, n, m = x.shape
-    hb = -(-radius // _TB)
-    pad = hb * _TB
+    nb = _n_band_blocks(radius)
+    pad = radius
     blocks_r = -(-n // _TB)
     blocks_c = -(-m // _TB)
     if blocks_r >= _S and blocks_c >= _S:
@@ -260,9 +271,9 @@ def gaussian_blur(img: jnp.ndarray, radius: int) -> jnp.ndarray:
         # rows ARE the blurred edge rows the V pass needs)
         grid_r = -(-blocks_r // _S)
         grid_c = -(-blocks_c // _S)
-        need_r = (grid_r * _S + 2 * hb) * _TB
+        need_r = (grid_r * _S + nb - 1) * _TB
         row_total = -(-need_r // _TP) * _TP  # H-pass passive alignment
-        col_total = (grid_c * _S + 2 * hb) * _TB
+        col_total = (grid_c * _S + nb - 1) * _TB
         x = jnp.pad(
             x,
             ((0, 0), (pad, row_total - pad - n), (pad, col_total - pad - m)),
