@@ -1,9 +1,10 @@
-"""Image tagging: HSV color tags + CLIP zero-shot scaffold.
+"""Image tagging: HSV color tags + CLIP zero-shot scoring + folder indexing.
 
-Port of tagging.rs: the color-tag extractor (:56-144) runs pure NumPy; the
-CLIP zero-shot path (:26-54 preprocessing, :145+ scoring) is wired for a
-locally provided model via torch (no network egress in this environment —
-models must be supplied by the user, see rapidraw_tpu.ai.models).
+Port of tagging.rs: the color-tag extractor (:56-144) runs pure NumPy;
+generate_tags_with_clip (:145-249) scores TAG_CANDIDATES with a locally
+provided transformers CLIP checkpoint (no network egress in this
+environment — the user supplies it, see _clip_dir); index_folder_tags
+mirrors the background indexer (:251-434).
 """
 
 from __future__ import annotations
@@ -88,3 +89,126 @@ def extract_color_tags(planar: np.ndarray) -> list[str]:
     if tally:
         return [max(tally.items(), key=lambda t: t[1])[0]]
     return []
+
+
+# --------------------------------------------------------------- CLIP scoring
+def _clip_dir():
+    """Local CLIP checkpoint directory (transformers save_pretrained layout:
+    config + weights + tokenizer files). No network egress in this build —
+    the user supplies the checkpoint, like every model in ai/models.py."""
+    import os
+    from pathlib import Path
+
+    from rapidraw_tpu.ai.masks import _models_dir
+
+    return Path(os.environ.get("RAPIDRAW_CLIP", str(_models_dir() / "clip")))
+
+
+def _load_clip():
+    from rapidraw_tpu.ai.models import ModelUnavailable
+
+    d = _clip_dir()
+    if not d.is_dir():
+        raise ModelUnavailable(
+            f"CLIP checkpoint not found at {d}. Place a transformers "
+            "save_pretrained() CLIP directory there or set RAPIDRAW_CLIP."
+        )
+    from transformers import AutoTokenizer, CLIPModel
+
+    model = CLIPModel.from_pretrained(d)
+    model.eval()
+    tokenizer = AutoTokenizer.from_pretrained(d)
+    return model, tokenizer
+
+
+def generate_tags_with_clip(
+    planar: np.ndarray,
+    custom_tags: list[str] | None = None,
+    max_tags: int = 10,
+) -> list[str]:
+    """Zero-shot tags for planar (3, H, W) f32 [0,1] (tagging.rs:145-249).
+
+    Scores the image against TAG_CANDIDATES (or the user's custom list) via
+    CLIP logits_per_image -> softmax, keeps probabilities > 0.005, takes the
+    top `max_tags`, then (for the default list only) unions in the dominant
+    color tags and every hierarchy parent of a kept tag.
+    """
+    import torch
+
+    from rapidraw_tpu.ai.tag_data import TAG_CANDIDATES, TAG_HIERARCHY
+
+    model, tokenizer = _load_clip()
+    is_custom = bool(custom_tags)
+    texts = list(custom_tags) if is_custom else list(TAG_CANDIDATES)
+
+    image_size = getattr(model.config.vision_config, "image_size", 224)
+    pixel_values = torch.from_numpy(preprocess_clip_image(planar, image_size))
+    enc = tokenizer(
+        texts, padding=True, truncation=True, return_tensors="pt",
+        max_length=getattr(model.config.text_config, "max_position_embeddings", 77),
+    )
+    with torch.no_grad():
+        out = model(
+            input_ids=enc["input_ids"],
+            attention_mask=enc["attention_mask"],
+            pixel_values=pixel_values,
+        )
+    probs = softmax(out.logits_per_image[0].numpy()[None])[0]
+
+    scored = [(texts[i], float(p)) for i, p in enumerate(probs) if p > 0.005]
+    scored.sort(key=lambda t: -t[1])
+    initial = [t for t, _ in scored[:max_tags]]
+
+    final = set(initial)
+    if not is_custom:
+        final.update(extract_color_tags(planar))
+        for t in initial:
+            final.update(TAG_HIERARCHY.get(t, ()))
+    return sorted(final)
+
+
+COLOR_TAG_PREFIX = "color:"
+USER_TAG_PREFIX = "user:"
+
+
+def index_folder_tags(
+    folder: str,
+    custom_tags: list[str] | None = None,
+    max_tags: int = 10,
+    progress=None,
+    cancel=None,
+) -> int:
+    """Background-indexing analog (tagging.rs:251-434): CLIP-tag every
+    supported image in `folder` that has no AI tags yet (color:/user:
+    prefixed tags don't count), union with existing sidecar tags, sorted.
+
+    `progress(current, total)` mirrors the indexing-progress event;
+    `cancel` is an optional CancellationToken. Returns images processed.
+    """
+    from rapidraw_tpu.library.catalog import add_tags, get_tags, list_images
+
+    paths = list_images(folder)
+    done = 0
+    for i, p in enumerate(paths):
+        if cancel is not None and cancel.cancelled:
+            break
+        existing = get_tags(p)
+        has_ai = any(
+            not t.startswith(COLOR_TAG_PREFIX) and not t.startswith(USER_TAG_PREFIX)
+            for t in existing
+        )
+        if not has_ai:
+            from rapidraw_tpu.io.loader import load_image
+
+            try:
+                planar, _ = load_image(p)
+                # thumbnail-scale the scoring input like the reference's
+                # cached thumbnail path (tagging.rs:345-350)
+                tags = generate_tags_with_clip(planar, custom_tags, max_tags)
+                add_tags(p, tags)
+                done += 1
+            except Exception:
+                pass  # per-image isolation, like the reference's logged skip
+        if progress is not None:
+            progress(i + 1, len(paths))
+    return done
