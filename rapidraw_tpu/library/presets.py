@@ -85,7 +85,13 @@ class PresetStore:
 
     def import_file(self, path: str | Path) -> list[dict]:
         """Community/legacy preset import (file_management.rs:2643-2757):
-        accepts a single preset object or a list."""
+        accepts a single preset object, a list, or a Lightroom .xmp preset
+        (converted via library.preset_converter)."""
+        if str(path).lower().endswith(".xmp"):
+            from rapidraw_tpu.library.preset_converter import convert_xmp_to_preset
+
+            p = convert_xmp_to_preset(Path(path).read_text())
+            return [self.add(p["name"], p["adjustments"])]
         data = json.loads(Path(path).read_text())
         items = data if isinstance(data, list) else [data]
         imported = []
