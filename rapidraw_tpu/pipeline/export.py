@@ -94,6 +94,40 @@ def _jitted_develop(cfg):
     return _jit_cache[key]
 
 
+def _render_chunk(imgs, params, masks, lut, cfg) -> np.ndarray:
+    """Develop one export chunk, sharded across every visible chip.
+
+    Multi-device: images/params/masks shard over the mesh batch axis
+    (parallel/mesh.sharded_develop_batch — each chip runs the full fused
+    pipeline on its local shard, zero collectives), with the batch padded
+    up to a mesh multiple by repeating the last image. This is the scaling
+    model for "the TPU money path" (export_processing.rs:637-1004: the
+    reference fans out across CPU threads but serializes on one GPU).
+    Single device (or a LUT bucket — the sharded entry takes no lut):
+    plain jitted develop_batch.
+    """
+    if jax.device_count() > 1 and lut is None:
+        from rapidraw_tpu.parallel.mesh import make_mesh, sharded_develop_batch
+
+        key = ("mesh", cfg)
+        if key not in _jit_cache:
+            mesh = make_mesh()
+            _jit_cache[key] = (mesh, sharded_develop_batch(mesh, cfg))
+        mesh, fn = _jit_cache[key]
+        b = imgs.shape[0]
+        pad = (-b) % mesh.shape["batch"]
+        if pad:
+            rep = lambda x: jnp.concatenate(
+                [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0
+            )
+            imgs = rep(imgs)
+            params = jax.tree.map(rep, params)
+            if masks is not None:
+                masks = rep(masks)
+        return np.asarray(fn(imgs, params, masks))[:b]
+    return np.asarray(_jitted_develop(cfg)(imgs, params, masks, lut))
+
+
 def _prepare_one(path: str, settings: ExportSettings):
     """Load + transform one image; returns per-image develop inputs."""
     from rapidraw_tpu.geometry.transforms import apply_all_transformations
@@ -314,8 +348,7 @@ def export_images(
                 masks = jnp.asarray(np.stack(mstack))
             lut = jnp.asarray(chunk[0][5]) if chunk[0][5] is not None else None
 
-            fn = _jitted_develop(cfg)
-            out = np.asarray(fn(imgs, params, masks, lut))
+            out = _render_chunk(imgs, params, masks, lut, cfg)
             dt = time.perf_counter() - t0
 
             for b, (p, *_rest) in enumerate(chunk):

@@ -238,3 +238,27 @@ def test_settings_from_preset():
     assert s.format == "jpeg" and s.quality == 80 and s.long_edge == 2048
     assert not s.copy_exif and s.export_masks
     assert s.filename_template == "{original_filename}_web"
+
+
+def test_render_chunk_sharded_matches_single_device():
+    """The mesh-sharded chunk renderer (batch padded to a mesh multiple)
+    must produce exactly what the plain jitted path produces."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rapidraw_tpu.params.parse import parse_adjustments
+    from rapidraw_tpu.pipeline.batch import stack_params
+    from rapidraw_tpu.pipeline.export import _jitted_develop, _render_chunk
+
+    assert jax.device_count() == 8  # conftest virtual mesh
+    doc = {"exposure": 0.4, "contrast": 15, "saturation": 10}
+    parsed = [parse_adjustments(doc, is_raw=False) for _ in range(3)]
+    params, cfg = stack_params([p for p, _ in parsed], [c for _, c in parsed])
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((3, 3, 24, 128), dtype=np.float32))
+
+    sharded = _render_chunk(imgs, params, None, None, cfg)  # pads 3 -> 8
+    plain = np.asarray(_jitted_develop(cfg)(imgs, params, None, None))
+    assert sharded.shape == (3, 3, 24, 128)
+    np.testing.assert_allclose(sharded, plain, atol=1e-6)
