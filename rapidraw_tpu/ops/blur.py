@@ -14,8 +14,8 @@ A depthwise conv is VPU-bound and catastrophically slow at radius ~150
     horizontal: out[j] = sum_q  x_block[j + q] @ K_q^T
 
 where K_q are 128x128 blocks of the Gaussian band matrix and q runs over
-1+ceil(2r/128) *aligned* blocks of the same array (pad_lo = r keeps the
-tap window block-aligned with no centered-scheme waste) — expressing the
+the band-window blocks of the same array (per-axis pad offsets chosen in
+_pad_lo: tile-aligned, minimal window) — expressing the
 overlapping window as multiple shifted BlockSpecs of one input lets Pallas
 pipeline the HBM->VMEM streams automatically. Planar (3, H, W) layout makes
 both directions transpose-free (a 24MP (H,W,3) transpose costs ~200 ms on
@@ -49,33 +49,47 @@ def _gauss_weights(radius: int) -> np.ndarray:
     return (w / w.sum()).astype(np.float32)
 
 
-def _n_band_blocks(radius: int) -> int:
-    """Number of TB-aligned input blocks covering one output block's taps.
+def _pad_lo(radius: int, axis: int) -> int:
+    """Low-side pad for the blurred axis — the band-window offset.
 
-    With pad_lo = radius (NOT rounded up to a block), output row o's taps
-    land on storage rows [o, o + 2r] — so an output block's window is
-    [i*TB, i*TB + TB - 1 + 2r], i.e. 1 + ceil(2r/TB) aligned blocks. The
-    naive centered scheme (pad = ceil(r/TB)*TB) costs 2*ceil(r/TB)+1
-    blocks: one extra 128-contraction matmul per tile at r <= 64, and one
-    extra at r = 152 — pure MXU zero-padding waste.
+    Vertical pass (axis 0, sublanes): ceil(r/8)*8 — the smallest offset
+    that (a) covers the taps (pad >= r) and (b) keeps the padded copy
+    (8, 128)-tile-aligned, so the edge pad stays a cheap aligned copy.
+    Horizontal pass (axis 1, lanes): lane alignment is 128, so the offset
+    must be a full block — the centered ceil(r/TB)*TB scheme.
+
+    MEASURED (v5e, 24MP, interleaved medians): pad_lo = r exactly (the
+    minimal-window scheme) saves one 128-contraction matmul per tile but
+    the misaligned 300 MB pad copy costs MORE than the matmul saved
+    (blur r14: 5.98 -> 6.81 ms). Tile-aligned offsets keep the copy cheap
+    while still shrinking the vertical band: nb_v = ceil((pad8+TB+r)/TB)
+    = 2 at r<=112 (vs 3 centered) and 4 at r=152 (vs 5).
     """
-    return 1 + -(-(2 * radius) // _TB)
+    if axis == 0:
+        return -(-radius // 8) * 8
+    return -(-radius // _TB) * _TB
+
+
+def _n_band_blocks(radius: int, pad_lo: int) -> int:
+    """TB-aligned input blocks covering one output block's tap window
+    [i*TB + pad_lo - r, i*TB + pad_lo + r + TB - 1]."""
+    return -(-(pad_lo + radius + _TB) // _TB)
 
 
 @functools.lru_cache(maxsize=64)
-def _k_blocks(radius: int) -> np.ndarray:
+def _k_blocks(radius: int, pad_lo: int) -> np.ndarray:
     """(nb, TB, TB) blocks of the band matrix.
 
-    With pad_lo = radius elements prepended to the blurred axis,
+    With pad_lo elements prepended to the blurred axis,
     out[i*TB + b] = sum_q sum_t K[q, b, t] * P[i*TB + q*TB + t], where
-    K[q, b, t] = w[q*TB + t - b].
+    K[q, b, t] = w[q*TB + t - b - (pad_lo - r)].
     """
     w = _gauss_weights(radius)
-    nb = _n_band_blocks(radius)
+    nb = _n_band_blocks(radius, pad_lo)
     k = np.zeros((nb, _TB, _TB), np.float32)
     for q in range(nb):
         for b in range(_TB):
-            base = q * _TB - b
+            base = q * _TB - pad_lo - b + radius
             t0 = max(0, -base)
             t1 = min(_TB, 2 * radius + 1 - base)
             if t1 > t0:
@@ -155,8 +169,8 @@ def _blur_axis(
     on the blurred axis and _TP alignment on the passive axis, and the
     output is returned uncropped."""
     c, n, m = x.shape
-    nb = _n_band_blocks(radius)
-    pad = radius  # pad_lo = r: taps for output o live at storage [o, o+2r]
+    pad = _pad_lo(radius, axis)
+    nb = _n_band_blocks(radius, pad)
 
     if grid_b_override is not None:
         # prepadded input: the caller already applied the single 2D edge pad
@@ -211,7 +225,7 @@ def _blur_axis(
 
         omap = lambda ci, i, j: (ci, j, i)
 
-    k = _k_blocks(radius)
+    k = _k_blocks(radius, pad)
     khi = k.astype(np.float32)  # split host-side: hi = bf16-rounded, lo = rest
     khi = jnp.asarray(khi).astype(jnp.bfloat16).astype(jnp.float32)
     klo = jnp.asarray(k) - khi
@@ -261,8 +275,10 @@ def gaussian_blur(img: jnp.ndarray, radius: int) -> jnp.ndarray:
         return gaussian_blur_reference(img, radius)
     x = jnp.clip(img, 0.0, F16_MAX)
     c, n, m = x.shape
-    nb = _n_band_blocks(radius)
-    pad = radius
+    pad_v = _pad_lo(radius, 0)
+    pad_h = _pad_lo(radius, 1)
+    nb_v = _n_band_blocks(radius, pad_v)
+    nb_h = _n_band_blocks(radius, pad_h)
     blocks_r = -(-n // _TB)
     blocks_c = -(-m // _TB)
     if blocks_r >= _S and blocks_c >= _S:
@@ -271,12 +287,12 @@ def gaussian_blur(img: jnp.ndarray, radius: int) -> jnp.ndarray:
         # rows ARE the blurred edge rows the V pass needs)
         grid_r = -(-blocks_r // _S)
         grid_c = -(-blocks_c // _S)
-        need_r = (grid_r * _S + nb - 1) * _TB
+        need_r = (grid_r * _S + nb_v - 1) * _TB
         row_total = -(-need_r // _TP) * _TP  # H-pass passive alignment
-        col_total = (grid_c * _S + nb - 1) * _TB
+        col_total = (grid_c * _S + nb_h - 1) * _TB
         x = jnp.pad(
             x,
-            ((0, 0), (pad, row_total - pad - n), (pad, col_total - pad - m)),
+            ((0, 0), (pad_v, row_total - pad_v - n), (pad_h, col_total - pad_h - m)),
             mode="edge",
         )
         x = _blur_axis(x, radius, axis=1, grid_b_override=grid_c)

@@ -480,3 +480,97 @@ def _draw_straightening_guides(planar: np.ndarray) -> np.ndarray:
             p2 = (int(x0 - dist * -b), int(y0 - dist * a))
             cv2.line(vis, p1, p2, color, 1)
     return vis.transpose(2, 0, 1).astype(np.float32) / 255.0
+
+
+class PreviewWorker:
+    """Coalescing preview worker (lib.rs:650-683): one background thread,
+    a single-slot latest-job queue — submitting while a render is in
+    flight REPLACES the pending job (drain-to-latest), so slider scrubs
+    render only the newest state. Results arrive on `callback(result)`;
+    exceptions on `callback(exc)`.
+    """
+
+    def __init__(self, service: RenderService, callback):
+        import threading
+
+        self._service = service
+        self._callback = callback
+        self._cond = threading.Condition()
+        self._pending = None
+        self._stop = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, path: str, adjustments: dict | None = None, **kwargs) -> None:
+        with self._cond:
+            self._pending = (path, adjustments, kwargs)  # replace, never queue
+            self._cond.notify()
+
+    def _run(self) -> None:
+        while True:
+            with self._cond:
+                while self._pending is None and not self._stop:
+                    self._cond.wait()
+                if self._stop:
+                    return
+                path, adjustments, kwargs = self._pending
+                self._pending = None
+            try:
+                result = self._service.render_preview(path, adjustments, **kwargs)
+            except Exception as e:  # surfaced to the embedder, worker survives
+                self._callback(e)
+                continue
+            self._callback(result)
+
+    def close(self) -> None:
+        with self._cond:
+            self._stop = True
+            self._cond.notify()
+        self._thread.join(timeout=10)
+
+
+class AnalyticsWorker:
+    """Off-thread histogram/waveform computation
+    (gpu_processing.rs:1882-1948: the async analytics readback thread) —
+    scopes never block the interactive render path. Latest-wins like
+    PreviewWorker."""
+
+    def __init__(self, callback):
+        import threading
+
+        self._callback = callback
+        self._cond = threading.Condition()
+        self._pending = None
+        self._stop = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, planar: np.ndarray) -> None:
+        with self._cond:
+            self._pending = planar
+            self._cond.notify()
+
+    def _run(self) -> None:
+        from rapidraw_tpu.analysis.scopes import calculate_histogram, calculate_waveform
+
+        while True:
+            with self._cond:
+                while self._pending is None and not self._stop:
+                    self._cond.wait()
+                if self._stop:
+                    return
+                planar = self._pending
+                self._pending = None
+            try:
+                self._callback({
+                    "histogram": calculate_histogram(planar),
+                    "waveform": calculate_waveform(planar),
+                })
+            except Exception as e:
+                self._callback(e)
+
+    def close(self) -> None:
+        with self._cond:
+            self._stop = True
+            self._cond.notify()
+        self._thread.join(timeout=10)

@@ -149,3 +149,73 @@ def test_color_range_mask_resolves_warped_image(tmp_path):
     assert masks is not None
     assert masks[0][:, :35].mean() > 0.8  # red half selected
     assert masks[0][:, 45:].mean() < 0.1  # blue half not
+
+
+def test_preview_worker_coalesces(tmp_path):
+    """Drain-to-latest: jobs submitted while busy replace each other
+    (lib.rs:650-683)."""
+    import threading
+    import time as _time
+
+    import numpy as np
+    from PIL import Image
+
+    from rapidraw_tpu.pipeline.service import PreviewWorker, RenderService
+
+    p = tmp_path / "img.jpg"
+    rng = np.random.default_rng(0)
+    Image.fromarray((rng.random((24, 32, 3)) * 255).astype(np.uint8)).save(p)
+
+    service = RenderService()
+    results = []
+    done = threading.Event()
+
+    def cb(r):
+        results.append(r)
+        done.set()
+
+    worker = PreviewWorker(service, cb)
+    # first render warms the jit; then burst-submit — intermediate jobs
+    # must coalesce away
+    worker.submit(str(p), {"exposure": 0.1})
+    assert done.wait(120)
+    done.clear()
+    for i in range(8):
+        worker.submit(str(p), {"exposure": 0.1 * i})
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        with worker._cond:
+            idle = worker._pending is None
+        if idle and done.is_set():
+            _time.sleep(0.2)
+            with worker._cond:
+                if worker._pending is None:
+                    break
+    worker.close()
+    assert all(not isinstance(r, Exception) for r in results), results
+    # 1 warmup + far fewer than 8 burst renders (coalescing dropped most)
+    assert 2 <= len(results) < 9
+    assert results[-1].jpeg[:2] == b"\xff\xd8"
+
+
+def test_analytics_worker(tmp_path):
+    import threading
+
+    import numpy as np
+
+    from rapidraw_tpu.pipeline.service import AnalyticsWorker
+
+    got = []
+    done = threading.Event()
+
+    def cb(r):
+        got.append(r)
+        done.set()
+
+    w = AnalyticsWorker(cb)
+    img = np.random.default_rng(0).random((3, 32, 48)).astype(np.float32)
+    w.submit(img)
+    assert done.wait(60)
+    w.close()
+    assert not isinstance(got[0], Exception)
+    assert "histogram" in got[0] and "waveform" in got[0]
