@@ -17,11 +17,18 @@ value is the CA-corrected, linearized pixel, while neighbor taps re-read the
 
 from __future__ import annotations
 
+import contextvars
+
 import jax.numpy as jnp
 
 from rapidraw_tpu.ops import colorspace as cs
 from rapidraw_tpu.ops.common import LUMA_COEFF, luma, mix, smoothstep
 from rapidraw_tpu.ops.grain import hash2
+
+# When set, static-grid NR lowers to the XLA shifted-slice path instead of
+# the Pallas halo kernel — used by the spatially-sharded multi-chip path
+# (parallel/mesh.py), where SPMD partitions slices but not pallas_calls.
+FORCE_XLA = contextvars.ContextVar("rapidraw_nr_force_xla", default=False)
 
 _OFFSETS = [(dx, dy) for dy in range(-2, 3) for dx in range(-2, 3) if not (dx == 0 and dy == 0)]
 
@@ -59,6 +66,15 @@ def apply_noise_reduction(
         its displacement is below the filter's own smoothing radius.
     """
     if static_luma is not None and static_color is not None:
+        if FORCE_XLA.get():
+            # spatially-sharded path: the XLA shifted-slice formulation
+            # partitions under SPMD (halo exchanges inserted over ICI); an
+            # opaque pallas_call would be all-gathered + replicated — the
+            # same escape hatch as ops/blur.FORCE_CONV
+            return _apply_nr_static(
+                center_linear, input_rgb, static_luma, static_color, scale,
+                is_raw,
+            )
         return _apply_nr_static_pallas(
             center_linear, input_rgb, static_luma, static_color, scale, is_raw
         )
@@ -377,10 +393,12 @@ def _apply_nr_static(
 # taps at 2*stride (see _NR_HALO assert).
 # ---------------------------------------------------------------------------
 
-_NR_TH = 16   # rows per tile (swept on v5e at 24MP: 16 rows won)
+import os as _os
+
+_NR_TH = int(_os.environ.get("RAPIDRAW_NR_TH", "16"))  # rows per tile (swept: 16 won)
 _NR_CH = 16   # rows per chunk (= halo, = sublane alignment unit)
 _NR_HALO = 16
-_NR_CW = 3072  # max block width (swept: 3072 = 26.9 ms, 2048 = 31.2,
+_NR_CW = int(_os.environ.get("RAPIDRAW_NR_CW", "3072"))  # max block width (swept: 3072 = 26.9 ms, 2048 = 31.2,
                # 512 = 49.4, full-width 6144 = 37.7 for 24MP on v5e)
 
 
@@ -536,9 +554,16 @@ def _apply_nr_static_pallas(
                     edge_strength,
                 )
 
+                # hoist the per-pixel smoothstep edge divide out of the tap
+                # loops: t = (diff - 0.6*tol) * inv_d, one reciprocal per
+                # chunk instead of one divide per tap per pass
+                g_e0 = l_range_tol * 0.6
+                g_inv = 1.0 / (l_range_tol * 0.4)
+
                 def gate(s_luma, s_spat):
                     diff = jnp.abs(s_luma - center_luma)
-                    g_range = 1.0 - smoothstep(l_range_tol * 0.6, l_range_tol, diff)
+                    t = jnp.clip((diff - g_e0) * g_inv, 0.0, 1.0)
+                    g_range = 1.0 - t * t * (3.0 - 2.0 * t)
                     s_side = s_luma > edge_midpoint
                     g_side = jnp.where(s_side == center_side, 1.0, 0.0)
                     g_edge = mix(1.0, g_side, edge_strength)
@@ -589,11 +614,12 @@ def _apply_nr_static_pallas(
                     s_r_y = tap(1, dx, dy)
                     s_b_y = tap(2, dx, dy)
                     dl = s_luma - center_luma
-                    w_l = jnp.exp(dl * dl * luma_n)
                     dr = s_r_y - cr
                     db = s_b_y - cb
-                    w_c = jnp.exp((dr * dr + db * db) * chroma_n)
-                    wgt = w_s * w_l * w_c
+                    # one exp for both gates: exp(a)*exp(b) == exp(a+b)
+                    wgt = w_s * jnp.exp(
+                        dl * dl * luma_n + (dr * dr + db * db) * chroma_n
+                    )
                     sum_r = sum_r + s_r_y * wgt
                     sum_bv = sum_bv + s_b_y * wgt
                     w_sum = w_sum + wgt

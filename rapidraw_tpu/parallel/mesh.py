@@ -62,6 +62,7 @@ def sharded_develop_batch(mesh: Mesh, cfg: DevelopConfig):
     from jax import shard_map
 
     from rapidraw_tpu.ops import blur as blur_mod
+    from rapidraw_tpu.ops import nr as nr_mod
 
     spatial = mesh.shape["x"] > 1
     img_sh = NamedSharding(mesh, P("batch", None, None, "x"))
@@ -96,9 +97,11 @@ def sharded_develop_batch(mesh: Mesh, cfg: DevelopConfig):
         if masks is not None:
             masks = jax.lax.with_sharding_constraint(masks, mask_sh)
         token = blur_mod.FORCE_CONV.set(True)
+        token_nr = nr_mod.FORCE_XLA.set(True)
         try:
             out = develop_batch(images, params, cfg, masks=masks, fused=False)
         finally:
+            nr_mod.FORCE_XLA.reset(token_nr)
             blur_mod.FORCE_CONV.reset(token)
         return jax.lax.with_sharding_constraint(out, img_sh)
 

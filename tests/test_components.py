@@ -189,3 +189,73 @@ def test_nr_static_config_fields():
     merged = merge_configs([c1, c3])
     assert merged.nr_static_luma is None
     assert merge_configs([c1, c1]).nr_static_luma == c1.nr_static_luma
+
+
+def test_nr_static_xla_matches_pallas_interpret():
+    """The FORCE_XLA escape (spatial sharding) and the Pallas halo kernel
+    must agree — the fused-exp/hoisted-reciprocal rewrites in the kernel
+    are ULP-level."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import rapidraw_tpu.ops.nr as nr_mod
+
+    rng = np.random.default_rng(1)
+    img = np.clip(0.4 + rng.normal(0, 0.04, (3, 64, 160)).astype(np.float32), 0, 1)
+    cl = jnp.asarray(img)
+    pallas = np.asarray(
+        nr_mod.apply_noise_reduction(cl, cl, 0.4, 0.3, 1.0, True,
+                                     static_luma=0.4, static_color=0.3)
+    )
+    tok = nr_mod.FORCE_XLA.set(True)
+    try:
+        xla = np.asarray(
+            nr_mod.apply_noise_reduction(cl, cl, 0.4, 0.3, 1.0, True,
+                                         static_luma=0.4, static_color=0.3)
+        )
+    finally:
+        nr_mod.FORCE_XLA.reset(tok)
+    assert np.abs(pallas - xla).max() < 1e-5
+
+
+def test_spatial_mesh_with_nr_matches_single_device():
+    """An NR-active document through the spatially-sharded entry must match
+    the unsharded result (the XLA NR escape partitions; the blur escape
+    already did)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rapidraw_tpu.params.parse import parse_adjustments
+    from rapidraw_tpu.parallel.mesh import make_mesh, sharded_develop_batch
+    from rapidraw_tpu.pipeline.batch import develop_batch, stack_params
+
+    doc = {"exposure": 0.3, "lumaNoiseReduction": 30, "colorNoiseReduction": 20,
+           "sharpness": 25, "toneMapper": "agx"}
+    parsed = [parse_adjustments(doc, is_raw=False) for _ in range(2)]
+    params, cfg = stack_params([p for p, _ in parsed], [c for _, c in parsed])
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((2, 3, 32, 256), dtype=np.float32))
+
+    mesh = make_mesh(jax.devices()[:4], batch=2, spatial=2)
+    fn = sharded_develop_batch(mesh, cfg)
+    sharded = np.asarray(fn(imgs, params))
+
+    import rapidraw_tpu.ops.blur as blur_mod
+    import rapidraw_tpu.ops.nr as nr_mod
+
+    t1 = blur_mod.FORCE_CONV.set(True)
+    t2 = nr_mod.FORCE_XLA.set(True)
+    try:
+        plain = np.asarray(develop_batch(imgs, params, cfg, fused=False))
+    finally:
+        nr_mod.FORCE_XLA.reset(t2)
+        blur_mod.FORCE_CONV.reset(t1)
+    # NR's edge/side gates are discontinuous: SPMD partitioning reassociates
+    # float reductions, and a 1-ulp luma change can flip a gate on isolated
+    # pixels. Equality is therefore statistical: virtually all pixels exact,
+    # flipped-gate outliers rare and bounded.
+    d = np.abs(sharded - plain)
+    assert d.mean() < 1e-5
+    assert (d > 1e-3).mean() < 0.005
+    assert d.max() < 0.02
