@@ -148,17 +148,24 @@ def _invert_stage(vals, tca_v, h, w, hp, wp, lens_model, mode):
     return coord_v, coord_h_t, mono_bad, shear
 
 
+# bases are planned at HALF-tile (TW/2-lane) granularity: two independent
+# DMA bases per output tile halve the in-tile span (the k-loop length)
+# without doubling the grid — narrower whole tiles measured slower from
+# per-tile overhead ((16,128): 24.6 ms vs (16,256): 23.5 ms).
+TWH = TW // 2
+
+
 @jax.jit
 def _tile_minmax_j(coord):
     hp, wp = coord.shape
-    nty, ntx = hp // TH, wp // TW
+    nty, nhx = hp // TH, wp // TWH
     axis = jnp.arange(hp, dtype=jnp.float32)[:, None]
     valid = coord > _SENTINEL / 2
     big = jnp.where(valid, coord - axis, jnp.inf)
     small = jnp.where(valid, coord - axis, -jnp.inf)
     return (
-        big.reshape(nty, TH, ntx, TW).min(axis=(1, 3)),
-        small.reshape(nty, TH, ntx, TW).max(axis=(1, 3)),
+        big.reshape(nty, TH, nhx, TWH).min(axis=(1, 3)),
+        small.reshape(nty, TH, nhx, TWH).max(axis=(1, 3)),
         valid.any(),
     )
 
@@ -168,7 +175,7 @@ def _emap_j(coord, bases_f32, pad_lo):
     hp, wp = coord.shape
     in_tile = (jnp.arange(hp, dtype=jnp.int32) % TH).astype(jnp.float32)[:, None]
     valid = coord > _SENTINEL / 2
-    rep = jnp.repeat(jnp.repeat(bases_f32, TH, axis=0), TW, axis=1)
+    rep = jnp.repeat(jnp.repeat(bases_f32, TH, axis=0), TWH, axis=1)
     e = jnp.where(valid, coord + pad_lo - rep - in_tile, _SENTINEL)
     emin = jnp.min(jnp.where(valid, e, jnp.inf))
     emax = jnp.max(jnp.where(valid, e, -jnp.inf))
@@ -191,7 +198,7 @@ def _plan_pass(coord, nty: int, ntx: int):
     source is zero-padded by exactly the amount needed for every base to
     be >= 0 (padding rows are never selected by the e-match).
     """
-    t_min, t_max, any_valid = _tile_minmax_j(coord)
+    t_min, t_max, any_valid = _tile_minmax_j(coord)  # (nty, 2*ntx) halves
     if not bool(any_valid):
         return None
     dmin = np.asarray(t_min, np.float64)
@@ -303,35 +310,45 @@ def _resample_rows(img: jnp.ndarray, e_arr: jnp.ndarray, bases: jnp.ndarray,
     pad_hi = max(0, st.extent - st.pad_lo - img.shape[1])
     img = jnp.pad(img, ((0, 0), (st.pad_lo, pad_hi), (0, 0)))
 
-    def kernel(b_ref, e_ref, img_ref, out_ref, scratch, sem):
+    def kernel(b_ref, e_ref, img_ref, out_ref, scr0, scr1, sem0, sem1):
         i = pl.program_id(0)
         j = pl.program_id(1)
-        base = b_ref[i * st.ntx + j] * 8  # provably 8-aligned start
-        cp = pltpu.make_async_copy(
-            img_ref.at[:, pl.ds(base, band), pl.ds(j * TW, TW)], scratch, sem
+        # two half-tile DMAs with independent 8-aligned bases: the in-half
+        # span is ~half the whole-tile span, halving the k-loop below
+        bi = (i * st.ntx + j) * 2
+        base0 = b_ref[bi] * 8
+        base1 = b_ref[bi + 1] * 8
+        cp0 = pltpu.make_async_copy(
+            img_ref.at[:, pl.ds(base0, band), pl.ds(j * TW, TWH)], scr0, sem0
         )
-        cp.start()
-        cp.wait()
-        e = e_ref[...]
-        e0 = jnp.floor(e)
-        frac = (e - e0)[None]
-        e0i = e0.astype(jnp.int32)
-        # two-accumulator select: the hi slice of step k IS the lo slice of
-        # step k+1, so gather s0 = row[e0] and s1 = row[e0+1] with one
-        # slice + two FMAs per step and hoist the lerp out of the loop
-        # (vs slice/slice/sub/mul/add/mask/acc per step before)
-        s0 = jnp.zeros((c, TH, TW), jnp.float32)
-        s1 = jnp.zeros((c, TH, TW), jnp.float32)
-        m_prev = None
-        for k in range(span + 1):
-            sl = scratch[:, k : k + TH, :]
-            if k < span:
-                m = (e0i == k).astype(jnp.float32)[None]
-                s0 = s0 + m * sl
-            if m_prev is not None:
-                s1 = s1 + m_prev * sl
-            m_prev = m if k < span else None
-        out_ref[...] = s0 + frac * (s1 - s0)
+        cp1 = pltpu.make_async_copy(
+            img_ref.at[:, pl.ds(base1, band), pl.ds(j * TW + TWH, TWH)], scr1, sem1
+        )
+        cp0.start()
+        cp1.start()
+        cp0.wait()
+        cp1.wait()
+        for half, scratch in ((0, scr0), (1, scr1)):
+            e = e_ref[:, half * TWH : (half + 1) * TWH]
+            e0 = jnp.floor(e)
+            frac = (e - e0)[None]
+            e0i = e0.astype(jnp.int32)
+            # two-accumulator select: the hi slice of step k IS the lo
+            # slice of step k+1, so gather s0 = row[e0] and s1 = row[e0+1]
+            # with one slice + two FMAs per step and hoist the lerp out of
+            # the loop (vs slice/slice/sub/mul/add/mask/acc per step before)
+            s0 = jnp.zeros((c, TH, TWH), jnp.float32)
+            s1 = jnp.zeros((c, TH, TWH), jnp.float32)
+            m_prev = None
+            for k in range(span + 1):
+                sl = scratch[:, k : k + TH, :]
+                if k < span:
+                    m = (e0i == k).astype(jnp.float32)[None]
+                    s0 = s0 + m * sl
+                if m_prev is not None:
+                    s1 = s1 + m_prev * sl
+                m_prev = m if k < span else None
+            out_ref[:, :, half * TWH : (half + 1) * TWH] = s0 + frac * (s1 - s0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -342,7 +359,9 @@ def _resample_rows(img: jnp.ndarray, e_arr: jnp.ndarray, bases: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((c, TH, TW), lambda i, j, b: (0, i, j)),
         scratch_shapes=[
-            pltpu.VMEM((c, band, TW), jnp.float32),
+            pltpu.VMEM((c, band, TWH), jnp.float32),
+            pltpu.VMEM((c, band, TWH), jnp.float32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
