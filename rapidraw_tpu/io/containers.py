@@ -7,9 +7,10 @@ develop; everything else fails up front with an actionable error instead of
 a deep parse crash.
 
 Containers:
-  TIFF-family: DNG/TIFF (io/dng.py), CR2/NEF/PEF/ARW (io/makers.py).
+  TIFF-family: DNG/TIFF (io/dng.py), CR2/NEF/PEF/ARW/ORF-uncompressed
+  (io/makers.py).
   Detected-but-unsupported: CR3 (ISO BMFF), RAF (Fujifilm), X3F (Foveon),
-  ORF (Olympus), RW2 (Panasonic) — clear UnsupportedRawFormat.
+  ORF predictive-compressed, RW2 (Panasonic) — clear UnsupportedRawFormat.
 """
 
 from __future__ import annotations
@@ -18,7 +19,10 @@ import struct
 
 from rapidraw_tpu.io.dng import DngError, RawFile, parse_dng
 
-SUPPORTED_FORMATS = ("dng", "tiff", "cr2", "nef", "nrw", "pef", "arw", "srf", "sr2")
+SUPPORTED_FORMATS = (
+    "dng", "tiff", "cr2", "nef", "nrw", "pef", "arw", "srf", "sr2",
+    "orf",  # uncompressed 16-bit / packed 12-bit only
+)
 
 
 class UnsupportedRawFormat(ValueError):
@@ -120,7 +124,11 @@ def parse_raw(data: bytes, ext: str = "") -> RawFile:
         from rapidraw_tpu.io.makers import parse_arw
 
         return parse_arw(data)
-    if kind in ("cr3", "raf", "x3f", "orf", "rw2", "bmff"):
+    if kind == "orf":
+        from rapidraw_tpu.io.makers import parse_orf
+
+        return parse_orf(data)
+    if kind in ("cr3", "raf", "x3f", "rw2", "bmff"):
         raise UnsupportedRawFormat(kind)
     if kind == "unknown":
         raise DngError(

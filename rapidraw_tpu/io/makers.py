@@ -539,3 +539,64 @@ def parse_arw(data: bytes) -> RawFile:
         xyz_to_cam=None,
         orientation=int((_first(ifds, _T["Orientation"]) or [1])[0]),
     )
+
+
+# ------------------------------------------------------------ ORF (Olympus)
+
+
+def parse_orf(data: bytes) -> RawFile:
+    """Olympus ORF: a TIFF container whose magic is 'RO'/'SR' instead of 42
+    (rawler orf.rs; magics IIRO / IIRS / MMOR). The IFD chain is standard
+    TIFF. Uncompressed layouts decode here — 16-bit LE and the literal
+    12-bit little-endian packing (2 px / 3 bytes, same scheme as NEF
+    packed) — detected by strip size per pixel, since Olympus writes
+    Compression 1 even for its predictive codec. The predictive codec
+    itself raises UnsupportedRawFormat.
+    """
+    from rapidraw_tpu.io.containers import UnsupportedRawFormat
+
+    endian = "<" if data[:2] == b"II" else ">"
+    first = struct.unpack_from(endian + "HI", data, 2)[1]
+    ifds = _collect_ifds(data, endian, first)
+    cands = [i for i in ifds if _T["StripOffsets"] in i and _T["ImageWidth"] in i]
+    if not cands:
+        raise DngError("no raw IFD found in ORF")
+    ifd = max(
+        cands,
+        key=lambda i: i.get(_T["ImageWidth"], [0])[0] * i.get(_T["ImageLength"], [0])[0],
+    )
+    width = ifd[_T["ImageWidth"]][0]
+    height = ifd[_T["ImageLength"]][0]
+    bits = ifd.get(_T["BitsPerSample"], [12])[0]
+    off = ifd[_T["StripOffsets"]][0]
+    cnt = sum(ifd.get(_T["StripByteCounts"], [len(data) - off]))
+
+    if cnt >= width * height * 2:
+        plane = np.frombuffer(
+            data, endian + "u2", count=width * height, offset=off
+        ).reshape(height, width)
+        bits = max(bits, 12)
+    elif cnt >= (width * height * 3 + 1) // 2:
+        plane = _unpack_12le(data[off : off + cnt], width, height)
+        bits = 12
+    else:
+        raise UnsupportedRawFormat(
+            "orf", "Olympus predictive compression is not supported; "
+            "only uncompressed 16-bit and packed 12-bit ORF decode"
+        )
+
+    pat = ifd.get(_TAG_CFA_PATTERN)
+    pattern = (
+        "".join({0: "R", 1: "G", 2: "B"}.get(v, "G") for v in pat[:4])
+        if pat
+        else "RGGB"
+    )
+    return RawFile(
+        cfa=plane.astype(np.uint16, copy=False),
+        pattern=pattern,
+        black_level=0.0,
+        white_level=float((1 << bits) - 1),
+        wb=np.ones(3, np.float32),
+        xyz_to_cam=None,
+        orientation=int((_first(ifds, _T["Orientation"]) or [1])[0]),
+    )

@@ -531,3 +531,41 @@ def test_loader_unsupported_is_actionable(tmp_path):
         load_image(str(p))
     assert "cr3" in str(ei.value)
     assert "supported" in str(ei.value)
+
+
+# -------------------------------------------------------------- ORF fixtures
+def _orf_bytes(ifd: Ifd) -> bytes:
+    """ORF = TIFF with magic 'RO' (IIRO) instead of 42."""
+    data = bytearray(build_tiff([ifd]))
+    data[2:4] = b"RO"
+    return bytes(data)
+
+
+def test_orf_uncompressed16_roundtrip():
+    rng = np.random.default_rng(5)
+    cfa = rng.integers(0, 4096, (8, 12), dtype=np.uint16)
+    payload = cfa.astype("<u2").tobytes()
+    orf = _orf_bytes(_cfa_ifd(12, 8, 12, 1, payload))
+    assert sniff_container(orf, "orf") == "orf"
+    rf = parse_raw(orf, "orf")
+    np.testing.assert_array_equal(rf.cfa, cfa)
+    assert rf.pattern == "RGGB"
+    assert rf.white_level == 4095.0
+
+
+def test_orf_packed12_roundtrip():
+    rng = np.random.default_rng(6)
+    cfa = rng.integers(0, 4096, (6, 16), dtype=np.uint16)
+    payload = _pack_12le(cfa)
+    orf = _orf_bytes(_cfa_ifd(16, 6, 12, 1, payload))
+    rf = parse_raw(orf, "orf")
+    np.testing.assert_array_equal(rf.cfa, cfa)
+
+
+def test_orf_compressed_rejected_actionably():
+    # predictive codec: strip far smaller than 1.5 B/px
+    payload = b"\x00" * 40
+    orf = _orf_bytes(_cfa_ifd(16, 6, 12, 1, payload))
+    with pytest.raises(UnsupportedRawFormat) as ei:
+        parse_raw(orf, "orf")
+    assert "predictive" in str(ei.value)
