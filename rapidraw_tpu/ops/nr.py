@@ -5,10 +5,10 @@ window whose stride grows with amount and resolution, hash-jittered tap
 positions, two-pass robust (bisquare) weighted luma mean, and a joint
 spatial/luma/chroma bilateral filter on the R-Y / B-Y chroma planes.
 
-The tap positions are data-dependent (per-pixel jitter), so this version
-uses XLA gathers over precomputed per-channel planes. NR is statically
-gated (DevelopConfig.nr_active); a Pallas halo-tile kernel is the planned
-fast path.
+The jittered (per-pixel data-dependent) path uses XLA gathers over
+precomputed per-channel planes; the static-grid path (doc-constant
+amounts — every real document) runs the chunked-halo Pallas kernel below,
+with an XLA shifted-slice escape (FORCE_XLA) for spatial SPMD sharding.
 
 Note the sampling-source asymmetry preserved from the reference: the center
 value is the CA-corrected, linearized pixel, while neighbor taps re-read the

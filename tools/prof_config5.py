@@ -1,0 +1,37 @@
+import time
+import numpy as np
+import jax, jax.numpy as jnp
+
+H, W = 4096, 6144
+
+def slope(step, x0, readback, iters=12):
+    def run(n):
+        t0 = time.perf_counter()
+        y = x0
+        for _ in range(n):
+            y = step(y)
+        readback(y)
+        return time.perf_counter() - t0
+    run(2); base = run(2); full = run(2 + iters)
+    return (full - base) / iters
+
+rng = np.random.default_rng(0)
+img = jnp.asarray(rng.random((3, H, W), dtype=np.float32))
+
+from rapidraw_tpu.ops.nr import apply_noise_reduction
+from rapidraw_tpu.ops.colorspace import srgb_to_linear
+nf = jax.jit(lambda x: apply_noise_reduction(srgb_to_linear(x), x, 30.0, 25.0, 1.0, False,
+                                             static_luma=30.0, static_color=25.0) * 0.999)
+nf(img); _ = float(nf(img)[0,0,0])
+print(f"NR(static 30/25): {slope(nf, img, lambda y: float(y[0,0,0]))*1e3:.2f} ms")
+
+from rapidraw_tpu.params.parse import parse_adjustments
+from rapidraw_tpu.pipeline.batch import develop_batch, stack_params
+doc = {"exposure": 0.2, "sharpness": 40, "lumaNoiseReduction": 30,
+       "colorNoiseReduction": 25, "chromaticAberrationRedCyan": 12,
+       "chromaticAberrationBlueYellow": -8, "toneMapper": "agx"}
+p, cfg = parse_adjustments(doc, is_raw=False)
+params, cfgm = stack_params([p], [cfg])
+df = jax.jit(lambda x, pp: develop_batch(x[None], pp, cfgm)[0])
+df(img, params); _ = float(df(img, params)[0,0,0])
+print(f"develop(c5, no warp): {slope(lambda y: df(y, params), img, lambda y: float(y[0,0,0]))*1e3:.2f} ms")
