@@ -316,6 +316,17 @@ def _enable_persistent_jit_cache() -> None:
         pass
 
 
+def _cmd_tag(args) -> int:
+    from rapidraw_tpu.ai.tagging import index_folder_tags
+
+    n = index_folder_tags(
+        args.folder, custom_tags=args.custom, max_tags=args.max_tags,
+        progress=lambda c, t: print(f"\r{c}/{t}", end="", flush=True),
+    )
+    print(f"\ntagged {n} image(s)")
+    return 0
+
+
 def main(argv=None) -> int:
     _enable_persistent_jit_cache()
     ap = argparse.ArgumentParser(prog="rapidraw_tpu")
@@ -401,6 +412,12 @@ def main(argv=None) -> int:
     le.add_argument("-o", "--output")
     le.add_argument("--size", type=int, default=33)
     le.set_defaults(fn=_cmd_lut_export)
+
+    tg = sub.add_parser("tag", help="CLIP-tag every image in a folder into sidecars")
+    tg.add_argument("folder")
+    tg.add_argument("--custom", nargs="*", help="score only these labels")
+    tg.add_argument("--max-tags", type=int, default=10)
+    tg.set_defaults(fn=_cmd_tag)
 
     args = ap.parse_args(argv)
     return args.fn(args)
