@@ -123,10 +123,12 @@ def _make_kernel(nb: int, axis: int, s: int):
         khi_ref, klo_ref = refs[0], refs[1]
         x_refs = refs[2 : 2 + s + nb - 1]
         out_ref = refs[2 + s + nb - 1]
-        # split each input block once; sub-blocks share their halo splits
+        # split each input block once; sub-blocks share their halo splits.
+        # the rgba16f-range clamp (blur.wgsl:35,44) runs in-kernel so the
+        # host-side pad stays a pure copy XLA can fuse/stream
         hi_lo = []
         for r in x_refs:
-            x = r[0]
+            x = jnp.clip(r[0], 0.0, F16_MAX)
             xhi = x.astype(jnp.bfloat16).astype(jnp.float32)
             hi_lo.append((xhi, x - xhi))
         for si in range(s):
@@ -273,7 +275,7 @@ def gaussian_blur(img: jnp.ndarray, radius: int) -> jnp.ndarray:
     """
     if FORCE_CONV.get():
         return gaussian_blur_reference(img, radius)
-    x = jnp.clip(img, 0.0, F16_MAX)
+    x = img  # range clamp happens in-kernel on each loaded block
     c, n, m = x.shape
     pad_v = _pad_lo(radius, 0)
     pad_h = _pad_lo(radius, 1)
