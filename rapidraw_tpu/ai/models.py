@@ -1,11 +1,13 @@
 """AI model registry.
 
 Port of the ai_processing.rs model table (:21-57) and its lazy, sha256-
-verified session cache (:88-95, :165-228). The reference downloads from
-HuggingFace at runtime; this environment has no egress, so models load
-from a local directory (RAPIDRAW_MODELS_DIR or ~/.cache/rapidraw_tpu/models)
-and a clear ModelUnavailable error names the missing file and its source
-URL so users can provision it.
+verified session cache (:88-95, :165-228). The reference downloads ONNX
+files from HuggingFace at runtime; here every network is a NATIVE flax
+port and `weights_file` names the flat-npz checkpoint each port loads
+from RAPIDRAW_MODELS (convert the published checkpoint with
+ai/masks.save_variables_npz). The original ONNX filename/URL stay as
+provisioning documentation; `get_session` remains for environments that
+do have onnxruntime and want to run the original files.
 """
 
 from __future__ import annotations
@@ -26,6 +28,8 @@ class ModelSpec:
     filename: str
     url: str  # documentation only; no egress in this environment
     sha256: str | None = None
+    weights_file: str | None = None  # flat-npz the native flax port loads
+    native: str | None = None  # module implementing the native port
 
 
 # the reference's model set (ai_processing.rs:21-57)
@@ -33,28 +37,39 @@ MODELS = {
     "sam_encoder": ModelSpec(
         "SAM ViT-B encoder", "sam_vit_b_encoder.onnx",
         "https://huggingface.co/.../sam_vit_b_01ec64.encoder.onnx",
+        weights_file="sam_vit_b_encoder.npz", native="rapidraw_tpu.ai.sam",
     ),
     "sam_decoder": ModelSpec(
         "SAM ViT-B decoder", "sam_vit_b_decoder.onnx",
         "https://huggingface.co/.../sam_vit_b_01ec64.decoder.onnx",
+        weights_file="sam_vit_b_decoder.npz", native="rapidraw_tpu.ai.sam",
     ),
     "u2net_foreground": ModelSpec(
-        "U2-Net foreground", "u2net.onnx", "https://huggingface.co/.../u2net.onnx"
+        "U2-Net foreground", "u2net.onnx", "https://huggingface.co/.../u2net.onnx",
+        weights_file="u2net.npz", native="rapidraw_tpu.ai.masks",
     ),
     "skyseg": ModelSpec(
-        "Sky segmentation U2-Net", "skyseg.onnx", "https://huggingface.co/.../skyseg.onnx"
+        "Sky segmentation U2-Net", "skyseg.onnx", "https://huggingface.co/.../skyseg.onnx",
+        weights_file="skyseg.npz", native="rapidraw_tpu.ai.masks",
     ),
     "depth_anything_v2": ModelSpec(
         "Depth-Anything v2 ViT-S", "depth_anything_v2_vits.onnx",
         "https://huggingface.co/.../depth_anything_v2_vits.onnx",
+        weights_file="depth_anything_v2_vits.npz", native="rapidraw_tpu.ai.depth",
     ),
     "nind_denoise": ModelSpec(
-        "NIND UtNet denoiser", "nind_utnet.onnx", "https://huggingface.co/.../utnet.onnx"
+        "NIND UtNet denoiser", "nind_utnet.onnx", "https://huggingface.co/.../utnet.onnx",
+        weights_file="utnet.npz", native="rapidraw_tpu.ai.denoise",
     ),
     "lama_inpaint": ModelSpec(
-        "LaMa inpainting fp16", "lama_fp16.onnx", "https://huggingface.co/.../lama_fp16.onnx"
+        "LaMa inpainting fp16", "lama_fp16.onnx", "https://huggingface.co/.../lama_fp16.onnx",
+        weights_file="lama.npz", native="rapidraw_tpu.ai.inpaint",
     ),
-    "clip": ModelSpec("CLIP ViT-B/32", "clip_vit_b32.onnx", "https://huggingface.co/.../clip.onnx"),
+    "clip": ModelSpec(
+        "CLIP ViT-B/32", "clip_vit_b32.onnx", "https://huggingface.co/.../clip.onnx",
+        weights_file="clip/ (transformers save_pretrained dir)",
+        native="rapidraw_tpu.ai.tagging",
+    ),
 }
 
 
