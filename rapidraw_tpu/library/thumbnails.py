@@ -62,8 +62,22 @@ def generate_thumbnail(
         if cache_file.exists():
             return cache_file.read_bytes()
 
+    from rapidraw_tpu.params.parse import is_image_edited
+
     img, is_raw = load_image(path)
     x = jnp.asarray(img)
+
+    if not is_raw and not is_image_edited(adjustments, is_raw):
+        # unedited LDR: plain downscale, no develop
+        # (file_management.rs:1134-1152's fast path)
+        data = encode_jpeg_bytes(
+            np.asarray(downscale_to_long_edge(x, resolution)), quality=85
+        )
+        if cache_file is not None:
+            cache_file.parent.mkdir(parents=True, exist_ok=True)
+            cache_file.write_bytes(data)
+        return data
+
     # transform at full res, then downscale (matches the reference's
     # warp -> downscale -> flip/rotate/crop ordering closely enough for
     # thumbnails; the geometry cache trick of :1216-1219 is the jit cache)

@@ -503,3 +503,56 @@ def merge_configs(configs: list[DevelopConfig]) -> DevelopConfig:
         else:
             fields[name] = any(vals)
     return DevelopConfig(**fields)
+
+
+def is_image_edited(
+    adjustments: dict | None,
+    is_raw: bool = False,
+    tonemapper_override: int | None = None,
+) -> bool:
+    """Does this document change the image at all?
+    (image_processing.rs:1797-1867: structural checks, then a bit-compare
+    of parsed params against the defaults — here a tree-equality of the
+    parsed pytree plus the static config.)
+
+    Used by thumbnails to skip the develop pipeline for unedited files.
+    """
+    if not isinstance(adjustments, dict) or not adjustments:
+        return False
+    if adjustments.get("aiPatches"):
+        return True
+    if adjustments.get("masks"):
+        return True
+    crop = adjustments.get("crop")
+    if isinstance(crop, dict) and (
+        abs(float(crop.get("x", 0.0))) > 0.1 or abs(float(crop.get("y", 0.0))) > 0.1
+    ):
+        return True
+    if int(adjustments.get("orientationSteps", 0) or 0) != 0:
+        return True
+    if abs(float(adjustments.get("rotation", 0.0) or 0.0)) > 0.001:
+        return True
+    if adjustments.get("flipHorizontal") or adjustments.get("flipVertical"):
+        return True
+
+    from rapidraw_tpu.geometry.params import (
+        geometry_params_from_json,
+        is_geometry_identity,
+    )
+
+    if not is_geometry_identity(geometry_params_from_json(adjustments)):
+        return True
+
+    cur_p, cur_c = parse_adjustments(adjustments, is_raw, tonemapper_override)
+    def_p, def_c = parse_adjustments({}, is_raw, tonemapper_override)
+    if cur_c != def_c:
+        return True
+    import jax
+
+    cur_leaves = jax.tree_util.tree_leaves_with_path(cur_p)
+    def_leaves = dict(jax.tree_util.tree_leaves_with_path(def_p))
+    for path, leaf in cur_leaves:
+        other = def_leaves.get(path)
+        if other is None or not np.array_equal(np.asarray(leaf), np.asarray(other)):
+            return True
+    return False

@@ -135,3 +135,43 @@ def test_exif_copy_with_gps_strip(tmp_path):
 
     write_rrexif_sidecar(src, dst)
     assert (tmp_path / "dst.jpg.rrexif").exists()
+
+
+def test_is_image_edited():
+    from rapidraw_tpu.params.parse import is_image_edited
+
+    assert not is_image_edited({})
+    assert not is_image_edited(None)
+    # defaults written out explicitly are still unedited
+    assert not is_image_edited({"exposure": 0, "contrast": 0})
+    assert is_image_edited({"exposure": 0.5})
+    assert is_image_edited({"orientationSteps": 1})
+    assert is_image_edited({"flipHorizontal": True})
+    assert is_image_edited({"rotation": 1.0})
+    assert is_image_edited({"crop": {"x": 10, "y": 0, "width": 5, "height": 5}})
+    assert is_image_edited({"masks": [{"visible": True}]})
+    assert is_image_edited({"transformRotate": 2.0})
+    # sectionVisibility off neutralizes the section's sliders
+    assert not is_image_edited(
+        {"exposure": 1.0, "sectionVisibility": {"basic": False}}
+    )
+
+
+def test_unedited_thumbnail_skips_develop(tmp_path, monkeypatch):
+    import numpy as np
+    from PIL import Image
+
+    from rapidraw_tpu.library.thumbnails import generate_thumbnail
+
+    p = tmp_path / "plain.jpg"
+    rng = np.random.default_rng(0)
+    Image.fromarray((rng.random((48, 64, 3)) * 255).astype(np.uint8)).save(p)
+
+    import rapidraw_tpu.pipeline.develop as dev
+
+    def boom(*a, **k):  # pragma: no cover - fails the test if reached
+        raise AssertionError("develop must not run for unedited LDR thumbnails")
+
+    monkeypatch.setattr(dev, "develop", boom)
+    data = generate_thumbnail(str(p), resolution=32)
+    assert data[:2] == b"\xff\xd8"
