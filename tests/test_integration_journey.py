@@ -1,0 +1,66 @@
+"""End-to-end user journey: a RAW file (synthetic ORF) + an imported
+Lightroom XMP preset, applied through the sidecar and exported via the
+CLI — the switch-from-the-reference workflow in one test."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "tests")
+
+
+def _make_orf(path, w=64, h=48, seed=3):
+    from test_raw_containers import _cfa_ifd, build_tiff
+
+    rng = np.random.default_rng(seed)
+    cfa = rng.integers(128, 900, (h, w), dtype=np.uint16)
+    data = bytearray(build_tiff([_cfa_ifd(w, h, 12, 1, cfa.astype("<u2").tobytes())]))
+    data[2:4] = b"RO"
+    path.write_bytes(bytes(data))
+
+
+_XMP = """<x:xmpmeta xmlns:x="adobe:ns:meta/"><rdf:RDF
+ xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">
+<rdf:Description xmlns:crs="http://ns.adobe.com/camera-raw-settings/1.0/"
+ crs:Exposure2012="+0.8" crs:Contrast2012="+20" crs:Shadows2012="+20"
+ crs:PostCropVignetteAmount="-25">
+<crs:Name><rdf:Alt><rdf:li xml:lang="x-default">Journey</rdf:li></rdf:Alt></crs:Name>
+</rdf:Description></rdf:RDF></x:xmpmeta>"""
+
+
+def test_orf_xmp_preset_cli_export(tmp_path):
+    from PIL import Image
+
+    from rapidraw_tpu.cli import main
+    from rapidraw_tpu.io.sidecar import load_adjustments, save_sidecar
+    from rapidraw_tpu.library.presets import PresetStore, apply_preset
+
+    raw = tmp_path / "shot.orf"
+    _make_orf(raw)
+
+    # import the Lightroom preset and bake it into the sidecar
+    xmp = tmp_path / "journey.xmp"
+    xmp.write_text(_XMP)
+    store = PresetStore(tmp_path / "presets.json")
+    [preset] = store.import_file(xmp)
+    doc = apply_preset({}, preset["adjustments"])
+    save_sidecar(str(raw), {"adjustments": doc})
+    assert load_adjustments(str(raw))["exposure"] == 0.8
+
+    out_dir = tmp_path / "out"
+    rc = main(["export", str(raw), "-o", str(out_dir), "--quality", "90"])
+    assert rc == 0
+    outs = list(out_dir.glob("*.jpg"))
+    assert len(outs) == 1
+    rendered = np.asarray(Image.open(outs[0]), np.float32) / 255.0
+    assert rendered.shape[2] == 3 and np.isfinite(rendered).all()
+    # +0.8EV over a dark synthetic CFA renders mid-bright, unclipped
+    assert 0.2 < rendered.mean() < 0.9
+    # vignette: corners darker than center
+    h, w, _ = rendered.shape
+    corners = (rendered[:4, :4].mean() + rendered[-4:, -4:].mean()) / 2
+    center = rendered[h // 2 - 4 : h // 2 + 4, w // 2 - 4 : w // 2 + 4].mean()
+    assert corners < center
