@@ -91,6 +91,11 @@ def _use_fused(cfg: DevelopConfig) -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
+# unroll threshold for the fused path: below this, python-unrolled per-image
+# calls replace lax.scan (see the comment at the use site)
+_UNROLL_MAX = int(os.environ.get("RAPIDRAW_UNROLL_MAX", "4"))
+
+
 def develop_batch(
     images: jnp.ndarray,
     params: DevelopParams,
@@ -113,8 +118,25 @@ def develop_batch(
     if fused:
         from rapidraw_tpu.pipeline.fused import develop_fused
 
-        # scan (not vmap/unroll): the megakernel traces+compiles ONCE for any
-        # batch size; per-image sequencing costs nothing on a throughput path
+        b = images.shape[0]
+        if b <= _UNROLL_MAX:
+            # small batches unroll: lax.scan's per-step dynamic input slice
+            # and output update each copy a full 300 MB frame — measured
+            # ~2 ms/frame at 24MP (11.8 ms unrolled vs 13.8 scanned).
+            # Static slices fuse/alias instead. Compile cost is one trace
+            # per image, bounded by _UNROLL_MAX.
+            outs = []
+            for i in range(b):
+                p_i = jax.tree.map(lambda x: x[i], params)
+                mk_i = None if masks is None else masks[i]
+                outs.append(
+                    develop_fused(images[i], p_i, cfg, masks=mk_i, lut=lut,
+                                  flare=flare)
+                )
+            return jnp.stack(outs)
+
+        # large batches scan: the megakernel traces+compiles ONCE for any
+        # batch size (an unrolled 100-image export would inline 100 kernels)
         def body(_, xs):
             if masks is None:
                 img, p = xs
