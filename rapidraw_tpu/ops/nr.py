@@ -520,9 +520,26 @@ def _apply_nr_static_pallas(
         for ci in range(th // ch):
             r0 = ci * ch
 
+            # Load one lane-shifted BAND per distinct (plane, dx) and slice
+            # taps out of it by row: a dx-shifted read is a cross-lane
+            # rotate of every vreg it touches, so 25 per-tap shifted loads
+            # (x3 streaming passes) pay ~75 rotates of (ch, cw) — one
+            # (ch+2*hs, cw) band per dx cuts that to the distinct-dx count.
+            # Row slices of the loaded band are sublane ops (cheap).
+            bands: dict = {}
+
+            def band(plane: int, dx: int, r0=r0, bands=bands):
+                key = (plane, dx)
+                if key not in bands:
+                    bands[key] = ext_ref[
+                        plane, r0 : r0 + ch + 2 * hs, 128 + dx : 128 + cw + dx
+                    ]
+                return bands[key]
+
             def tap(plane: int, dx: int, dy: int, r0=r0):
-                rr = hs + r0 + dy
-                return ext_ref[plane, rr : rr + ch, 128 + dx : 128 + cw + dx]
+                # band rows start at ext row r0 == chunk row -hs
+                b = band(plane, dx)
+                return b[hs + dy : hs + dy + ch, :]
 
             c = c_ref[:, r0 : r0 + ch, :]
             center_safe = jnp.maximum(c, 0.0)
