@@ -1,4 +1,4 @@
-"""Benchmark: batch develop throughput on one TPU chip — all 5 BASELINE configs.
+"""Benchmark: develop + batch-export throughput on one TPU chip — all 5 BASELINE configs.
 
 Prints one JSON line per config. The FIRST line is the driver headline
 (BASELINE config 3, full color grade). Baseline target: 2 GPix/s per chip
