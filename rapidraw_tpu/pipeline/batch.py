@@ -116,9 +116,18 @@ def develop_batch(
     if fused is None:
         fused = _use_fused(cfg)
     if fused:
-        from rapidraw_tpu.pipeline.fused import develop_fused
+        from rapidraw_tpu.pipeline.fused import (
+            develop_fused,
+            develop_fused_batch,
+            fusable_batched,
+        )
 
         b = images.shape[0]
+        if b > 1 and lut is None and flare is None and fusable_batched(cfg):
+            # one megakernel launch for the whole batch: a leading grid
+            # dimension replaces the host-side per-image slicing/stacking
+            # that cost ~2 ms/frame at 24MP
+            return develop_fused_batch(images, params, cfg, masks=masks)
         if b <= _UNROLL_MAX:
             # small batches unroll: lax.scan's per-step dynamic input slice
             # and output update each copy a full 300 MB frame — measured

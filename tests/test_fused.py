@@ -141,3 +141,72 @@ def test_fused_minimal_docs(doc):
     ref = np.asarray(develop(img, p, c))
     got = np.asarray(develop_fused(img, p, c))
     assert np.abs(ref - got).max() < 2e-4
+
+
+def test_batched_megakernel_matches_per_image():
+    """develop_fused_batch (batch as a grid dimension) must reproduce the
+    per-image fused path exactly — same kernel body, batched specs."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from rapidraw_tpu.params.parse import parse_adjustments
+    from rapidraw_tpu.pipeline.batch import stack_params
+    from rapidraw_tpu.pipeline.fused import (
+        develop_fused,
+        develop_fused_batch,
+        fusable_batched,
+    )
+
+    docs = [
+        {"exposure": 0.4, "contrast": 15, "shadows": 20, "vignetteAmount": -30,
+         "toneMapper": "agx"},
+        {"exposure": -0.2, "saturation": 25, "hue": 10, "toneMapper": "agx"},
+        {"clarity": 30, "toneMapper": "agx"},
+    ]
+    parsed = [parse_adjustments(d, is_raw=False) for d in docs]
+    params, cfg = stack_params([p for p, _ in parsed], [c for _, c in parsed])
+    assert fusable_batched(cfg)
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((3, 3, 40, 640), dtype=np.float32))
+
+    batched = np.asarray(develop_fused_batch(imgs, params, cfg))
+    for i in range(3):
+        p_i = jax.tree.map(lambda x: x[i], params)
+        single = np.asarray(develop_fused(imgs[i], p_i, cfg))
+        np.testing.assert_allclose(batched[i], single, atol=1e-6, err_msg=f"image {i}")
+
+
+def test_batched_megakernel_with_masks():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from rapidraw_tpu.params.parse import parse_adjustments
+    from rapidraw_tpu.pipeline.batch import stack_params
+    from rapidraw_tpu.pipeline.fused import develop_fused, develop_fused_batch
+
+    doc = {"exposure": 0.2, "toneMapper": "agx", "masks": [{
+        "name": "m", "visible": True,
+        "adjustments": {"exposure": 1.0, "saturation": 20},
+        "subMasks": [{"type": "radial", "visible": True, "mode": "additive",
+                       "parameters": {"centerX": 300, "centerY": 20,
+                                      "radiusX": 120, "radiusY": 14}}],
+    }]}
+    parsed = [parse_adjustments(doc, is_raw=False) for _ in range(2)]
+    params, cfg = stack_params([p for p, _ in parsed], [c for _, c in parsed])
+    assert cfg.mask_count == 1
+
+    from rapidraw_tpu.masks.rasterize import rasterize_masks
+
+    m = rasterize_masks(doc, 640, 40, scale=1.0)
+    masks = jnp.asarray(np.stack([m, m]))
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.random((2, 3, 40, 640), dtype=np.float32))
+
+    batched = np.asarray(develop_fused_batch(imgs, params, cfg, masks=masks))
+    for i in range(2):
+        p_i = jax.tree.map(lambda x: x[i], params)
+        single = np.asarray(develop_fused(imgs[i], p_i, cfg, masks=masks[i]))
+        np.testing.assert_allclose(batched[i], single, atol=1e-6)
