@@ -37,9 +37,16 @@ class UnsupportedRawFormat(ValueError):
         super().__init__(msg)
 
 
-def _tiff_make(data: bytes) -> str:
-    """Read the Make tag (271) from IFD0 of a TIFF-family file, '' on any
-    parse problem — used only as a dispatch hint."""
+_TAG_DNG_VERSION = 50706
+
+
+def _tiff_ifd0_hints(data: bytes) -> tuple[str, bool]:
+    """(Make tag 271, DNGVersion tag 50706 present) from IFD0 of a
+    TIFF-family file; ('', False) on any parse problem — dispatch hints
+    only. DNGVersion must win over Make: DNGs converted from vendor RAWs
+    retain Make='NIKON CORPORATION' etc. but must route to parse_dng."""
+    make = ""
+    is_dng = False
     try:
         endian = "<" if data[:2] == b"II" else ">"
         _, first = struct.unpack_from(endian + "HI", data, 2)
@@ -53,11 +60,13 @@ def _tiff_make(data: bytes) -> str:
                 else:
                     (off,) = struct.unpack_from(endian + "I", data, pos + 8)
                     raw = data[off : off + n]
-                return raw.split(b"\0")[0].decode(errors="replace").strip()
+                make = raw.split(b"\0")[0].decode(errors="replace").strip()
+            elif tag == _TAG_DNG_VERSION:
+                is_dng = True
             pos += 12
     except (struct.error, IndexError):
         pass
-    return ""
+    return make, is_dng
 
 
 def sniff_container(data: bytes, ext: str = "") -> str:
@@ -86,7 +95,10 @@ def sniff_container(data: bytes, ext: str = "") -> str:
             return "unknown"
         if data[8:10] == b"CR":  # CR2 extra magic at offset 8
             return "cr2"
-        make = _tiff_make(data).upper()
+        make_raw, is_dng = _tiff_ifd0_hints(data)
+        if is_dng or ext == "dng":
+            return "tiff"
+        make = make_raw.upper()
         if make.startswith("NIKON"):
             return "nef"
         if make.startswith("SONY"):

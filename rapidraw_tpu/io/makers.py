@@ -72,6 +72,31 @@ def _first(ifds, tag):
 
 # --------------------------------------------------------------- CR2 (Canon)
 
+def _sof3_precision(stream: bytes) -> int:
+    """Sample precision from the SOF3 marker of a lossless-JPEG stream
+    (0 if not found). This is the authoritative bit depth — inferring it
+    from pixel content misreads dark/clipped 14-bit frames as 12-bit."""
+    pos = 2  # skip SOI
+    while pos + 4 <= len(stream):
+        if stream[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = stream[pos + 1]
+        if marker == 0xC3:
+            return stream[pos + 4]
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7 or marker == 0xFF:
+            pos += 2 if marker != 0xFF else 1
+            continue
+        if marker == 0xDA:  # entropy-coded data follows; SOF3 must precede
+            return 0
+        try:
+            (ln,) = struct.unpack_from(">H", stream, pos + 2)
+        except struct.error:
+            return 0
+        pos += 2 + ln
+    return 0
+
+
 # Canon ColorData (makernote 0x4001) as-shot WB_RGGB offset in SHORTs,
 # keyed by the tag's element count (exiftool Canon::ColorData* versions);
 # unknown sizes use the modern default 63.
@@ -133,7 +158,8 @@ def parse_cr2(data: bytes) -> RawFile:
 
     off = ifd[_T["StripOffsets"]][0]
     cnt = ifd.get(_T["StripByteCounts"], [len(data) - off])[0]
-    decoded = ljpeg_decode(bytes(data[off : off + cnt]))  # (sof_h, sof_w*ncomp)
+    stream = bytes(data[off : off + cnt])
+    decoded = ljpeg_decode(stream)  # (sof_h, sof_w*ncomp)
     h, w = decoded.shape
 
     slices = ifd.get(0xC640)  # [count, width, last_width] in sensor columns
@@ -177,7 +203,7 @@ def parse_cr2(data: bytes) -> RawFile:
             g = (g1 + g2) / 2.0 or 1.0
             wb = np.array([r / g, 1.0, b / g], np.float32)
 
-    bits = 14 if plane.max(initial=0) > 4095 else 12
+    bits = _sof3_precision(stream) or (14 if plane.max(initial=0) > 4095 else 12)
     return RawFile(
         cfa=plane,
         pattern=_shift_pattern("RGGB", top, left),
@@ -195,10 +221,13 @@ def parse_cr2(data: bytes) -> RawFile:
 def _nikon_makernote(data: bytes, endian: str, ifds: list[dict]):
     """Nikon maker note: 'Nikon\\0' header + version, then an embedded TIFF
     whose value offsets are relative to that embedded header. Returns
-    (entries, base_offset) or ({}, 0)."""
+    (entries, base_offset, byte_order) or ({}, 0, '<'). Real Nikon
+    makernotes are big-endian ('MM') regardless of the outer TIFF order —
+    the returned order must be used for all makernote payload unpacks
+    (e.g. the LinearizationTable shorts)."""
     exif_off = _first(ifds, _TAG_EXIF_IFD)
     if not exif_off:
-        return {}, 0
+        return {}, 0, "<"
     try:
         (count,) = struct.unpack_from(endian + "H", data, exif_off[0])
         pos = exif_off[0] + 2
@@ -207,17 +236,17 @@ def _nikon_makernote(data: bytes, endian: str, ifds: list[dict]):
             if tag == _TAG_MAKERNOTE:
                 (mn_off,) = struct.unpack_from(endian + "I", data, pos + 8)
                 if data[mn_off : mn_off + 5] != b"Nikon":
-                    return {}, 0
+                    return {}, 0, "<"
                 base = mn_off + 10  # 'Nikon\0' + 4 version bytes
                 sub = data[base:]
                 e2 = "<" if sub[:2] == b"II" else ">"
                 _, first = struct.unpack_from(e2 + "HI", sub, 2)
                 entries, _ = _read_ifd(sub, first, e2)
-                return entries, base
+                return entries, base, e2
             pos += 12
     except (struct.error, IndexError):
         pass
-    return {}, 0
+    return {}, 0, "<"
 
 
 def _nef_wb(mn: dict) -> np.ndarray:
@@ -249,7 +278,7 @@ def parse_nef(data: bytes) -> RawFile:
     off = ifd[_T["StripOffsets"]][0]
     cnt = sum(ifd.get(_T["StripByteCounts"], [len(data) - off]))
 
-    mn, _base = _nikon_makernote(data, endian, ifds)
+    mn, _base, mn_order = _nikon_makernote(data, endian, ifds)
 
     if compression == 1:
         if bits == 16:
@@ -263,7 +292,9 @@ def parse_nef(data: bytes) -> RawFile:
         else:
             raise DngError(f"unsupported NEF bit depth {bits}")
     elif compression == 34713:
-        plane = _nef_decompress(data[off : off + cnt], width, height, bits, mn)
+        plane = _nef_decompress(
+            data[off : off + cnt], width, height, bits, mn, mn_order
+        )
     else:
         raise DngError(f"unsupported NEF compression {compression}")
 
@@ -285,17 +316,20 @@ def parse_nef(data: bytes) -> RawFile:
 
 
 def _nef_decompress(
-    stream: bytes, width: int, height: int, bits: int, mn: dict
+    stream: bytes, width: int, height: int, bits: int, mn: dict,
+    order: str = "<",
 ) -> np.ndarray:
     """Nikon compression 34713 via native/vendor_huff.cc.
 
     LinearizationTable (makernote 0x96) layout (documented in
-    dcraw/exiftool): ver0, ver1 bytes; [6 skip bytes for ver 0x49/0x58];
-    2x2 SHORT vertical predictors; SHORT curve size; then either a stepped
-    curve (lossy type 2, ver0=0x44 ver1=0x20, split row at byte 562) or a
-    direct curve (<= 0x4001 entries); lossless (ver0=0x46) keeps an
-    identity curve. Tree: 12-bit lossy 0 / lossless 2; +3 for 14-bit;
-    post-split trees are tree+1 (handled natively).
+    dcraw/exiftool): ver0, ver1 bytes; [2110 skip bytes for ver 0x49/0x58
+    (dcraw nikon_load_raw)]; 2x2 SHORT vertical predictors; SHORT curve
+    size; then either a stepped curve (lossy type 2, ver0=0x44 ver1=0x20,
+    split row at byte 562) or a direct curve (<= 0x4001 entries); lossless
+    (ver0=0x46) keeps an identity curve. All shorts are in the makernote's
+    byte order (`order` — big-endian on real Nikon files). Tree: 12-bit
+    lossy 0 / lossless 2; +3 for 14-bit; post-split trees are tree+1
+    (handled natively).
     """
     lt = mn.get(0x96)
     if not lt:
@@ -306,10 +340,10 @@ def _nef_decompress(
     v0, v1 = raw[0], raw[1]
     pos = 2
     if v0 == 0x49 or v1 == 0x58:
-        pos += 6
-    vpred = struct.unpack_from("<4H", raw, pos)
+        pos += 2110
+    vpred = struct.unpack_from(order + "4H", raw, pos)
     pos += 8
-    (csize,) = struct.unpack_from("<H", raw, pos)
+    (csize,) = struct.unpack_from(order + "H", raw, pos)
     pos += 2
 
     max_v = 1 << bits
@@ -317,14 +351,18 @@ def _nef_decompress(
     lut = np.arange(max_v, dtype=np.uint16)
     split = 0
     if v0 == 0x44 and v1 in (0x20, 0x40) and step > 0:
-        knots = np.array(struct.unpack_from(f"<{csize}H", raw, pos), np.float64)
+        knots = np.array(
+            struct.unpack_from(order + f"{csize}H", raw, pos), np.float64
+        )
         xs = np.arange(csize) * step
         lut = np.interp(np.arange(max_v), xs, knots).astype(np.uint16)
         if v1 == 0x20 and len(raw) >= 564:
-            (split,) = struct.unpack_from("<H", raw, 562)
+            (split,) = struct.unpack_from(order + "H", raw, 562)
     elif v0 != 0x46 and csize <= 0x4001:
         n = min(csize, (len(raw) - pos) // 2, max_v)
-        vals = np.array(struct.unpack_from(f"<{n}H", raw, pos), np.uint16)
+        vals = np.array(
+            struct.unpack_from(order + f"{n}H", raw, pos), np.uint16
+        )
         lut[: vals.size] = vals
         if vals.size:
             lut[vals.size :] = vals[-1]
@@ -393,15 +431,18 @@ def parse_pef(data: bytes) -> RawFile:
 # --------------------------------------------------------------- ARW (Sony)
 
 # Sony ARW2 tone curve breakpoints (dcraw sony_arw2_load_raw): output =
-# piecewise-linear expansion of the 11-bit coded value to 16 bits.
-_ARW2_CURVE_X = (0, 0x800, 0x1400, 0x2000, 0x2C00)
+# piecewise-linear expansion of the 11-bit coded value. The SonyToneCurve
+# tag (0x7010) stores raw values 0x800/0x1400/0x2000/0x2C00 which dcraw
+# shifts >>2 into the 12-bit index space of `pix << 1` before building the
+# curve — these are the shifted defaults.
+_ARW2_CURVE_X = (0, 0x200, 0x500, 0x800, 0xB00)
 _ARW2_CURVE_STEP = (1, 2, 4, 8, 16)
 
 
 def _arw2_curve() -> np.ndarray:
-    lut = np.zeros(0x4000, np.uint32)
+    lut = np.zeros(0x1000, np.uint32)
     v = 0
-    for i in range(1, 0x4000):
+    for i in range(1, 0x1000):
         seg = 0
         for k, x in enumerate(_ARW2_CURVE_X):
             if i > x:
@@ -445,7 +486,10 @@ def _arw2_decode(raw: bytes, width: int, height: int) -> np.ndarray:
     for s in range(4):
         sh = np.where((0x80 << s) <= rng, s + 1, sh)
 
+    # init to vmin so every slot is defined even when imax == imin (then
+    # only 15 slots receive explicit writes)
     vals = np.empty((nb, 16), np.int32)
+    vals[:] = vmin[:, None]
     vals[np.arange(nb), imin] = vmin
     vals[np.arange(nb), imax] = vmax  # max wins an imax==imin tie
     others = np.zeros((nb, 14), np.int32)
@@ -512,7 +556,8 @@ def parse_arw(data: bytes) -> RawFile:
         white = float((1 << bits) - 1)
     elif compression == 32767:
         plane = _arw2_decode(data[off : off + cnt], width, height)
-        white = 65535.0  # ARW2 curve expands to 16-bit range
+        # the tone curve's actual ceiling (coded 0x7FF << 1), not 65535
+        white = float(_arw2_curve()[0xFFE])
     else:
         raise DngError(f"unsupported ARW compression {compression}")
 

@@ -569,3 +569,136 @@ def test_orf_compressed_rejected_actionably():
     with pytest.raises(UnsupportedRawFormat) as ei:
         parse_raw(orf, "orf")
     assert "predictive" in str(ei.value)
+
+
+# ------------------------------------------------- ADVICE regression tests
+def test_dng_with_vendor_make_routes_to_dng():
+    """DNGs converted from vendor RAWs keep Make='NIKON CORPORATION' etc.
+    but carry DNGVersion (50706) — they must route to parse_dng, not the
+    vendor parser (which would choke on DNG compression/metadata)."""
+    cfa = np.arange(32, dtype=np.uint16).reshape(4, 8)
+    converted = build_tiff([
+        Ifd([(271, 2, "NIKON CORPORATION"), (50706, 1, bytes([1, 4, 0, 0]))]),
+        _cfa_ifd(8, 4, 16, 1, cfa.astype("<u2").tobytes()),
+    ])
+    assert sniff_container(converted) == "tiff"
+    r = parse_raw(converted, ext="dng")
+    np.testing.assert_array_equal(r.cfa, cfa)
+    # extension hint alone also wins over Make
+    plain_vendor = build_tiff([
+        Ifd([(271, 2, "SONY")]),
+        _cfa_ifd(8, 4, 16, 1, cfa.astype("<u2").tobytes()),
+    ])
+    assert sniff_container(plain_vendor, ext="dng") == "tiff"
+
+
+def test_nef_compressed_bigendian_makernote():
+    """Real Nikon makernotes embed a big-endian TIFF; the
+    LinearizationTable shorts (vpred/csize) must be read in that order —
+    a little-endian misread byte-swaps every predictor."""
+    _skip_if_no_native()
+    rng = np.random.default_rng(11)
+    h, w = 6, 8
+    cfa = rng.integers(0, 1 << 12, size=(h, w), dtype=np.uint16)
+    vp = [300, 500, 300, 500]  # asymmetric-byte values: swap would corrupt
+
+    # encode against the nonzero vertical predictors
+    counts = [0, 1, 4, 2, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    values = [5, 4, 6, 3, 7, 2, 8, 1, 9, 0, 10, 11, 12]
+    codes = {}
+    code = 0
+    k = 0
+    for l in range(1, 17):
+        for _ in range(counts[l - 1]):
+            codes[values[k]] = (code, l)
+            code += 1
+            k += 1
+        code <<= 1
+    bits = []
+
+    def put(v, n):
+        for i in range(n - 1, -1, -1):
+            bits.append((v >> i) & 1)
+
+    vpred = [[vp[0], vp[1]], [vp[2], vp[3]]]
+    hpred = [0, 0]
+    for row in range(h):
+        for col in range(w):
+            target = int(cfa[row, col])
+            if col < 2:
+                diff = target - vpred[row & 1][col]
+                vpred[row & 1][col] = target
+                hpred[col] = target
+            else:
+                diff = target - hpred[col & 1]
+                hpred[col & 1] = target
+            ssss = abs(diff).bit_length()
+            put(codes[ssss][0], codes[ssss][1])
+            if ssss:
+                v = diff if diff >= 0 else diff + (1 << ssss) - 1
+                put(v, ssss)
+    while len(bits) % 8:
+        bits.append(1)
+    stream = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        for j in range(8):
+            b = (b << 1) | bits[i + j]
+        stream.append(b)
+
+    lt = (bytes([0x46, 0x14]) + struct.pack(">4H", *vp)
+          + struct.pack(">H", 0))
+    inner = build_tiff([Ifd([(0x96, 7, lt), (0x0C, 4, [2, 1, 1, 1])])],
+                       endian=">")
+    mn = b"Nikon\x00\x02\x10\x00\x00" + inner
+    exif = Ifd([(37500, 7, mn)])
+    sub = Ifd()
+    sub.add(256, 4, [w]).add(257, 4, [h]).add(258, 3, [12])
+    sub.add(259, 3, [34713]).add(262, 3, [32803]).add(277, 3, [1])
+    sub.add(273, 4, ("blob", bytes(stream))).add(279, 4, [len(stream)])
+    ifd0 = Ifd([(271, 2, "NIKON CORPORATION"), (330, 4, ("ifd", sub)),
+                (34665, 4, ("ifd", exif))])
+    data = build_tiff([ifd0])
+    r = parse_raw(data, ext="nef")
+    np.testing.assert_array_equal(r.cfa, cfa)
+
+
+def test_arw2_curve_is_12bit_index_space():
+    """dcraw shifts the SonyToneCurve breakpoints >>2 into the 12-bit
+    index space of pix<<1; the curve must traverse all five segments by
+    index 0xFFE and white_level must equal the curve ceiling."""
+    from rapidraw_tpu.io.makers import _arw2_curve
+
+    curve = _arw2_curve()
+    # all five segments contribute: 512*1 + 768*2 + 768*4 + 768*8 + 1278*16
+    assert int(curve[0xFFE]) == 31712
+    # a full-scale frame must decode exactly to white_level
+    plane = np.full((2, 32), 0x7FF, np.uint16)
+    stream = _encode_arw2(plane)
+    ifd = _cfa_ifd(32, 2, 8, 32767, stream)
+    data = build_tiff([Ifd([(271, 2, "SONY")]), ifd])
+    r = parse_raw(data, ext="arw")
+    assert float(r.cfa.max()) == r.white_level == 31712.0
+
+
+def test_cr2_bits_from_sof3_precision():
+    """A dark 14-bit CR2 frame (max < 4096) must still report
+    white_level 16383 — depth comes from the SOF3 precision field, not
+    from pixel content."""
+    _skip_if_no_native()
+    from test_native_ljpeg import encode_ljpeg
+
+    rng = np.random.default_rng(12)
+    h, w = 8, 16
+    cfa = rng.integers(0, 1 << 10, size=(h, w), dtype=np.uint16)  # dark
+    payload = encode_ljpeg(cfa, precision=14, ncomp=2)
+    ifd0 = Ifd([(271, 2, "Canon")])
+    raw_ifd = Ifd([
+        (259, 3, [7]),
+        (273, 4, ("blob", payload)),
+        (279, 4, [len(payload)]),
+    ])
+    data = build_tiff([ifd0, raw_ifd], magic_extra=b"CR\x02\x00\0\0\0\0")
+    r = parse_raw(data, ext="cr2")
+    np.testing.assert_array_equal(r.cfa, cfa)
+    assert r.white_level == 16383.0
