@@ -52,8 +52,11 @@ from rapidraw_tpu.geometry.warp import (
 
 import os
 
-TH = int(os.environ.get("RAPIDRAW_WARP_TH", "16"))
-TW = int(os.environ.get("RAPIDRAW_WARP_TW", "256"))  # narrower tiles shrink the in-tile span (k-loop length)
+# swept on v5e with double-buffered DMA + dynamic group loop (24MP,
+# rotate 1.5deg + k1/k2 distortion): (16,256) 11.45 ms, (32,256) 9.39,
+# (64,256) 11.26, pre-double-buffer (16,256) was 18.2
+TH = int(os.environ.get("RAPIDRAW_WARP_TH", "32"))
+TW = int(os.environ.get("RAPIDRAW_WARP_TW", "256"))
 MAX_SPAN = 128  # fall back to the exact path past this per-tile span
 _SENTINEL = -1e6
 
@@ -173,13 +176,17 @@ def _tile_minmax_j(coord):
 @jax.jit
 def _emap_j(coord, bases_f32, pad_lo):
     hp, wp = coord.shape
+    nty, nhx = hp // TH, wp // TWH
     in_tile = (jnp.arange(hp, dtype=jnp.int32) % TH).astype(jnp.float32)[:, None]
     valid = coord > _SENTINEL / 2
     rep = jnp.repeat(jnp.repeat(bases_f32, TH, axis=0), TWH, axis=1)
     e = jnp.where(valid, coord + pad_lo - rep - in_tile, _SENTINEL)
     emin = jnp.min(jnp.where(valid, e, jnp.inf))
     emax = jnp.max(jnp.where(valid, e, -jnp.inf))
-    return e, emin, emax
+    # per-half-tile local e maximum -> the kernel's dynamic k-loop bound
+    e_t = jnp.where(valid, e, -jnp.inf).reshape(nty, TH, nhx, TWH)
+    emax_t = e_t.max(axis=(1, 3))
+    return e, emin, emax, emax_t
 
 
 def _plan_pass(coord, nty: int, ntx: int):
@@ -211,23 +218,35 @@ def _plan_pass(coord, nty: int, ntx: int):
     span = int(np.max(np.ceil(dmax) - np.floor(dmin))) + 1 + 7
     if span > MAX_SPAN:
         return None
-    band = -(-(TH + span + 1) // 8) * 8
 
     first = (np.arange(nty) * TH)[:, None]
     base_unc = (np.floor(first + dmin).astype(np.int64) // 8) * 8
     pad_lo = int(max(0, -base_unc.min()))
     pad_lo = -(-pad_lo // 8) * 8
     bases = base_unc + pad_lo
+    # the dynamic k-loop reads blk rows [g*8, g*8+TH+8) for g*8 <= emax+1
+    # <= span: size the band for the worst case
+    band = -(-(TH + span + 9) // 8) * 8
     extent = int(bases.max()) + band
 
-    e, emin, emax = _emap_j(coord, jnp.asarray(bases, jnp.float32), float(pad_lo))
+    e, emin, emax, emax_t = _emap_j(
+        coord, jnp.asarray(bases, jnp.float32), float(pad_lo)
+    )
     emin, emax = float(emin), float(emax)
     assert emin >= 0.0 and emax < span, (emin, emax, span)
+    # per-half-tile trip count for the kernel's dynamic shift-select loop:
+    # masks are nonzero only for k <= ceil(emax_local)+1, so interior tiles
+    # scan ~1-2 8-groups while only worst-case tiles scan span/8 (the base
+    # normalization makes the local minimum land in [0, 8))
+    et = np.asarray(emax_t, np.float64)
+    et = np.where(np.isfinite(et), et, 0.0)
+    n_groups = (np.floor(np.ceil(et) + 1.0) // 8 + 1).astype(np.int32)
     return (
         e,
         # store base/8: the kernel multiplies back so Mosaic can PROVE the
         # dynamic DMA start is sublane-aligned (a raw SMEM scalar can't be)
         jnp.asarray((bases // 8).astype(np.int32).reshape(-1)),
+        jnp.asarray(n_groups.reshape(-1)),
         _PassStatic(span=span, band=band, pad_lo=pad_lo, extent=extent,
                     nty=nty, ntx=ntx),
     )
@@ -271,19 +290,21 @@ def plan_warp(p: GeometryParams, h: int, w: int) -> WarpPlan | None:
         v = _plan_pass(coord_v, nty, ntx)
         if v is None:
             return None
-        ev, bases_v, vstat = v
+        ev, bases_v, ng_v, vstat = v
         # horizontal pass runs on the TRANSPOSED intermediate (rows are the
         # original columns), so it shares the row-axis kernel and its
         # 8-row DMA alignment
         hplan = _plan_pass(coord_h_t, wp // TH, hp // TW)
         if hplan is None:
             return None
-        eh, bases_h, hstat = hplan
+        eh, bases_h, ng_h, hstat = hplan
 
         arrays[f"ev{si}"] = ev
         arrays[f"bv{si}"] = bases_v
+        arrays[f"gv{si}"] = ng_v
         arrays[f"eh{si}"] = eh
         arrays[f"bh{si}"] = bases_h
+        arrays[f"gh{si}"] = ng_h
         modes.append((tuple(channels), vstat, hstat))
 
     return WarpPlan(
@@ -297,72 +318,110 @@ def _interpret() -> bool:
 
 
 def _resample_rows(img: jnp.ndarray, e_arr: jnp.ndarray, bases: jnp.ndarray,
-                   st: _PassStatic) -> jnp.ndarray:
+                   groups: jnp.ndarray, st: _PassStatic) -> jnp.ndarray:
     """Row-axis shift-select resample over (C, R, L) planar data:
     out[c, r, x] = lerp of img rows at e[r, x] + base(tile) (+ its own row).
 
     The horizontal pass calls this on the transposed image — one kernel,
     and DMA offsets only ever need Mosaic's 8-row sublane alignment
     (bases are planned 8-aligned; lane starts are the static j*TW).
+
+    The select loop's trip count is DYNAMIC per half-tile (`groups`, the
+    planner's per-tile 8-group count): the global span is set by worst-case
+    corner tiles (lens distortion gradients), while interior tiles only
+    need 1-2 groups — a fori_loop over 8-aligned row blocks cuts the k-loop
+    work ~3-4x vs a static span-length unroll.
     """
     c = img.shape[0]
     band, span = st.band, st.span
     pad_hi = max(0, st.extent - st.pad_lo - img.shape[1])
     img = jnp.pad(img, ((0, 0), (st.pad_lo, pad_hi), (0, 0)))
 
-    def kernel(b_ref, e_ref, img_ref, out_ref, scr0, scr1, sem0, sem1):
+    total = st.nty * st.ntx
+
+    def kernel(b_ref, g_ref, e_ref, img_ref, out_ref, scr0, scr1, sems):
         i = pl.program_id(0)
         j = pl.program_id(1)
-        # two half-tile DMAs with independent 8-aligned bases: the in-half
-        # span is ~half the whole-tile span, halving the k-loop below
-        bi = (i * st.ntx + j) * 2
-        base0 = b_ref[bi] * 8
-        base1 = b_ref[bi + 1] * 8
-        cp0 = pltpu.make_async_copy(
-            img_ref.at[:, pl.ds(base0, band), pl.ds(j * TW, TWH)], scr0, sem0
-        )
-        cp1 = pltpu.make_async_copy(
-            img_ref.at[:, pl.ds(base1, band), pl.ds(j * TW + TWH, TWH)], scr1, sem1
-        )
-        cp0.start()
-        cp1.start()
-        cp0.wait()
-        cp1.wait()
-        for half, scratch in ((0, scr0), (1, scr1)):
+        t = i * st.ntx + j
+        slot = jax.lax.rem(t, 2)
+
+        # two half-tile DMAs with independent 8-aligned bases (the in-half
+        # span is ~half the whole-tile span), DOUBLE-BUFFERED across grid
+        # steps: tile t+1's copies are issued before tile t is processed,
+        # hiding the per-tile DMA latency that dominated the fixed cost
+        # (measured 6.3 ms floor at a 1-group select loop).
+        def copies(tt, sl):
+            jj = jax.lax.rem(tt, st.ntx)
+            base0 = b_ref[tt * 2] * 8
+            base1 = b_ref[tt * 2 + 1] * 8
+            return (
+                pltpu.make_async_copy(
+                    img_ref.at[:, pl.ds(base0, band), pl.ds(jj * TW, TWH)],
+                    scr0.at[sl], sems.at[sl, 0],
+                ),
+                pltpu.make_async_copy(
+                    img_ref.at[:, pl.ds(base1, band), pl.ds(jj * TW + TWH, TWH)],
+                    scr1.at[sl], sems.at[sl, 1],
+                ),
+            )
+
+        @pl.when(t == 0)
+        def _():
+            for cp in copies(t, slot):
+                cp.start()
+
+        @pl.when(t + 1 < total)
+        def _():
+            for cp in copies(t + 1, jax.lax.rem(t + 1, 2)):
+                cp.start()
+
+        for cp in copies(t, slot):
+            cp.wait()
+
+        bi = t * 2
+        for half, scr in ((0, scr0), (1, scr1)):
             e = e_ref[:, half * TWH : (half + 1) * TWH]
             e0 = jnp.floor(e)
             frac = (e - e0)[None]
             e0i = e0.astype(jnp.int32)
-            # two-accumulator select: the hi slice of step k IS the lo
-            # slice of step k+1, so gather s0 = row[e0] and s1 = row[e0+1]
-            # with one slice + two FMAs per step and hoist the lerp out of
-            # the loop (vs slice/slice/sub/mul/add/mask/acc per step before)
-            s0 = jnp.zeros((c, TH, TWH), jnp.float32)
-            s1 = jnp.zeros((c, TH, TWH), jnp.float32)
-            m_prev = None
-            for k in range(span + 1):
-                sl = scratch[:, k : k + TH, :]
-                if k < span:
-                    m = (e0i == k).astype(jnp.float32)[None]
+
+            # two-accumulator select over dynamic 8-groups: within a group
+            # the hi slice of step k IS the lo slice of step k+1, and the
+            # boundary mask is carried across groups; masks for k past the
+            # local maximum are all-zero, so the early exit is exact
+            def group(g, carry):
+                s0, s1, m_prev = carry
+                blk = scr[slot, :, pl.ds(g * 8, TH + 8), :]
+                for kk in range(8):
+                    sl = blk[:, kk : kk + TH, :]
+                    m = (e0i == g * 8 + kk).astype(jnp.float32)[None]
                     s0 = s0 + m * sl
-                if m_prev is not None:
                     s1 = s1 + m_prev * sl
-                m_prev = m if k < span else None
+                    m_prev = m
+                return s0, s1, m_prev
+
+            # n_g covers k = ceil(local emax)+1 inside the loop (planner
+            # guarantee), so the carried boundary mask is zero on exit and
+            # no tail step is needed
+            z = jnp.zeros((c, TH, TWH), jnp.float32)
+            n_g = g_ref[bi + half]
+            s0, s1, _ = jax.lax.fori_loop(
+                0, n_g, group, (z, z, jnp.zeros((1, TH, TWH), jnp.float32))
+            )
             out_ref[:, :, half * TWH : (half + 1) * TWH] = s0 + frac * (s1 - s0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(st.nty, st.ntx),
         in_specs=[
-            pl.BlockSpec((TH, TW), lambda i, j, b: (i, j)),
+            pl.BlockSpec((TH, TW), lambda i, j, b, g: (i, j)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((c, TH, TW), lambda i, j, b: (0, i, j)),
+        out_specs=pl.BlockSpec((c, TH, TW), lambda i, j, b, g: (0, i, j)),
         scratch_shapes=[
-            pltpu.VMEM((c, band, TWH), jnp.float32),
-            pltpu.VMEM((c, band, TWH), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, c, band, TWH), jnp.float32),
+            pltpu.VMEM((2, c, band, TWH), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     return pl.pallas_call(
@@ -370,7 +429,7 @@ def _resample_rows(img: jnp.ndarray, e_arr: jnp.ndarray, bases: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((c, st.nty * TH, st.ntx * TW), jnp.float32),
         interpret=_interpret(),
-    )(bases, e_arr, img)
+    )(bases, groups, e_arr, img)
 
 
 def warp_with_plan(image: jnp.ndarray, arrays: dict, static: WarpStatic) -> jnp.ndarray:
@@ -394,9 +453,11 @@ def warp_with_plan(image: jnp.ndarray, arrays: dict, static: WarpStatic) -> jnp.
         part = imgs[:, np.asarray(channels)] if len(channels) < 3 else imgs
         nc = part.shape[1]
         part = part.reshape(b * nc, hp, wp)
-        tmp = _resample_rows(part, arrays[f"ev{si}"], arrays[f"bv{si}"], vstat)
+        tmp = _resample_rows(part, arrays[f"ev{si}"], arrays[f"bv{si}"],
+                             arrays[f"gv{si}"], vstat)
         tmp_t = tmp.transpose(0, 2, 1)  # horizontal pass runs transposed
-        res_t = _resample_rows(tmp_t, arrays[f"eh{si}"], arrays[f"bh{si}"], hstat)
+        res_t = _resample_rows(tmp_t, arrays[f"eh{si}"], arrays[f"bh{si}"],
+                               arrays[f"gh{si}"], hstat)
         outs.append(res_t.transpose(0, 2, 1).reshape(b, nc, hp, wp))
         order.extend(channels)
     out = jnp.concatenate(outs, axis=1)

@@ -505,7 +505,7 @@ def _apply_nr_static_pallas(
     c_curve = meta["c_curve"]
 
     def kernel(c_ref, n_ref, c0_ref, s_ref, nw_ref, w_ref, sw_ref,
-               ne_ref, e_ref, se_ref, o_ref, ext_ref):
+               ne_ref, e_ref, se_ref, o_ref, ext_ref, gate_ref):
         ext_ref[:, 0:hs, 128 : 128 + cw] = n_ref[...]
         ext_ref[:, hs : hs + th, 128 : 128 + cw] = c0_ref[...]
         ext_ref[:, hs + th :, 128 : 128 + cw] = s_ref[...]
@@ -547,13 +547,6 @@ def _apply_nr_static_pallas(
 
             new_luma = center_luma
             if luma_a > 0.001:
-                # STREAMING 3-pass structure: taps are re-sliced from the
-                # VMEM scratch and gates recomputed in the robust pass
-                # instead of keeping 26 sample+gate chunk arrays live.
-                # Recompute is bit-identical (same float ops); runtime is
-                # measured neutral (36.5 -> 36.2 ms — Mosaic already
-                # rematerialized the stored variant), kept for the lower
-                # register pressure at wider chunk configs.
                 lmin = center_luma
                 lmax = center_luma
                 for dx, dy, _spat in lt:
@@ -576,39 +569,53 @@ def _apply_nr_static_pallas(
                 # chunk instead of one divide per tap per pass
                 g_e0 = l_range_tol * 0.6
                 g_inv = 1.0 / (l_range_tol * 0.4)
+                # mix(1, where(side_eq,1,0), es) lowers to (1-es) + g*es:
+                # g=1 gives (1-es)+es, g=0 gives 1-es. Precompute both per
+                # chunk and select — bit-exact, 3 fewer vector ops per tap
+                # per pass.
+                g_ne = 1.0 - edge_strength
+                g_eq = g_ne + edge_strength
 
                 def gate(s_luma, s_spat):
                     diff = jnp.abs(s_luma - center_luma)
                     t = jnp.clip((diff - g_e0) * g_inv, 0.0, 1.0)
                     g_range = 1.0 - t * t * (3.0 - 2.0 * t)
-                    s_side = s_luma > edge_midpoint
-                    g_side = jnp.where(s_side == center_side, 1.0, 0.0)
-                    g_edge = mix(1.0, g_side, edge_strength)
+                    g_edge = jnp.where(
+                        (s_luma > edge_midpoint) == center_side, g_eq, g_ne
+                    )
                     return s_spat * g_range * g_edge
 
-                def luma_samples():
-                    yield center_luma, 1.0
-                    for dx, dy, spat in lt:
-                        yield tap(0, dx, dy), spat
-
-                sum_a = jnp.zeros_like(center_luma)
-                w_a = jnp.zeros_like(center_luma)
-                for s_luma, s_spat in luma_samples():
+                # pass A: accumulate and SPILL each tap's gate to a VMEM
+                # scratch plane; pass B reloads it instead of recomputing
+                # the ~13-op gate (an SSA-value spill gets rematerialized
+                # by Mosaic — an explicit scratch store does not). The
+                # center tap's gate is exactly g_eq (diff=0 -> g_range=1,
+                # sides equal): both passes use it directly.
+                sum_a = center_luma * g_eq
+                w_a = g_eq
+                for t_i, (dx, dy, s_spat) in enumerate(lt):
+                    s_luma = tap(0, dx, dy)
                     wgt = gate(s_luma, s_spat)
+                    gate_ref[t_i, r0 : r0 + ch, :] = wgt
                     sum_a = sum_a + s_luma * wgt
                     w_a = w_a + wgt
                 initial_mean = sum_a / jnp.maximum(w_a, 1e-4)
 
                 outlier_tol = mix(0.07, 0.025, edge_strength)
                 inv_outlier = 1.0 / outlier_tol
-                sum_b = jnp.zeros_like(center_luma)
-                w_b = jnp.zeros_like(center_luma)
-                for s_luma, s_spat in luma_samples():
-                    init_w = gate(s_luma, s_spat)
+
+                def bisq_wgt(s_luma, init_w):
                     r = jnp.abs(s_luma - initial_mean) * inv_outlier
                     bisq = jnp.maximum(0.0, 1.0 - r * r)
                     wgt = init_w * bisq * bisq
-                    wgt = jnp.where(init_w > 0.0001, wgt, 0.0)
+                    return jnp.where(init_w > 0.0001, wgt, 0.0)
+
+                w_c0 = bisq_wgt(center_luma, g_eq)
+                sum_b = center_luma * w_c0
+                w_b = w_c0
+                for t_i, (dx, dy, _spat) in enumerate(lt):
+                    s_luma = tap(0, dx, dy)
+                    wgt = bisq_wgt(s_luma, gate_ref[t_i, r0 : r0 + ch, :])
                     sum_b = sum_b + s_luma * wgt
                     w_b = w_b + wgt
                 robust = jnp.where(w_b > 0.01, sum_b / jnp.maximum(w_b, 1e-6), initial_mean)
@@ -671,7 +678,10 @@ def _apply_nr_static_pallas(
             pl.BlockSpec((3, hs, 128), lambda i, j, r=rpb, c=cpb: (0, r * (i + 2), c * (j + 2)), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((3, th, cw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((3, th + 2 * hs, cw + 256), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((3, th + 2 * hs, cw + 256), jnp.float32),
+            pltpu.VMEM((len(lt), th, cw), jnp.float32),
+        ],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=(
