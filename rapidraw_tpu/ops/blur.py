@@ -260,6 +260,158 @@ def _blur_axis(
     return out[:, :n, :m]
 
 
+def _make_multi_kernel(nb: int, axis: int, s: int, cpg: int):
+    """Channel-grouped variant of _make_kernel: output channel ci belongs
+    to radius group ci // cpg and selects its K blocks by a dynamic leading
+    index — one launch blurs every pyramid level of the same source."""
+
+    def kernel(*refs):
+        khi_ref, klo_ref = refs[0], refs[1]
+        x_refs = refs[2 : 2 + s + nb - 1]
+        out_ref = refs[2 + s + nb - 1]
+        grp = pl.program_id(0) // cpg
+        hi_lo = []
+        for r in x_refs:
+            x = jnp.clip(r[0], 0.0, F16_MAX)
+            xhi = x.astype(jnp.bfloat16).astype(jnp.float32)
+            hi_lo.append((xhi, x - xhi))
+        for si in range(s):
+            acc = None
+            for q in range(nb):
+                xhi, xlo = hi_lo[si + q]
+                khi = khi_ref[grp, q]
+                klo = klo_ref[grp, q]
+                if axis == 0:
+                    d = (
+                        _bf16_dot(khi, xhi)
+                        + _bf16_dot(khi, xlo)
+                        + _bf16_dot(klo, xhi)
+                    )
+                else:
+                    d = (
+                        _bf16_dot(xhi, khi.T)
+                        + _bf16_dot(xlo, khi.T)
+                        + _bf16_dot(xhi, klo.T)
+                    )
+                acc = d if acc is None else acc + d
+            if axis == 0:
+                out_ref[0, si * _TB : (si + 1) * _TB, :] = acc
+            else:
+                out_ref[0, :, si * _TB : (si + 1) * _TB] = acc
+
+    return kernel
+
+
+def _blur_axis_multi(
+    x: jnp.ndarray, radii: tuple, axis: int, grid_b: int, pad: int,
+    src_mod: int | None,
+) -> jnp.ndarray:
+    """Blur prepadded (C, N, M) along `axis` with one radius per channel
+    group. `src_mod`: when set, input channel for output ci is ci % src_mod
+    (the first pass fans a 3-channel source out to 3*len(radii) outputs)."""
+    c_in, n, m = x.shape
+    groups = len(radii)
+    cpg = src_mod if src_mod is not None else c_in // groups
+    c_out = cpg * groups
+    nb = max(_n_band_blocks(r, pad) for r in radii)
+    s = _S
+
+    k_all = np.zeros((groups, nb, _TB, _TB), np.float32)
+    for gi, r in enumerate(radii):
+        kg = _k_blocks(r, pad)
+        k_all[gi, : kg.shape[0]] = kg
+    khi = jnp.asarray(k_all).astype(jnp.bfloat16).astype(jnp.float32)
+    klo = jnp.asarray(k_all) - khi
+
+    if axis == 0:
+        grid_p = m // _TP
+        block = (1, _TB, _TP)
+        oblock = (1, s * _TB, _TP)
+        out_shape = (c_out, grid_b * s * _TB, grid_p * _TP)
+
+        def imap(q):
+            if src_mod is None:
+                return lambda ci, i, j, q=q: (ci, i * s + q, j)
+            return lambda ci, i, j, q=q: (ci % src_mod, i * s + q, j)
+
+        omap = lambda ci, i, j: (ci, i, j)
+    else:
+        grid_p = n // _TP
+        block = (1, _TP, _TB)
+        oblock = (1, _TP, s * _TB)
+        out_shape = (c_out, grid_p * _TP, grid_b * s * _TB)
+
+        def imap(q):
+            if src_mod is None:
+                return lambda ci, i, j, q=q: (ci, j, i * s + q)
+            return lambda ci, i, j, q=q: (ci % src_mod, j, i * s + q)
+
+        omap = lambda ci, i, j: (ci, j, i)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    for q in range(s + nb - 1):
+        in_specs.append(pl.BlockSpec(block, imap(q), memory_space=pltpu.VMEM))
+
+    interpret = _use_interpret()
+    return pl.pallas_call(
+        _make_multi_kernel(nb, axis, s, cpg),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        grid=(c_out, grid_b, grid_p),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(oblock, omap, memory_space=pltpu.VMEM),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=(
+                pltpu.GridDimensionSemantics.PARALLEL,
+                pltpu.GridDimensionSemantics.PARALLEL,
+                pltpu.GridDimensionSemantics.PARALLEL,
+            ),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(khi, klo, *([x] * (s + nb - 1)))
+
+
+def gaussian_blur_multi(img: jnp.ndarray, radii: tuple) -> list:
+    """All blur-pyramid levels of one (C, H, W) source in ONE launch pair.
+
+    Per-level launches pay a ~2.5 ms fixed cost each at 24MP (pad
+    construction + pipeline spin-up) regardless of radius; sharing one
+    max-radius edge pad and running every level as a channel group of a
+    single H and a single V kernel amortizes that across the pyramid
+    (gpu_processing.rs:1402-1405 builds the same four levels per dispatch).
+    Weights are identical to gaussian_blur — larger shared pads only
+    prepend all-zero K blocks.
+    """
+    if FORCE_CONV.get() or len(radii) == 1:
+        return [gaussian_blur(img, r) for r in radii]
+    c, n, m = img.shape
+    blocks_r = -(-n // _TB)
+    blocks_c = -(-m // _TB)
+    if blocks_r < _S or blocks_c < _S:
+        return [gaussian_blur(img, r) for r in radii]
+
+    pad_v = max(_pad_lo(r, 0) for r in radii)
+    pad_h = max(_pad_lo(r, 1) for r in radii)
+    nb_v = max(_n_band_blocks(r, pad_v) for r in radii)
+    nb_h = max(_n_band_blocks(r, pad_h) for r in radii)
+    grid_r = -(-blocks_r // _S)
+    grid_c = -(-blocks_c // _S)
+    need_r = (grid_r * _S + nb_v - 1) * _TB
+    row_total = -(-need_r // _TP) * _TP
+    col_total = (grid_c * _S + nb_h - 1) * _TB
+    x = jnp.pad(
+        img,
+        ((0, 0), (pad_v, row_total - pad_v - n), (pad_h, col_total - pad_h - m)),
+        mode="edge",
+    )
+    x = _blur_axis_multi(x, radii, axis=1, grid_b=grid_c, pad=pad_h, src_mod=c)
+    x = _blur_axis_multi(x, radii, axis=0, grid_b=grid_r, pad=pad_v, src_mod=None)
+    return [x[c * gi : c * gi + c, :n, :m] for gi in range(len(radii))]
+
+
 # When set, gaussian_blur lowers to lax.conv instead of the Pallas banded
 # matmul. Used by the spatially-sharded multi-chip path: XLA's SPMD
 # partitioner inserts halo exchanges for convs automatically, while a

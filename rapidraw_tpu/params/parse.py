@@ -145,6 +145,11 @@ class DevelopConfig:
     # blendable fields with a non-zero value in at least one mask — only
     # these get per-pixel effective-parameter maps (others stay scalars)
     mask_blend_fields: tuple = ()
+    # per entry of mask_blend_fields: the mask indices whose value for that
+    # field is non-zero — the blend loop skips the rest (a typical 3-mask
+    # doc touches 2-3 fields per mask, so this cuts the per-pixel
+    # influence-FMA count ~2-3x inside the megakernel)
+    mask_blend_masks: tuple = ()
     vignette_active: bool = False
     curves_active: bool = False
     mask_curves_active: bool = False
@@ -409,6 +414,10 @@ def parse_adjustments(
     mask_blend_fields = tuple(
         f for f in BLEND_FIELDS if any(_nz(m[f]) for m in mask_sets)
     )
+    mask_blend_masks = tuple(
+        tuple(n for n, m in enumerate(mask_sets) if _nz(m[f]))
+        for f in mask_blend_fields
+    )
     mask_hsl_active = any((np.abs(m["hsl"]) > 0).any() for m in mask_sets)
 
     cfg = DevelopConfig(
@@ -460,6 +469,7 @@ def parse_adjustments(
         mask_cg_active=mask_cg_active,
         mask_hsl_active=mask_hsl_active,
         mask_blend_fields=mask_blend_fields,
+        mask_blend_masks=mask_blend_masks,
         vignette_active=_nz(g["vignette_amount"]),
         curves_active=not curve_set_is_identity(g["curves"]),
         mask_curves_active=mask_curves_active,
@@ -486,6 +496,20 @@ def merge_configs(configs: list[DevelopConfig]) -> DevelopConfig:
             fields[name] = max(vals)
         elif name == "mask_blend_fields":
             fields[name] = tuple(f for f in BLEND_FIELDS if any(f in v for v in vals))
+        elif name == "mask_blend_masks":
+            merged_fields = tuple(
+                f for f in BLEND_FIELDS
+                if any(f in c.mask_blend_fields for c in configs)
+            )
+            fields[name] = tuple(
+                tuple(sorted({
+                    n
+                    for c in configs
+                    if f in c.mask_blend_fields
+                    for n in c.mask_blend_masks[c.mask_blend_fields.index(f)]
+                }))
+                for f in merged_fields
+            )
         elif name in ("is_raw", "tonemapper_agx"):
             if len(set(vals)) > 1:
                 raise ValueError(f"cannot batch mixed {name!r} documents in one compile")

@@ -116,10 +116,11 @@ def prepare_inputs(
         luma_nr = g["luma_nr"]
         color_nr = g["color_nr"]
         if cfg.mask_count > 0:
+            from rapidraw_tpu.pipeline.grade import blend_mask_indices
+
             for f, v in (("luma_nr", luma_nr), ("color_nr", color_nr)):
-                if f in cfg.mask_blend_fields:
-                    for n in range(cfg.mask_count):
-                        v = v + gated_infl[n] * m[f][n]
+                for n in blend_mask_indices(cfg, f):
+                    v = v + gated_infl[n] * m[f][n]
                 if f == "luma_nr":
                     luma_nr = v
                 else:
@@ -129,22 +130,28 @@ def prepare_inputs(
             static_luma=cfg.nr_static_luma, static_color=cfg.nr_static_color,
         )
 
-    # blur pyramid, pre-linearized once (gpu_processing.rs:1402-1405)
-    def blur_linear(base_radius: float) -> jnp.ndarray:
-        b = gaussian_blur(input_rgb, scales.blur_radius(base_radius, scale))
-        if is_raw or not linearize_blurs:
-            return b
-        return cs.srgb_to_linear(b)
-
+    # blur pyramid, pre-linearized once (gpu_processing.rs:1402-1405);
+    # every needed level runs in ONE kernel-launch pair (gaussian_blur_multi
+    # amortizes the pad + pipeline fixed cost across levels)
     blurs = {"sharp": None, "tonal": None, "clarity": None, "structure": None}
-    if cfg.sharpness_blur_needed:
-        blurs["sharp"] = blur_linear(scales.BLUR_RADIUS_SHARPNESS)
-    if cfg.tonal_blur_needed:
-        blurs["tonal"] = blur_linear(scales.BLUR_RADIUS_TONAL)
-    if cfg.clarity_blur_needed:
-        blurs["clarity"] = blur_linear(scales.BLUR_RADIUS_CLARITY)
-    if cfg.structure_blur_needed:
-        blurs["structure"] = blur_linear(scales.BLUR_RADIUS_STRUCTURE)
+    need = [
+        (key, scales.blur_radius(base_r, scale))
+        for key, flag, base_r in (
+            ("sharp", cfg.sharpness_blur_needed, scales.BLUR_RADIUS_SHARPNESS),
+            ("tonal", cfg.tonal_blur_needed, scales.BLUR_RADIUS_TONAL),
+            ("clarity", cfg.clarity_blur_needed, scales.BLUR_RADIUS_CLARITY),
+            ("structure", cfg.structure_blur_needed, scales.BLUR_RADIUS_STRUCTURE),
+        )
+        if flag
+    ]
+    if need:
+        from rapidraw_tpu.ops.blur import gaussian_blur_multi
+
+        levels = gaussian_blur_multi(input_rgb, tuple(r for _, r in need))
+        for (key, _), b in zip(need, levels):
+            blurs[key] = (
+                b if (is_raw or not linearize_blurs) else cs.srgb_to_linear(b)
+            )
 
     flare_rgb = None
     if cfg.flare_active:

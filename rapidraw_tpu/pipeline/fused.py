@@ -368,15 +368,22 @@ def develop_fused_batch(
     blur_keys = []
     tile_inputs = [imgs_in]
     flat = images.reshape(b * 3, h, w)
-    for key, flag, base_r in (
-        ("sharp", cfg.sharpness_blur_needed, _scales.BLUR_RADIUS_SHARPNESS),
-        ("tonal", cfg.tonal_blur_needed, _scales.BLUR_RADIUS_TONAL),
-        ("clarity", cfg.clarity_blur_needed, _scales.BLUR_RADIUS_CLARITY),
-        ("structure", cfg.structure_blur_needed, _scales.BLUR_RADIUS_STRUCTURE),
-    ):
-        if flag:
+    need = [
+        (key, _scales.blur_radius(base_r, scale))
+        for key, flag, base_r in (
+            ("sharp", cfg.sharpness_blur_needed, _scales.BLUR_RADIUS_SHARPNESS),
+            ("tonal", cfg.tonal_blur_needed, _scales.BLUR_RADIUS_TONAL),
+            ("clarity", cfg.clarity_blur_needed, _scales.BLUR_RADIUS_CLARITY),
+            ("structure", cfg.structure_blur_needed, _scales.BLUR_RADIUS_STRUCTURE),
+        )
+        if flag
+    ]
+    if need:
+        from rapidraw_tpu.ops.blur import gaussian_blur_multi
+
+        levels = gaussian_blur_multi(flat, tuple(r for _, r in need))
+        for (key, _), blurred in zip(need, levels):
             blur_keys.append(key)
-            blurred = gaussian_blur(flat, _scales.blur_radius(base_r, scale))
             tile_inputs.append(blurred.reshape(b, 3, h, w))
 
     has_masks = cfg.mask_count > 0

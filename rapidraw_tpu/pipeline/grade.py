@@ -30,13 +30,24 @@ EFF_FIELDS = (
 )
 
 
+def blend_mask_indices(cfg: DevelopConfig, f: str):
+    """Static mask-index set whose value for field f is non-zero (the
+    other masks' terms are provably zero and compile out)."""
+    if f not in cfg.mask_blend_fields:
+        return ()
+    i = cfg.mask_blend_fields.index(f)
+    if i < len(cfg.mask_blend_masks):
+        return cfg.mask_blend_masks[i]
+    return tuple(range(cfg.mask_count))  # pre-gating configs: blend all
+
+
 def effective_params(g: dict, m: dict | None, gated_infl, cfg: DevelopConfig) -> dict:
     """t_x = global.x + sum_i mask_i.x * influence_i (shader.wgsl:1498-1536)."""
     eff = {}
     for f in EFF_FIELDS:
         v = g[f]
-        if cfg.mask_count > 0 and f in cfg.mask_blend_fields:
-            for n in range(cfg.mask_count):
+        if cfg.mask_count > 0:
+            for n in blend_mask_indices(cfg, f):
                 v = v + gated_infl[n] * m[f][n]
         eff[f] = v
     return eff
