@@ -282,8 +282,92 @@ def _bench_stencil_export() -> None:
 
     dt = _slope(step, images, lambda y: float(y[0, 0, 0, 0]))
     mpix = EXPORT_BATCH * H * W / dt / 1e6
-    _emit("stencil_export_24mp", mpix,
-          {"images_per_sec_24mp": round(mpix * 1e6 / (H * W), 2)})
+    extra = {"images_per_sec_24mp": round(mpix * 1e6 / (H * W), 2)}
+    try:
+        extra.update(_bench_export_end_to_end())
+    except Exception as e:  # noqa: BLE001 — e2e leg is best-effort
+        extra["e2e_error"] = str(e)[:200]
+    _emit("stencil_export_24mp", mpix, extra)
+
+
+E2E_COUNT = 6
+
+
+def _minimal_dng(cfa: "np.ndarray") -> bytes:
+    """Uncompressed 16-bit CFA DNG (single IFD) for the e2e bench."""
+    import struct
+
+    h, w = cfa.shape
+    payload = cfa.astype("<u2").tobytes()
+    entries = [  # (tag, type, count, packed-or-int)
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 16), (259, 3, 1, 1),
+        (262, 3, 1, 32803), (273, 4, 1, None), (277, 3, 1, 1),
+        (278, 4, 1, h), (279, 4, 1, len(payload)),
+        (33422, 1, 4, int.from_bytes(bytes([0, 1, 1, 2]), "little")),
+        (50706, 1, 4, int.from_bytes(bytes([1, 4, 0, 0]), "little")),
+        (50714, 3, 1, 64), (50717, 4, 1, 16383),
+    ]
+    header = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    data_off = header + ifd_size
+    out = bytearray(b"II*\x00" + struct.pack("<I", header))
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in sorted(entries):
+        v = data_off if val is None else val
+        out += struct.pack("<HHII", tag, typ, cnt, v)
+    out += struct.pack("<I", 0)
+    out += payload
+    return bytes(out)
+
+
+def _bench_export_end_to_end() -> dict:
+    """BASELINE config 5 as written: synthetic 24MP DNGs on tmpfs through
+    export_images (decode -> warp -> develop -> JPEG encode -> EXIF),
+    reporting end-to-end images/sec next to the device-only MPix/s.
+    NOTE: on the axon dev tunnel the host<->device copies (50 MB CFA up,
+    75 MB u8 down per frame) ride a network link; a real TPU host pays
+    PCIe instead, so this number is a lower bound."""
+    import json as _json
+    import shutil
+    import tempfile
+    import time as _time
+    from pathlib import Path
+
+    base = Path("/dev/shm" if Path("/dev/shm").is_dir() else tempfile.gettempdir())
+    root = Path(tempfile.mkdtemp(prefix="rr_bench_e2e_", dir=base))
+    try:
+        rng = np.random.default_rng(7)
+        cfa = rng.integers(64, 16383, (H, W), dtype=np.uint16)
+        dng = _minimal_dng(cfa)
+        doc = dict(_CONFIG5_DOC)
+        doc.update(_CONFIG5_GEOMETRY)
+        paths = []
+        for i in range(E2E_COUNT):
+            p = root / f"img_{i:03d}.dng"
+            p.write_bytes(dng)
+            (root / f"img_{i:03d}.dng.rrdata").write_text(
+                _json.dumps({"version": 1, "adjustments": doc})
+            )
+            paths.append(str(p))
+
+        from rapidraw_tpu.pipeline.export import ExportSettings, export_images
+
+        out_dir = root / "out"
+        # warm once (compiles: RAW develop, warp planner, megakernel)
+        export_images(paths[:1], out_dir, ExportSettings(batch_size=1))
+        t0 = _time.perf_counter()
+        results = export_images(paths, out_dir, ExportSettings(batch_size=3))
+        wall = _time.perf_counter() - t0
+        n_ok = sum(r.ok for r in results)
+        if n_ok != len(paths):
+            return {"e2e_error": f"{len(paths) - n_ok} exports failed"}
+        return {
+            "e2e_images_per_sec_24mp": round(n_ok / wall, 3),
+            "e2e_wall_s": round(wall, 2),
+            "e2e_count": n_ok,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def main() -> None:

@@ -7,10 +7,11 @@ develop; everything else fails up front with an actionable error instead of
 a deep parse crash.
 
 Containers:
-  TIFF-family: DNG/TIFF (io/dng.py), CR2/NEF/PEF/ARW/ORF-uncompressed
-  (io/makers.py).
-  Detected-but-unsupported: CR3 (ISO BMFF), RAF (Fujifilm), X3F (Foveon),
-  ORF predictive-compressed, RW2 (Panasonic) — clear UnsupportedRawFormat.
+  TIFF-family: DNG/TIFF (io/dng.py), CR2/NEF/PEF/ARW/ORF/RW2
+  (io/makers.py — incl. the Olympus predictive and Panasonic 12-bit
+  bitstreams via native/pana_oly.cc).
+  Detected-but-unsupported: CR3 (ISO BMFF), X3F (Foveon) — clear
+  UnsupportedRawFormat.
 """
 
 from __future__ import annotations
@@ -21,7 +22,7 @@ from rapidraw_tpu.io.dng import DngError, RawFile, parse_dng
 
 SUPPORTED_FORMATS = (
     "dng", "tiff", "cr2", "nef", "nrw", "pef", "arw", "srf", "sr2",
-    "orf",  # uncompressed 16-bit / packed 12-bit only
+    "orf", "rw2", "raf",
 )
 
 
@@ -140,7 +141,15 @@ def parse_raw(data: bytes, ext: str = "") -> RawFile:
         from rapidraw_tpu.io.makers import parse_orf
 
         return parse_orf(data)
-    if kind in ("cr3", "raf", "x3f", "rw2", "bmff"):
+    if kind == "rw2":
+        from rapidraw_tpu.io.makers import parse_rw2
+
+        return parse_rw2(data)
+    if kind == "raf":
+        from rapidraw_tpu.io.raf import parse_raf
+
+        return parse_raf(data)
+    if kind in ("cr3", "x3f", "bmff"):
         raise UnsupportedRawFormat(kind)
     if kind == "unknown":
         raise DngError(

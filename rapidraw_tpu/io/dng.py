@@ -59,6 +59,9 @@ class RawFile:
     orientation: int = 1
     is_linear: bool = False
     tags: dict = field(default_factory=dict)
+    # (6, 6) int 0/1/2 sensor layout for X-Trans sensors (RAF); when set,
+    # `pattern` is ignored and the X-Trans demosaic runs instead
+    xtrans: "np.ndarray | None" = None
 
 
 class DngError(ValueError):
@@ -323,6 +326,17 @@ def load_raw_file(path: str | Path) -> np.ndarray:
     if raw.is_linear:
         img = jnp.asarray(raw.cfa.astype(np.float32).transpose(2, 0, 1))
         out = develop_linear_raw(img, raw.black_level, raw.white_level)
+    elif raw.xtrans is not None:
+        from rapidraw_tpu.raw.develop import develop_cfa_xtrans
+
+        out = develop_cfa_xtrans(
+            jnp.asarray(raw.cfa.astype(np.float32)),
+            raw.black_level,
+            raw.white_level,
+            raw.wb,
+            cam2srgb,
+            raw.xtrans,
+        )
     else:
         out = develop_cfa(
             jnp.asarray(raw.cfa.astype(np.float32)),

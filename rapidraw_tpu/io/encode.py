@@ -24,6 +24,8 @@ def encode_image(
     fmt = (fmt or path.suffix.lstrip(".")).lower()
     if planar.ndim == 3 and planar.shape[0] == 3 and planar.dtype != np.uint8:
         arr = (np.clip(planar, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8).transpose(1, 2, 0)
+    elif planar.ndim == 3 and planar.shape[0] == 3 and planar.dtype == np.uint8:
+        arr = planar.transpose(1, 2, 0)  # device-quantized planar u8
     elif planar.ndim == 3 and planar.shape[-1] == 3:
         arr = planar.astype(np.uint8)
     else:

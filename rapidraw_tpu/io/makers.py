@@ -586,20 +586,110 @@ def parse_arw(data: bytes) -> RawFile:
     )
 
 
+# ----------------------------------------------------------- RW2 (Panasonic)
+
+# PanasonicRaw IFD0 tags (exiftool PanasonicRaw::Main)
+_RW2_SENSOR_W = 0x0002
+_RW2_SENSOR_H = 0x0003
+_RW2_BORDERS = (0x0004, 0x0005, 0x0006, 0x0007)  # top, left, bottom, right
+_RW2_CFA = 0x0009
+_RW2_BPS = 0x000A
+_RW2_RED_BAL = 0x0011
+_RW2_BLUE_BAL = 0x0012
+_RW2_BLACKS = (0x001C, 0x001D, 0x001E)
+_RW2_WB_LEVELS = (0x0024, 0x0025, 0x0026)  # red, green, blue
+_RW2_RAW_OFFSET = 0x0118
+
+# CFAPattern value -> 2x2 layout (dcraw parse: "\x94\x61\x49"[i], decoded
+# through dcraw's 2-bit filter codes)
+_RW2_PATTERNS = {0: "RGGB", 1: "GRBG", 2: "GBRG"}
+
+
+def parse_rw2(data: bytes) -> RawFile:
+    """Panasonic RW2: TIFF-family container with magic 85 ('IIU\\0') and
+    vendor tags in IFD0. Strip layouts: uncompressed 16-bit, packed
+    little-endian 12-bit, or the Panasonic 12-bit bitstream
+    (native/pana_oly.cc, dcraw panasonic_load_raw semantics), detected by
+    strip size per pixel. Crop borders come from SensorTop/Left/Bottom/
+    RightBorder; WB from WBRed/Green/BlueLevel."""
+    if data[:4] != b"IIU\0":
+        raise DngError("not an RW2 file")
+    endian = "<"
+    ifds = _chained_ifds(data, endian)
+    ifd = None
+    for i in ifds:
+        if _RW2_SENSOR_W in i and _RW2_RAW_OFFSET in i:
+            ifd = i
+            break
+    if ifd is None:
+        raise DngError("no Panasonic raw IFD in RW2")
+
+    raw_w = ifd[_RW2_SENSOR_W][0]
+    raw_h = ifd[_RW2_SENSOR_H][0]
+    bits = ifd.get(_RW2_BPS, [12])[0]
+    off = ifd[_RW2_RAW_OFFSET][0]
+    cnt = len(data) - off
+    if off <= 0 or off >= len(data) or raw_w <= 0 or raw_h <= 0:
+        raise DngError("malformed RW2 raw pointers")
+
+    # layout detection must be exact-size: the compressed bitstream is
+    # padded to 0x4000-byte sections, so a >= heuristic misroutes it
+    if 0 <= cnt - raw_w * raw_h * 2 < 64:
+        plane = np.frombuffer(
+            data, "<u2", count=raw_w * raw_h, offset=off
+        ).reshape(raw_h, raw_w)
+    elif 0 <= cnt - (raw_w * raw_h * 3 + 1) // 2 < 64 and bits == 12:
+        plane = _unpack_12le(data[off : off + cnt], raw_w, raw_h)
+    else:
+        from rapidraw_tpu.native import panasonic_decode
+
+        plane = panasonic_decode(bytes(data[off:]), raw_w, raw_h)
+
+    top = ifd.get(_RW2_BORDERS[0], [0])[0]
+    left = ifd.get(_RW2_BORDERS[1], [0])[0]
+    bottom = ifd.get(_RW2_BORDERS[2], [raw_h])[0]
+    right = ifd.get(_RW2_BORDERS[3], [raw_w])[0]
+    if 0 <= top < bottom <= raw_h and 0 <= left < right <= raw_w:
+        plane = plane[top:bottom, left:right]
+
+    blacks = [float(ifd[t][0]) for t in _RW2_BLACKS if t in ifd and ifd[t]]
+    black = float(np.mean(blacks)) if blacks else 0.0
+
+    wb = np.ones(3, np.float32)
+    levels = [ifd.get(t) for t in _RW2_WB_LEVELS]
+    if all(v and v[0] > 0 for v in levels):
+        r, g, b = (float(v[0]) for v in levels)
+        wb = np.array([r / g, 1.0, b / g], np.float32)
+    elif _RW2_RED_BAL in ifd and _RW2_BLUE_BAL in ifd:
+        # older models: balances are x256 multipliers relative to green
+        wb = np.array(
+            [ifd[_RW2_RED_BAL][0] / 256.0, 1.0, ifd[_RW2_BLUE_BAL][0] / 256.0],
+            np.float32,
+        )
+
+    pat = _RW2_PATTERNS.get(int(ifd.get(_RW2_CFA, [1])[0]), "GRBG")
+    return RawFile(
+        cfa=plane.astype(np.uint16, copy=False),
+        pattern=_shift_pattern(pat, top, left),
+        black_level=black,
+        white_level=float((1 << bits) - 1),
+        wb=wb,
+        xyz_to_cam=None,
+        orientation=int((_first(ifds, _T["Orientation"]) or [1])[0]),
+    )
+
+
 # ------------------------------------------------------------ ORF (Olympus)
 
 
 def parse_orf(data: bytes) -> RawFile:
     """Olympus ORF: a TIFF container whose magic is 'RO'/'SR' instead of 42
     (rawler orf.rs; magics IIRO / IIRS / MMOR). The IFD chain is standard
-    TIFF. Uncompressed layouts decode here — 16-bit LE and the literal
+    TIFF. Layout is detected by strip size per pixel, since Olympus writes
+    Compression 1 even for its predictive codec: 16-bit LE, the literal
     12-bit little-endian packing (2 px / 3 bytes, same scheme as NEF
-    packed) — detected by strip size per pixel, since Olympus writes
-    Compression 1 even for its predictive codec. The predictive codec
-    itself raises UnsupportedRawFormat.
+    packed), or the Olympus predictive codec (native/pana_oly.cc).
     """
-    from rapidraw_tpu.io.containers import UnsupportedRawFormat
-
     endian = "<" if data[:2] == b"II" else ">"
     first = struct.unpack_from(endian + "HI", data, 2)[1]
     ifds = _collect_ifds(data, endian, first)
@@ -625,10 +715,13 @@ def parse_orf(data: bytes) -> RawFile:
         plane = _unpack_12le(data[off : off + cnt], width, height)
         bits = 12
     else:
-        raise UnsupportedRawFormat(
-            "orf", "Olympus predictive compression is not supported; "
-            "only uncompressed 16-bit and packed 12-bit ORF decode"
-        )
+        # Olympus predictive codec (dcraw olympus_load_raw semantics):
+        # 3-bit sign+low, unary-class Huffman high, W/N/NW gradient
+        # predictor — decoded by native/pana_oly.cc
+        from rapidraw_tpu.native import olympus_decode
+
+        plane = olympus_decode(data[off:], width, width, height)
+        bits = 12
 
     pat = ifd.get(_TAG_CFA_PATTERN)
     pattern = (

@@ -109,6 +109,50 @@ def pentax_decode(stream: bytes, width: int, height: int, bits: int = 16):
     return out
 
 
+def panasonic_decode(stream: bytes, raw_width: int, height: int):
+    """Panasonic RW2 12-bit bitstream -> (H, raw_width) uint16."""
+    import numpy as np
+
+    lib = load("pana_oly")
+    fn = lib.panasonic_decode
+    fn.restype = ctypes.c_int
+    fn.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_int, ctypes.c_int,
+    ]
+    out = np.empty((height, raw_width), np.uint16)
+    rc = fn(
+        stream, len(stream),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        raw_width, height,
+    )
+    if rc != 0:
+        raise ValueError(f"panasonic decode failed (code {rc})")
+    return out
+
+
+def olympus_decode(stream: bytes, raw_width: int, width: int, height: int):
+    """Olympus ORF predictive codec -> (H, width) uint16 (12-bit range)."""
+    import numpy as np
+
+    lib = load("pana_oly")
+    fn = lib.olympus_decode
+    fn.restype = ctypes.c_int
+    fn.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    out = np.zeros((height, width), np.uint16)
+    rc = fn(
+        stream, len(stream),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        raw_width, width, height,
+    )
+    if rc != 0:
+        raise ValueError(f"olympus decode failed (code {rc})")
+    return out
+
+
 def ljpeg_decode(stream: bytes):
     """Decode one lossless-JPEG (SOF3) stream -> uint16 array (h, w*comps).
 

@@ -81,6 +81,21 @@ class ExportResult:
 _jit_cache: dict = {}
 
 
+_u8_jit = None
+
+
+def _device_u8(x):
+    """Quantize to u8 ON DEVICE before readback: the host download (and a
+    real host's PCIe copy) shrinks 4x vs f32, and the formula matches the
+    host-side encode quantization exactly."""
+    global _u8_jit
+    if _u8_jit is None:
+        _u8_jit = jax.jit(
+            lambda y: (jnp.clip(y, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+        )
+    return _u8_jit(x)
+
+
 def _jitted_develop(cfg):
     from rapidraw_tpu.pipeline.batch import develop_batch
 
@@ -124,8 +139,8 @@ def _render_chunk(imgs, params, masks, lut, cfg) -> np.ndarray:
             params = jax.tree.map(rep, params)
             if masks is not None:
                 masks = rep(masks)
-        return np.asarray(fn(imgs, params, masks))[:b]
-    return np.asarray(_jitted_develop(cfg)(imgs, params, masks, lut))
+        return np.asarray(_device_u8(fn(imgs, params, masks)))[:b]
+    return np.asarray(_device_u8(_jitted_develop(cfg)(imgs, params, masks, lut)))
 
 
 def _prepare_one(path: str, settings: ExportSettings):
@@ -247,6 +262,52 @@ def _resize_long_edge_host(planar: np.ndarray, long_edge: int) -> np.ndarray:
     return out.transpose(2, 0, 1).astype(np.float32) / 255.0
 
 
+def _available_ram_bytes() -> int:
+    """MemAvailable from /proc/meminfo (8 GB fallback off-Linux)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return 8 << 30
+
+
+def host_worker_budget() -> int:
+    """Prepare/encode concurrency = min(cores, freeRAM/2.5 GB, 16) —
+    the reference's export thread budget (export_processing.rs:661-683)."""
+    import os
+
+    cores = os.cpu_count() or 1
+    by_ram = max(1, int(_available_ram_bytes() / (2.5 * (1 << 30))))
+    return max(1, min(cores, by_ram, 16))
+
+
+def prepare_window(batch_size: int, n_workers: int) -> int:
+    """Max prepared-but-unrendered images in flight: enough to keep one
+    device chunk ahead of the render loop, capped by the RAM budget (each
+    24MP prepared image is ~300 MB of f32 + masks)."""
+    want = max(batch_size + n_workers, 2 * batch_size, 2)
+    return max(2, min(want, 16, max(2, int(_available_ram_bytes() / (2.5 * (1 << 30))))))
+
+
+# test hook: tracks the peak number of live prepared-but-unencoded images
+# (the RAM-bound invariant; multiplied by per-image bytes it bounds RSS)
+import threading as _threading
+
+_live_prepared = 0
+_peak_prepared = 0
+_live_lock = _threading.Lock()
+
+
+def _track_prepared(delta: int) -> None:
+    global _live_prepared, _peak_prepared
+    with _live_lock:
+        _live_prepared += delta
+        _peak_prepared = max(_peak_prepared, _live_prepared)
+
+
 def export_images(
     paths: Iterable[str],
     output_dir: str | Path,
@@ -256,9 +317,20 @@ def export_images(
 ) -> list[ExportResult]:
     """Export a list of image paths using their sidecar adjustments.
 
-    Same-shape, same-config images are developed as one batch per bucket.
+    Pipelined host side (export_processing.rs:661-738's RAM-bounded fan-out,
+    restructured around one device): a thread pool prepares images
+    (decode + transform + masks) through a BOUNDED window, the render loop
+    groups them into structural buckets and develops whole chunks on the
+    device, and an encode pool drains rendered frames (encode + EXIF +
+    timestamps) while the next chunk renders. Peak live prepared images
+    never exceeds prepare_window() — the whole job is never materialized.
     """
+    import collections
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
     from rapidraw_tpu.io.encode import encode_image
+    from rapidraw_tpu.io.loader import parse_virtual_path
     from rapidraw_tpu.params.parse import merge_configs
     from rapidraw_tpu.pipeline.batch import stack_params
 
@@ -267,27 +339,16 @@ def export_images(
     out_dir.mkdir(parents=True, exist_ok=True)
 
     paths = list(paths)
-    results: list[ExportResult] = []
-    prepared = []
-    for i, p in enumerate(paths):
-        if cancel is not None and cancel.cancelled:
-            results.append(ExportResult(p, None, False, "cancelled"))
-            continue
-        if progress:
-            progress(i, len(paths), p)
-        t0 = time.perf_counter()
-        try:
-            prepared.append((p, _prepare_one(p, settings), time.perf_counter() - t0))
-        except Exception as e:  # noqa: BLE001 — per-image isolation like the reference
-            results.append(ExportResult(p, None, False, f"prepare failed: {e}"))
+    total = len(paths)
+    results: dict[int, ExportResult] = {}
+    res_lock = threading.Lock()
+    global _peak_prepared, _live_prepared
+    _peak_prepared = _live_prepared = 0
 
-    # Bucket on STRUCTURAL fields only (shape + the DevelopConfig fields
-    # merge_configs cannot union + LUT content), then merge the per-image
-    # configs inside each bucket — so documents differing in ordinary
-    # sliders still share one compilation. Exact-config bucketing paid one
-    # 30-120 s Mosaic compile per distinct edit; this pays O(buckets)
-    # (the reference runs every export through a single GPU pipeline,
-    # export_processing.rs:661-738).
+    n_workers = host_worker_budget()
+    window = prepare_window(settings.batch_size, n_workers)
+    n_enc = max(1, min(n_workers, 8))
+
     def _lut_fingerprint(lut) -> int | None:
         if lut is None:
             return None
@@ -295,95 +356,213 @@ def export_images(
 
         return zlib.adler32(np.ascontiguousarray(lut).tobytes())
 
-    buckets: dict = {}
-    for p, (timg, masks, params, cfg, lut), tprep in prepared:
-        key = (
-            timg.shape,
-            cfg.is_raw,
-            cfg.tonemapper_agx,
-            cfg.ca_static_rc,
-            cfg.ca_static_by,
-            _lut_fingerprint(lut),
-        )
-        buckets.setdefault(key, []).append((p, timg, masks, params, cfg, lut, tprep))
-
-    # union config per bucket; structural keys make the merge safe, but keep
-    # the exact-config fallback in case a future field turns unmergeable
-    merged: list[tuple] = []  # (bucket_cfg, items)
-    for items in buckets.values():
+    def prep_safe(idx: int, p: str):
+        t0 = time.perf_counter()
         try:
-            merged.append((merge_configs([it[4] for it in items]), items))
-        except ValueError:
-            by_cfg: dict = {}
-            for it in items:
-                by_cfg.setdefault(it[4], []).append(it)
-            merged.extend((c, its) for c, its in by_cfg.items())
+            prep = _prepare_one(p, settings)
+            _track_prepared(+1)
+            return idx, p, prep, time.perf_counter() - t0, None
+        except Exception as e:  # noqa: BLE001 — per-image isolation
+            return idx, p, None, time.perf_counter() - t0, f"prepare failed: {e}"
 
-    from rapidraw_tpu.io.loader import parse_virtual_path
-
-    seq = 0
-    total = len(paths)
+    # encode side: bounded in-flight frames (each holds one full-res image)
+    enc_sem = threading.BoundedSemaphore(n_enc * 2)
+    seq_state = {"seq": 0}
     appearance: dict = {}
-    for bucket_cfg, items in merged:
-        for start in range(0, len(items), settings.batch_size):
-            if cancel is not None and cancel.cancelled:
-                for p, *_ in items[start:]:
-                    results.append(ExportResult(p, None, False, "cancelled"))
-                break
-            chunk = items[start : start + settings.batch_size]
-            t0 = time.perf_counter()
-            imgs = jnp.stack([c[1] for c in chunk])
-            cfgs = [c[4] for c in chunk]
-            params, cfg = stack_params([c[3] for c in chunk], cfgs, cfg=bucket_cfg)
-            masks = None
-            if cfg.mask_count > 0:
-                n = cfg.mask_count
-                h, w = imgs.shape[-2:]
-                mstack = []
-                for c in chunk:
-                    m = c[2] if c[2] is not None else np.zeros((0, h, w), np.float32)
-                    if m.shape[0] < n:
-                        m = np.concatenate([m, np.zeros((n - m.shape[0], h, w), np.float32)])
-                    mstack.append(m[:n])
-                masks = jnp.asarray(np.stack(mstack))
-            lut = jnp.asarray(chunk[0][5]) if chunk[0][5] is not None else None
 
-            out = _render_chunk(imgs, params, masks, lut, cfg)
-            dt = time.perf_counter() - t0
+    def encode_one(idx, p, planar, dt, n_in_chunk):
+        # sequence/appearance state is assigned in the render loop (single
+        # thread) so filename numbering stays deterministic
+        seq_state["seq"] += 1
+        seq = seq_state["seq"]
+        real, vc = parse_virtual_path(p)
+        appearance[real] = appearance.get(real, 0) + 1
+        app = appearance[real]
 
-            for b, (p, *_rest) in enumerate(chunk):
-                seq += 1
+        def task():
+            try:
+                out = planar
+                if (settings.long_edge or settings.watermark is not None) \
+                        and out.dtype == np.uint8:
+                    out = out.astype(np.float32) / 255.0
+                if settings.long_edge:
+                    out = _resize_long_edge_host(out, settings.long_edge)
+                if settings.watermark is not None:
+                    from rapidraw_tpu.pipeline.watermark import apply_watermark
+
+                    out = apply_watermark(np.asarray(out), settings.watermark)
+                dst = _output_path(
+                    real, out_dir, settings, seq, total=total, vc=vc,
+                    appearance=app,
+                )
+                encode_image(out, dst, settings.format, settings.quality)
+                if settings.copy_exif:
+                    from rapidraw_tpu.io.exif import copy_exif
+
+                    copy_exif(real, dst, strip_gps_data=settings.strip_gps)
+                if settings.preserve_timestamps:
+                    _restore_timestamps(real, dst)
+                if settings.export_masks:
+                    _export_masks_for_image(p, dst, settings)
+                r = ExportResult(p, str(dst), True, seconds=dt / n_in_chunk)
+            except Exception as e:  # noqa: BLE001
+                r = ExportResult(p, None, False, f"encode failed: {e}")
+            finally:
+                _track_prepared(-1)
+                enc_sem.release()
+            with res_lock:
+                results[idx] = r
+
+        return task
+
+    # PRE-SCAN sidecars (JSON only — no pixel IO) so each structural
+    # bucket's config union is known before the first chunk renders:
+    # streaming chunks then all hit ONE compiled entry per bucket instead
+    # of recompiling as the union grows (the reference compiles its one
+    # GPU pipeline once, export_processing.rs:661-738)
+    def _cfg_key(cfg):
+        return (cfg.is_raw, cfg.tonemapper_agx, cfg.ca_static_rc, cfg.ca_static_by)
+
+    pre_union: dict = {}
+    from rapidraw_tpu.io.loader import is_raw_file
+    from rapidraw_tpu.io.sidecar import load_adjustments
+    from rapidraw_tpu.params.parse import parse_adjustments
+
+    for p in paths:
+        try:
+            adj = dict(load_adjustments(p))
+            adj["showClipping"] = False
+            is_raw = is_raw_file(parse_virtual_path(p)[0])
+            _, pcfg = parse_adjustments(adj, is_raw=is_raw)
+            k = _cfg_key(pcfg)
+            pre_union[k] = (
+                merge_configs([pre_union[k], pcfg]) if k in pre_union else pcfg
+            )
+        except Exception:  # noqa: BLE001 — prescan is advisory
+            continue
+
+    # chunk accumulation by structural bucket (shape + unmergeable config
+    # fields + LUT content); per-bucket union starts from the prescan so it
+    # never grows mid-stream (falls back to incremental merging if the
+    # prescan missed the document)
+    chunks: dict = {}
+    union_cfg: dict = {}
+
+    def render_chunk(key):
+        chunk = chunks.pop(key)
+        bucket_cfg = union_cfg[key]
+        t0 = time.perf_counter()
+        imgs = jnp.stack([c["timg"] for c in chunk])
+        params, cfg = stack_params(
+            [c["params"] for c in chunk], [c["cfg"] for c in chunk], cfg=bucket_cfg
+        )
+        masks = None
+        if cfg.mask_count > 0:
+            n = cfg.mask_count
+            h, w = imgs.shape[-2:]
+            mstack = []
+            for c in chunk:
+                m = c["masks"] if c["masks"] is not None else np.zeros((0, h, w), np.float32)
+                if m.shape[0] < n:
+                    m = np.concatenate([m, np.zeros((n - m.shape[0], h, w), np.float32)])
+                mstack.append(m[:n])
+            masks = jnp.asarray(np.stack(mstack))
+        lut = jnp.asarray(chunk[0]["lut"]) if chunk[0]["lut"] is not None else None
+
+        out = _render_chunk(imgs, params, masks, lut, cfg)
+        dt = time.perf_counter() - t0
+        tasks = []
+        for b, c in enumerate(chunk):
+            tasks.append(encode_one(c["idx"], c["path"], out[b], dt, len(chunk)))
+        for t in tasks:
+            enc_sem.acquire()
+            enc_pool.submit(t)
+
+    with ThreadPoolExecutor(n_workers) as prep_pool, \
+            ThreadPoolExecutor(n_enc) as enc_pool:
+        path_iter = iter(enumerate(paths))
+        pend: collections.deque = collections.deque()
+
+        def submit_more():
+            while len(pend) < window:
                 try:
-                    planar = out[b]
-                    if settings.long_edge:
-                        planar = _resize_long_edge_host(planar, settings.long_edge)
-                    if settings.watermark is not None:
-                        from rapidraw_tpu.pipeline.watermark import apply_watermark
+                    i, p = next(path_iter)
+                except StopIteration:
+                    return
+                if cancel is not None and cancel.cancelled:
+                    with res_lock:
+                        results[i] = ExportResult(p, None, False, "cancelled")
+                    continue
+                pend.append(prep_pool.submit(prep_safe, i, p))
 
-                        planar = apply_watermark(np.asarray(planar), settings.watermark)
-                    real, vc = parse_virtual_path(p)
-                    appearance[real] = appearance.get(real, 0) + 1
-                    dst = _output_path(
-                        real, out_dir, settings, seq, total=total, vc=vc,
-                        appearance=appearance[real],
+        done_in = 0
+        submit_more()
+        while pend:
+            idx, p, prep, tprep, err = pend.popleft().result()
+            done_in += 1
+            if progress:
+                progress(done_in - 1, total, p)
+            if cancel is not None and cancel.cancelled and prep is not None:
+                _track_prepared(-1)
+                prep = None
+                err = "cancelled"
+            if err is not None:
+                with res_lock:
+                    results[idx] = ExportResult(p, None, False, err)
+            else:
+                timg, masks, params, cfg, lut = prep
+                key = (
+                    tuple(timg.shape),
+                    cfg.is_raw,
+                    cfg.tonemapper_agx,
+                    cfg.ca_static_rc,
+                    cfg.ca_static_by,
+                    _lut_fingerprint(lut),
+                )
+                chunks.setdefault(key, []).append({
+                    "idx": idx, "path": p, "timg": timg, "masks": masks,
+                    "params": params, "cfg": cfg, "lut": lut,
+                })
+                try:
+                    seed = (
+                        [union_cfg[key]] if key in union_cfg
+                        else [pre_union[_cfg_key(cfg)]]
+                        if _cfg_key(cfg) in pre_union else []
                     )
-                    encode_image(planar, dst, settings.format, settings.quality)
-                    if settings.copy_exif:
-                        from rapidraw_tpu.io.exif import copy_exif
+                    union_cfg[key] = merge_configs(seed + [cfg])
+                except ValueError:
+                    # unmergeable despite the structural key: render what
+                    # accumulated under the old union, restart the bucket
+                    full = chunks.pop(key)
+                    chunks[key] = full[:-1]
+                    if chunks[key]:
+                        render_chunk(key)
+                    else:
+                        chunks.pop(key)
+                    chunks[key] = [full[-1]]
+                    union_cfg[key] = cfg
+                if len(chunks.get(key, ())) >= settings.batch_size:
+                    render_chunk(key)
+                elif sum(len(v) for v in chunks.values()) >= window:
+                    # bound accumulated chunks too: flush the fullest bucket
+                    big = max(chunks, key=lambda k: len(chunks[k]))
+                    render_chunk(big)
+            submit_more()
 
-                        copy_exif(real, dst, strip_gps_data=settings.strip_gps)
-                    if settings.preserve_timestamps:
-                        _restore_timestamps(real, dst)
-                    if settings.export_masks:
-                        _export_masks_for_image(p, dst, settings)
-                    results.append(
-                        ExportResult(p, str(dst), True, seconds=dt / len(chunk))
-                    )
-                except Exception as e:  # noqa: BLE001
-                    results.append(ExportResult(p, None, False, f"encode failed: {e}"))
+        for key in list(chunks):
+            if cancel is not None and cancel.cancelled:
+                for c in chunks.pop(key):
+                    _track_prepared(-1)
+                    with res_lock:
+                        results[c["idx"]] = ExportResult(
+                            c["path"], None, False, "cancelled"
+                        )
+                continue
+            render_chunk(key)
+
     if progress:
-        progress(len(paths), len(paths), "")
-    return results
+        progress(total, total, "")
+    return [results[i] for i in sorted(results)]
 
 
 def _export_masks_for_image(path: str, main_output: Path, settings: ExportSettings) -> None:

@@ -83,6 +83,40 @@ def develop_cfa(
     return apply_highlight_compression(rgb, highlight_compression)
 
 
+def develop_cfa_xtrans(
+    cfa: jnp.ndarray,
+    black_level: float,
+    white_level: float,
+    wb: np.ndarray,
+    cam_to_srgb: np.ndarray,
+    xtrans: np.ndarray,
+    highlight_compression: float = 2.5,
+) -> jnp.ndarray:
+    """X-Trans CFA (H, W) -> planar (3, H, W) scene-linear sRGB.
+
+    Same normalize/WB/matrix/highlight chain as develop_cfa with the
+    6x6-periodic demosaic from raw/xtrans.py.
+    """
+    from rapidraw_tpu.raw.xtrans import demosaic_xtrans
+
+    h, w = cfa.shape
+    x = (cfa.astype(jnp.float32) - black_level) / max(white_level - black_level, 1.0)
+
+    xt = np.asarray(xtrans, np.int32)
+    reps = (h + 5) // 6 + 1, (w + 5) // 6 + 1
+    site = np.tile(xt, reps)[:h, :w]
+    gain = (
+        (site == 0) * float(wb[0])
+        + (site == 1) * float(wb[1])
+        + (site == 2) * float(wb[2])
+    ).astype(np.float32)
+    x = x * jnp.asarray(gain)
+
+    rgb = demosaic_xtrans(x, xt)
+    rgb = mat3_apply(jnp.asarray(cam_to_srgb, jnp.float32), rgb)
+    return apply_highlight_compression(rgb, highlight_compression)
+
+
 def develop_linear_raw(
     rgb: jnp.ndarray,
     black_level: float,

@@ -249,7 +249,11 @@ def test_render_chunk_sharded_matches_single_device():
 
     from rapidraw_tpu.params.parse import parse_adjustments
     from rapidraw_tpu.pipeline.batch import stack_params
-    from rapidraw_tpu.pipeline.export import _jitted_develop, _render_chunk
+    from rapidraw_tpu.pipeline.export import (
+        _device_u8,
+        _jitted_develop,
+        _render_chunk,
+    )
 
     assert jax.device_count() == 8  # conftest virtual mesh
     doc = {"exposure": 0.4, "contrast": 15, "saturation": 10}
@@ -259,6 +263,10 @@ def test_render_chunk_sharded_matches_single_device():
     imgs = jnp.asarray(rng.random((3, 3, 24, 128), dtype=np.float32))
 
     sharded = _render_chunk(imgs, params, None, None, cfg)  # pads 3 -> 8
-    plain = np.asarray(_jitted_develop(cfg)(imgs, params, None, None))
+    # the chunk renderer quantizes to u8 on device before readback
+    plain = np.asarray(_device_u8(_jitted_develop(cfg)(imgs, params, None, None)))
     assert sharded.shape == (3, 3, 24, 128)
-    np.testing.assert_allclose(sharded, plain, atol=1e-6)
+    assert sharded.dtype == np.uint8
+    # u8 quantization may flip on <=1 ulp float differences between the
+    # sharded and plain paths: allow off-by-one
+    assert np.abs(sharded.astype(int) - plain.astype(int)).max() <= 1
