@@ -133,12 +133,123 @@ def splice_exif_into_jpeg(jpeg_path: str | Path, exif_payload: bytes) -> None:
     p.write_bytes(b"".join(out))
 
 
+def splice_exif_into_png(png_path: str | Path, exif_payload: bytes) -> None:
+    """Insert/replace the PNG eXIf chunk (PNG 1.5 extension) in place —
+    chunk payload is the raw TIFF EXIF structure."""
+    import zlib
+
+    p = Path(png_path)
+    data = p.read_bytes()
+    sig = b"\x89PNG\r\n\x1a\n"
+    if data[:8] != sig:
+        raise ValueError("not a PNG file")
+    chunk = b"eXIf" + exif_payload
+    exif_chunk = (
+        struct.pack(">I", len(exif_payload)) + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+    out = [sig]
+    pos = 8
+    inserted = False
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        seg = data[pos : pos + 12 + ln]
+        if ctype != b"eXIf":  # drop any existing eXIf
+            out.append(seg)
+        pos += 12 + ln
+        if ctype == b"IHDR" and not inserted:
+            out.append(exif_chunk)
+            inserted = True
+    p.write_bytes(b"".join(out))
+
+
+def splice_exif_into_webp(webp_path: str | Path, exif_payload: bytes) -> None:
+    """Insert/replace the RIFF 'EXIF' chunk in place, creating/patching the
+    VP8X header with the EXIF flag (WebP container spec) — no re-encode."""
+    p = Path(webp_path)
+    data = p.read_bytes()
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP file")
+
+    # collect existing chunks
+    chunks = []
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", data, pos + 4)
+        payload = data[pos + 8 : pos + 8 + ln]
+        chunks.append((tag, payload))
+        pos += 8 + ln + (ln & 1)
+
+    chunks = [(t, c) for t, c in chunks if t != b"EXIF"]
+    vp8x = None
+    rest = []
+    for t, c in chunks:
+        if t == b"VP8X":
+            vp8x = bytearray(c)
+        else:
+            rest.append((t, c))
+    if vp8x is None:
+        from PIL import Image
+
+        with Image.open(p) as im:
+            w, h = im.size
+        vp8x = bytearray(10)
+        vp8x[4:7] = struct.pack("<I", w - 1)[:3]
+        vp8x[7:10] = struct.pack("<I", h - 1)[:3]
+    vp8x[0] |= 0x08  # EXIF flag
+    ordered = [(b"VP8X", bytes(vp8x))] + rest + [(b"EXIF", exif_payload)]
+
+    body = bytearray(b"WEBP")
+    for t, c in ordered:
+        body += t + struct.pack("<I", len(c)) + c
+        if len(c) & 1:
+            body += b"\0"
+    p.write_bytes(b"RIFF" + struct.pack("<I", len(body)) + bytes(body))
+
+
+def merge_exif_into_tiff(tiff_path: str | Path, exif_payload: bytes) -> None:
+    """Write EXIF tags into an exported TIFF by re-saving with a merged
+    IFD0 (TIFF is lossless, so the re-encode is exact). Main-IFD and
+    Exif-IFD tags are flattened into IFD0 (legal per TIFF/EP; the
+    reference writes through little_exif, exif_processing.rs:669-1073)."""
+    from PIL import Image
+    from PIL.TiffImagePlugin import ImageFileDirectory_v2
+
+    exif = Image.Exif()
+    exif.load(exif_payload)
+    p = Path(tiff_path)
+    with Image.open(p) as im:
+        im.load()
+        ifd = ImageFileDirectory_v2()
+        merged = dict(exif)
+        try:
+            merged.update(exif.get_ifd(0x8769))
+        except Exception:
+            pass
+        # never carry over structural tags describing the SOURCE encoding
+        skip = {0x8769, _GPS_IFD_TAG, 0x0100, 0x0101, 0x0102, 0x0103,
+                0x0106, 0x0111, 0x0115, 0x0116, 0x0117, 0x011C}
+        for tag, value in merged.items():
+            if tag in skip or isinstance(value, dict):
+                continue
+            try:
+                ifd[tag] = value
+            except Exception:
+                continue
+        out = im.copy()
+        out.save(p, "TIFF", tiffinfo=ifd)
+
+
 def copy_exif(
     src: str | Path, dst: str | Path, strip_gps_data: bool = True, software: str | None = None
 ) -> bool:
-    """Copy EXIF from src onto an exported dst (JPEG splice; others skipped).
+    """Copy EXIF from src onto an exported dst: lossless segment/chunk
+    splice for JPEG/PNG/WebP, merged-IFD re-save for TIFF.
 
-    Mirrors export_processing.rs:297-303 write-through semantics.
+    Mirrors export_processing.rs:297-303 + :669-1073 (little_exif writes
+    metadata onto every encode format).
     """
     payload = read_exif_bytes(src)
     if payload is None:
@@ -158,13 +269,21 @@ def copy_exif(
         except Exception:
             pass
     dstp = Path(dst)
-    if dstp.suffix.lower() in (".jpg", ".jpeg"):
-        try:
+    ext = dstp.suffix.lower()
+    try:
+        if ext in (".jpg", ".jpeg"):
             splice_exif_into_jpeg(dstp, payload)
-            return True
-        except Exception:
+        elif ext == ".png":
+            splice_exif_into_png(dstp, payload)
+        elif ext == ".webp":
+            splice_exif_into_webp(dstp, payload)
+        elif ext in (".tif", ".tiff"):
+            merge_exif_into_tiff(dstp, payload)
+        else:
             return False
-    return False
+        return True
+    except Exception:
+        return False
 
 
 def write_rrexif_sidecar(src_image: str | Path, derived_file: str | Path) -> None:

@@ -175,3 +175,30 @@ def test_unedited_thumbnail_skips_develop(tmp_path, monkeypatch):
     monkeypatch.setattr(dev, "develop", boom)
     data = generate_thumbnail(str(p), resolution=32)
     assert data[:2] == b"\xff\xd8"
+
+
+def test_exif_write_through_all_formats(tmp_path):
+    """PNG (eXIf chunk), WebP (RIFF EXIF + VP8X), TIFF (merged IFD0) all
+    round-trip EXIF from the source with GPS stripped
+    (exif_processing.rs:669-1073 writes through every encode format)."""
+    exif = Image.Exif()
+    exif[0x010F] = "AcmeCam"  # Make
+    exif[0x0110] = "Model-X"  # Model
+    exif[0x8825] = {1: "N", 16: "T"}  # GPS IFD
+    src = _jpg(tmp_path / "src.jpg", exif=exif)
+
+    arr = (np.random.default_rng(0).random((32, 48, 3)) * 255).astype(np.uint8)
+    for ext, fmt in (("png", "PNG"), ("webp", "WEBP"), ("tif", "TIFF")):
+        dst = tmp_path / f"out.{ext}"
+        Image.fromarray(arr).save(dst, fmt)
+        assert copy_exif(src, dst, strip_gps_data=True), ext
+        tags = read_exif_tags(dst)
+        assert tags.get("Make") == "AcmeCam", (ext, tags)
+        assert tags.get("Model") == "Model-X", (ext, tags)
+        assert not any(k.startswith("GPS") for k in tags), (ext, tags)
+        # pixels survive the metadata write (TIFF re-save is lossless)
+        back = np.asarray(Image.open(dst).convert("RGB"))
+        if ext != "webp":  # webp encode was already lossy before the splice
+            np.testing.assert_array_equal(back, arr)
+        else:
+            assert back.shape == arr.shape
