@@ -76,7 +76,9 @@ def _load_params(model):
         for part in parts[:-1]:
             node = node.setdefault(part, {})
         node[parts[-1]] = jnp.asarray(v)
-    return {"params": tree}
+    # accept both layouts: bare param paths ('Conv_0/kernel') or the full
+    # variables tree ('params/Conv_0/kernel', the converter-tool output)
+    return tree if "params" in tree else {"params": tree}
 
 
 def denoise_ai(image: np.ndarray, quality: float = 0.5) -> np.ndarray:
@@ -93,8 +95,16 @@ def denoise_ai(image: np.ndarray, quality: float = 0.5) -> np.ndarray:
 
     @jax.jit
     def fwd(batch):  # (B, 3, cs, cs) planar -> same
+        import jax.numpy as jnp
+
         x = batch.transpose(0, 2, 3, 1)
-        y = model.apply(variables, x)
+        # the U-Net's 4 pool/upsample levels need 16-divisible dims; the
+        # tile context size (504, mirroring the reference's tiling) is
+        # not — reflect-pad in, crop out
+        h, w = x.shape[1], x.shape[2]
+        ph, pw = -h % 16, -w % 16
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+        y = model.apply(variables, x)[:, :h, :w, :]
         return y.transpose(0, 3, 1, 2)
 
     return run_tiled(fwd, image, params)
