@@ -149,7 +149,11 @@ def parse_raw(data: bytes, ext: str = "") -> RawFile:
         from rapidraw_tpu.io.raf import parse_raf
 
         return parse_raf(data)
-    if kind in ("cr3", "x3f", "bmff"):
+    if kind == "cr3":
+        from rapidraw_tpu.io.cr3 import parse_cr3
+
+        return parse_cr3(data)  # structured parse; raises with metadata
+    if kind in ("x3f", "bmff"):
         raise UnsupportedRawFormat(kind)
     if kind == "unknown":
         raise DngError(

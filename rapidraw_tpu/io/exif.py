@@ -25,6 +25,16 @@ def read_exif_tags(path: str | Path) -> dict:
     from PIL import Image
     from PIL.ExifTags import TAGS, GPSTAGS
 
+    if str(path).lower().endswith(".cr3"):
+        # PIL can't open CR3; the container parser extracts CMT metadata
+        try:
+            from rapidraw_tpu.io.cr3 import parse_cr3_info
+
+            info = parse_cr3_info(Path(path).read_bytes())
+            return {k: str(v)[:_MAX_VALUE_LEN] for k, v in info.exif.items()}
+        except Exception:
+            return {}
+
     out: dict = {}
     try:
         with Image.open(path) as im:

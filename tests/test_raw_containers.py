@@ -997,3 +997,47 @@ def test_raf_loads_end_to_end(tmp_path):
     arr = np.asarray(img)
     assert arr.shape == (3, 18, 24)
     assert np.isfinite(arr).all() and arr.max() > 0
+
+
+# ------------------------------------------------------------------- CR3
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _build_cr3() -> bytes:
+    from rapidraw_tpu.io.cr3 import CANON_UUID
+
+    cmt1 = build_tiff([Ifd([(271, 2, "Canon"), (272, 2, "EOS R5"),
+                            (274, 3, [1])])])
+    cmt2 = build_tiff([Ifd([(33434, 4, [1]), (34855, 3, [800])])])
+    # stsd with one CRAW video entry, 8192x5464
+    entry = struct.pack(">I", 0x56) + b"CRAW" + b"\0" * 6 + struct.pack(">H", 1)
+    entry += b"\0" * 16 + struct.pack(">HH", 8192, 5464)
+    entry = entry.ljust(0x56, b"\0")
+    stsd = _box(b"stsd", struct.pack(">II", 0, 1) + entry)
+    stbl = _box(b"stbl", stsd)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", minf)
+    trak = _box(b"trak", mdia)
+    canon = _box(b"uuid", CANON_UUID + _box(b"CMT1", cmt1) + _box(b"CMT2", cmt2))
+    moov = _box(b"moov", canon + trak)
+    ftyp = _box(b"ftyp", b"crx " + b"\0\0\0\x01" + b"crx isom")
+    return ftyp + moov
+
+
+def test_cr3_container_metadata_and_refusal():
+    from rapidraw_tpu.io.cr3 import parse_cr3_info
+
+    data = _build_cr3()
+    assert sniff_container(data, "cr3") == "cr3"
+    info = parse_cr3_info(data)
+    assert info.exif.get("Make") == "Canon"
+    assert info.exif.get("Model") == "EOS R5"
+    assert info.exif.get("ISOSpeedRatings") == 800
+    assert (info.width, info.height) == (8192, 5464)
+    assert info.tracks and info.tracks[0][0] == "CRAW"
+
+    with pytest.raises(UnsupportedRawFormat) as ei:
+        parse_raw(data, ext="cr3")
+    msg = str(ei.value)
+    assert "crx" in msg and "8192x5464" in msg
