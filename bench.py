@@ -150,7 +150,9 @@ def _slope(step, x0, readback, iters: int = ITERS) -> float:
     a data dependency and force a scalar readback — on the axon tunnel,
     block_until_ready() returns before execution finishes, so naive timing
     reports absurd numbers. Run-to-run variance through the tunnel is
-    ~±10%, so take the median of three slope estimates."""
+    ~±10% with occasional large flukes, so the iteration count is scaled
+    until the measured span is >=0.5 s (fast configs would otherwise sit
+    inside the noise floor) and the median of three estimates is taken."""
 
     def run(n: int) -> float:
         t0 = time.perf_counter()
@@ -160,16 +162,21 @@ def _slope(step, x0, readback, iters: int = ITERS) -> float:
         readback(y)
         return time.perf_counter() - t0
 
-    def one_slope() -> float:
-        base = run(2)
-        full = run(2 + iters)
-        if full <= base:  # noise swamped a fast config — re-measure longer
-            base = run(2)
-            full = run(2 + iters * 4)
-            return (full - base) / (iters * 4)
-        return (full - base) / iters
-
     run(1)  # extra warm: dispatch path + any late compile
+
+    # calibrate an iteration count that spans >= ~0.5 s
+    base = run(2)
+    full = run(2 + iters)
+    span = max(full - base, 1e-4)
+    n_iters = iters
+    if span < 0.5:
+        n_iters = min(int(iters * 0.5 / span) + 1, 400)
+
+    def one_slope() -> float:
+        b = run(2)
+        f = run(2 + n_iters)
+        return max(f - b, 1e-6) / n_iters
+
     estimates = sorted(one_slope() for _ in range(3))
     return estimates[1]
 
