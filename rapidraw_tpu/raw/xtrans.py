@@ -69,30 +69,90 @@ def _plan(xtrans_key: tuple):
     return plans
 
 
+def _masked_interp(x, mask, kern, pad, h, w):
+    """Distance-weighted interpolation of `x*mask` normalized by the
+    kernel's mask coverage (shared edge-clamped shifts)."""
+    num_src = jnp.pad(x * mask, pad, mode="edge")
+    den_src = jnp.pad(mask, pad, mode="edge")
+    num = jnp.zeros_like(x)
+    den = jnp.zeros_like(x)
+    for (dy, dx), kw in kern:
+        num = num + kw * _shift(num_src, dy, dx, pad, h, w)
+        den = den + kw * _shift(den_src, dy, dx, pad, h, w)
+    return num, den
+
+
 def demosaic_xtrans(x: jnp.ndarray, xtrans: np.ndarray) -> jnp.ndarray:
     """(H, W) white-balanced CFA -> planar (3, H, W), X-Trans pattern.
 
     xtrans: (6, 6) int array of 0/1/2 describing the sensor layout at
     pixel (0, 0).
+
+    Two-stage (Markesteijn-direction, expressed as static shifted adds):
+      1. GREEN everywhere, blending per-direction neighbor means by local
+         inverse-gradient weights (X-Trans green sites are dense enough
+         that every non-G site has row and column G neighbors within 2).
+         Direction availability per 6x6 phase is static; the gradient
+         weights are per-pixel elementwise — no gathers, SPMD-safe.
+      2. R/B as COLOR DIFFERENCES against the green plane: interpolate
+         (R - G) from R sites with the distance kernel and add G back,
+         which removes the chroma fringing of raw-value interpolation.
     """
     h, w = x.shape
     xt = np.asarray(xtrans, np.int32)
     plans = _plan(tuple(xt.reshape(-1).tolist()))
-
     reps = (h + 5) // 6 + 1, (w + 5) // 6 + 1
     pad = 2
-    out = []
-    for c, (mask_small, kern) in enumerate(plans):
-        mask = jnp.asarray(np.tile(mask_small, reps)[:h, :w])
-        num_src = jnp.pad(x * mask, pad, mode="edge")
-        den_src = jnp.pad(mask, pad, mode="edge")
-        num = jnp.zeros_like(x)
-        den = jnp.zeros_like(x)
-        for (dy, dx), kw in kern:
-            num = num + kw * _shift(num_src, dy, dx, pad, h, w)
-            den = den + kw * _shift(den_src, dy, dx, pad, h, w)
-        interp = num / jnp.maximum(den, 1e-6)
-        out.append(jnp.where(mask > 0, x, interp))
+
+    masks = [
+        jnp.asarray(np.tile(m, reps)[:h, :w]) for m, _ in plans
+    ]
+
+    # ---- stage 1: green, directionally weighted -------------------------
+    g_mask = masks[1]
+    kern_g = dict(plans[1][1])
+    kern_h = tuple((o, kw) for o, kw in kern_g.items() if o[0] == 0)
+    kern_v = tuple((o, kw) for o, kw in kern_g.items() if o[1] == 0)
+    kern_a = tuple(kern_g.items())
+
+    xp = jnp.pad(x, pad, mode="edge")
+    grad_h = jnp.abs(
+        _shift(xp, 0, 1, pad, h, w) - _shift(xp, 0, -1, pad, h, w)
+    ) + jnp.abs(
+        2.0 * x - _shift(xp, 0, 2, pad, h, w) - _shift(xp, 0, -2, pad, h, w)
+    )
+    grad_v = jnp.abs(
+        _shift(xp, 1, 0, pad, h, w) - _shift(xp, -1, 0, pad, h, w)
+    ) + jnp.abs(
+        2.0 * x - _shift(xp, 2, 0, pad, h, w) - _shift(xp, -2, 0, pad, h, w)
+    )
+
+    num_h, den_h = _masked_interp(x, g_mask, kern_h, pad, h, w)
+    num_v, den_v = _masked_interp(x, g_mask, kern_v, pad, h, w)
+    num_a, den_a = _masked_interp(x, g_mask, kern_a, pad, h, w)
+    eps = 1e-4
+    # direction weight: inverse gradient, zeroed where the phase has no
+    # samples in that direction (den == 0)
+    w_h = jnp.where(den_h > 1e-6, 1.0 / (eps + grad_h), 0.0)
+    w_v = jnp.where(den_v > 1e-6, 1.0 / (eps + grad_v), 0.0)
+    w_a = 0.25 * (1.0 / eps) * 1e-2  # small isotropic stabilizer
+    est_h = num_h / jnp.maximum(den_h, 1e-6)
+    est_v = num_v / jnp.maximum(den_v, 1e-6)
+    est_a = num_a / jnp.maximum(den_a, 1e-6)
+    g_interp = (w_h * est_h + w_v * est_v + w_a * est_a) / jnp.maximum(
+        w_h + w_v + w_a, 1e-9
+    )
+    green = jnp.where(g_mask > 0, x, g_interp)
+
+    # ---- stage 2: R/B via color differences -----------------------------
+    out = [None, green, None]
+    for c in (0, 2):
+        mask = masks[c]
+        kern = plans[c][1]
+        diff = x - green  # valid at this channel's sites
+        num, den = _masked_interp(diff, mask, kern, pad, h, w)
+        interp = green + num / jnp.maximum(den, 1e-6)
+        out[c] = jnp.where(mask > 0, x, interp)
     return jnp.stack(out)
 
 

@@ -1041,3 +1041,27 @@ def test_cr3_container_metadata_and_refusal():
         parse_raw(data, ext="cr3")
     msg = str(ei.value)
     assert "crx" in msg and "8192x5464" in msg
+
+
+def test_xtrans_directional_edge_quality():
+    """The directional-green + color-difference demosaic must beat the
+    bilinear-class bound at a hard vertical edge (peak error <= 0.2 where
+    raw-value interpolation measured 0.25)."""
+    import jax.numpy as jnp
+
+    from rapidraw_tpu.raw.xtrans import DEFAULT_XTRANS, demosaic_xtrans
+
+    h, w = 96, 120
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    rgb = np.stack([
+        0.5 + 0.3 * np.sin(xs / 11.0),
+        0.5 + 0.3 * np.cos(ys / 13.0),
+        0.5 + 0.2 * np.sin((xs + ys) / 17.0),
+    ])
+    rgb[:, :, 60:] *= 0.3
+    site = np.tile(DEFAULT_XTRANS, (h // 6 + 1, w // 6 + 1))[:h, :w]
+    cfa = np.take_along_axis(rgb, site[None], axis=0)[0].astype(np.float32)
+    out = np.asarray(demosaic_xtrans(jnp.asarray(cfa), DEFAULT_XTRANS))
+    err = np.abs(out - rgb)[:, 4:-4, 4:-4]
+    assert err.max() < 0.2, err.max()
+    assert err.mean() < 0.004, err.mean()
