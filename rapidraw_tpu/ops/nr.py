@@ -66,6 +66,19 @@ def apply_noise_reduction(
         its displacement is below the filter's own smoothing radius.
     """
     if static_luma is not None and static_color is not None:
+        import os as _os_
+
+        if _os_.environ.get("RAPIDRAW_NR_EXACT_JITTER") == "1":
+            # exact-jitter opt-in: the per-pixel hash tap jitter
+            # (shader.wgsl:944-948) reproduced via static candidate-mask
+            # enumeration over shifted slices — no gathers, SPMD-safe,
+            # ~3x the static-grid cost. Default stays the jitter-free
+            # static grid (statistically identical denoising; see
+            # PERFORMANCE.md scope caveat).
+            return _apply_nr_jittered_slices(
+                center_linear, input_rgb, static_luma, static_color, scale,
+                is_raw,
+            )
         if FORCE_XLA.get():
             # spatially-sharded path: the XLA shifted-slice formulation
             # partitions under SPMD (halo exchanges inserted over ICI); an
@@ -353,6 +366,239 @@ def _apply_nr_static(
             s_luma = _shift_plane(pad_l, ox, oy, max_off, h, w)
             s_r_y = _shift_plane(pad_r, ox, oy, max_off, h, w)
             s_b_y = _shift_plane(pad_b, ox, oy, max_off, h, w)
+            w_s = math.exp(float(dx * dx + dy * dy) * c_spat_n)
+            dl = s_luma - center_luma
+            w_l = jnp.exp(dl * dl * luma_n)
+            dr = s_r_y - center_r_y
+            db = s_b_y - center_b_y
+            w_c = jnp.exp((dr * dr + db * db) * chroma_n)
+            wgt = w_s * w_l * w_c
+            sum_r = sum_r + s_r_y * wgt
+            sum_bv = sum_bv + s_b_y * wgt
+            w_sum = w_sum + wgt
+
+        filtered_r_y = sum_r / jnp.maximum(w_sum, 1e-6)
+        filtered_b_y = sum_bv / jnp.maximum(w_sum, 1e-6)
+        new_r_y = mix(center_r_y, filtered_r_y, color_a)
+        new_b_y = mix(center_b_y, filtered_b_y, color_a)
+        new_g_y = -(LUMA_COEFF[0] * new_r_y + LUMA_COEFF[2] * new_b_y) / LUMA_COEFF[1]
+        new_chroma = jnp.stack([new_r_y, new_g_y, new_b_y])
+
+    return new_luma + new_chroma
+
+
+def _apply_nr_jittered_slices(
+    center_linear: jnp.ndarray,
+    input_rgb: jnp.ndarray,
+    luma_a: float,
+    color_a: float,
+    scale: float,
+    is_raw: bool,
+) -> jnp.ndarray:
+    """EXACT-jitter NR without gathers (RAPIDRAW_NR_EXACT_JITTER=1).
+
+    The hash tap jitter (shader.wgsl:944-948) depends only on pixel
+    COORDINATES, so with doc-constant amounts each tap's integer offset
+    ranges over a small static candidate set: every sample becomes
+    sum over candidates of (offset == candidate) * edge-clamped shift —
+    identical values to the gather formulation (verified bit-equal in
+    tests), expressed as static slices that XLA fuses and SPMD partitions.
+    Costs a few x the static-grid path; the default stays jitter-free.
+
+    Large frames run in row BANDS with a tap-radius halo (the whole-image
+    formulation holds ~350 full-res temps and OOMs 24MP on one chip); the
+    hash uses absolute coordinates so banding is value-exact.
+    """
+    import math
+
+    _, h, w = input_rgb.shape
+    band = 768
+    if h > band:
+        res_factor_ = float(min(max(scale**0.5, 0.5), 2.0))
+        cc = math.sqrt(min(max(float(color_a), 0.0), 1.0))
+        stride_f_ = (1.0 + _smoothstep_f(0.45, 0.95, float(luma_a))) * res_factor_
+        extra_ = min(max(stride_f_ - 1.0, 0.0), 1.0)
+        c_stride_ = (2.0 + 1.5 * cc) * res_factor_
+        halo = int(math.ceil(max(
+            2.0 * (1.0 + extra_) + extra_, 2.0 * c_stride_ + c_stride_ * 0.5))) + 2
+        # NOTE: a python loop (one XLA subgraph per band, CONSTANT
+        # coordinates) is load-bearing for exactness: the coordinate hash
+        # must constant-fold the same way as the gather formulation — a
+        # traced band offset (lax.map) evaluates hash2 at runtime, where
+        # --xla_allow_excess_precision folds fract/mul chains differently
+        # and flips ~20% of the jittered tap offsets. The cost is one
+        # compile per band position (cached persistently).
+        outs = []
+        for y0 in range(0, h, band):
+            y1 = min(y0 + band, h)
+            lo = max(0, y0 - halo)
+            hi = min(h, y1 + halo)
+            sub = _nr_jittered_band(
+                center_linear[:, lo:hi], input_rgb[:, lo:hi],
+                luma_a, color_a, scale, is_raw, y_abs=lo,
+            )
+            outs.append(sub[:, y0 - lo : y0 - lo + (y1 - y0)])
+        return jnp.concatenate(outs, axis=1)
+    return _nr_jittered_band(
+        center_linear, input_rgb, luma_a, color_a, scale, is_raw, y_abs=0
+    )
+
+
+def _nr_jittered_band(
+    center_linear: jnp.ndarray,
+    input_rgb: jnp.ndarray,
+    luma_a: float,
+    color_a: float,
+    scale: float,
+    is_raw: bool,
+    y_abs: int,
+) -> jnp.ndarray:
+    import math
+
+    _, h, w = input_rgb.shape
+    luma_a = min(max(float(luma_a), 0.0), 1.0)
+    color_a = min(max(float(color_a), 0.0), 1.0)
+    if luma_a < 0.001 and color_a < 0.001:
+        return center_linear
+
+    neighbor_linear = input_rgb if is_raw else cs.srgb_to_linear(input_rgb)
+    n_luma = luma(jnp.maximum(neighbor_linear, 0.0))
+    n_r_y = neighbor_linear[0] - n_luma
+    n_b_y = neighbor_linear[2] - n_luma
+
+    center_safe = jnp.maximum(center_linear, 0.0)
+    center_luma = luma(center_safe)
+    center_chroma = center_linear - center_luma
+
+    res_factor = float(min(max(scale**0.5, 0.5), 2.0))
+    ys = (
+        jnp.arange(h, dtype=jnp.float32)[:, None] + float(y_abs)
+    ) * jnp.ones((1, w), jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :] * jnp.ones((h, 1), jnp.float32)
+
+    l_curve = math.sqrt(luma_a)
+    stride_f = (1.0 + _smoothstep_f(0.45, 0.95, luma_a)) * res_factor
+    extra = min(max(stride_f - 1.0, 0.0), 1.0)
+    l_spat_n = -1.0 / max(2.0 * (1.0 + 0.5 * l_curve) ** 2, 1e-6)
+    c_curve = math.sqrt(color_a)
+    c_stride = (2.0 + 1.5 * c_curve) * res_factor
+
+    pad = int(math.ceil(max(
+        2.0 * (1.0 + extra) + extra, 2.0 * c_stride + c_stride * 0.5))) + 2
+    pad_l = jnp.pad(n_luma, pad, mode="edge")
+    pad_r = jnp.pad(n_r_y, pad, mode="edge")
+    pad_b = jnp.pad(n_b_y, pad, mode="edge")
+
+    def select_taps(planes, off_x, off_y, lo_x, hi_x, lo_y, hi_y):
+        outs = [jnp.zeros((h, w), jnp.float32) for _ in planes]
+        for oy in range(lo_y, hi_y + 1):
+            my = off_y == oy
+            for ox in range(lo_x, hi_x + 1):
+                m = (my & (off_x == ox)).astype(jnp.float32)
+                for i, p in enumerate(planes):
+                    outs[i] = outs[i] + m * _shift_plane(p, ox, oy, pad, h, w)
+        return outs
+
+    def cand(center: float, amp: float) -> tuple[int, int]:
+        return (
+            int(math.floor(center - amp + 0.5)) - 1,
+            int(math.floor(center + amp + 0.5)) + 1,
+        )
+
+    # ------------------------------------------------------------- luma pass
+    new_luma = center_luma
+    if luma_a > 0.001:
+        h1 = hash2(xs, ys)
+        h2 = hash2(xs + 17.31, ys + 71.13)
+        jx = (h1 - 0.5) * 2.0 * extra
+        jy = (h2 - 0.5) * 2.0 * extra
+
+        samp_luma = [center_luma]
+        samp_spat = [1.0]
+        lmin = center_luma
+        lmax = center_luma
+        for dx, dy in _OFFSETS:
+            ring = max(abs(dx), abs(dy))
+            grow = 1.0 + extra * (1.0 if ring == 2 else 0.5)
+            off_x = jnp.round(dx * grow + jx).astype(jnp.int32)
+            off_y = jnp.round(dy * grow + jy).astype(jnp.int32)
+            lo_x, hi_x = cand(dx * grow, extra)
+            lo_y, hi_y = cand(dy * grow, extra)
+            (s_luma,) = select_taps([pad_l], off_x, off_y, lo_x, hi_x, lo_y, hi_y)
+            samp_luma.append(s_luma)
+            samp_spat.append(math.exp(float(dx * dx + dy * dy) * l_spat_n))
+            lmin = jnp.minimum(lmin, s_luma)
+            lmax = jnp.maximum(lmax, s_luma)
+
+        luma_range = lmax - lmin
+        edge_strength = smoothstep(0.04, 0.20, luma_range)
+        edge_midpoint = (lmin + lmax) * 0.5
+        center_side = center_luma > edge_midpoint
+        l_range_tol = mix(
+            mix(0.025, 0.075, l_curve), mix(0.010, 0.025, l_curve), edge_strength
+        )
+
+        sum_a = jnp.zeros_like(center_luma)
+        w_a = jnp.zeros_like(center_luma)
+        gates = []
+        for s_luma, s_spat in zip(samp_luma, samp_spat):
+            diff = jnp.abs(s_luma - center_luma)
+            g_range = 1.0 - smoothstep(l_range_tol * 0.6, l_range_tol, diff)
+            s_side = s_luma > edge_midpoint
+            g_side = jnp.where(s_side == center_side, 1.0, 0.0)
+            g_edge = mix(1.0, g_side, edge_strength)
+            wgt = s_spat * g_range * g_edge
+            gates.append(wgt)
+            sum_a = sum_a + s_luma * wgt
+            w_a = w_a + wgt
+        initial_mean = sum_a / jnp.maximum(w_a, 1e-4)
+
+        outlier_tol = mix(0.07, 0.025, edge_strength)
+        sum_b = jnp.zeros_like(center_luma)
+        w_b = jnp.zeros_like(center_luma)
+        for s_luma, init_w in zip(samp_luma, gates):
+            d = s_luma - initial_mean
+            r = jnp.abs(d) / outlier_tol
+            bisq = jnp.maximum(0.0, 1.0 - r * r)
+            wgt = init_w * bisq * bisq
+            wgt = jnp.where(init_w > 0.0001, wgt, 0.0)
+            sum_b = sum_b + s_luma * wgt
+            w_b = w_b + wgt
+        robust_luma = jnp.where(
+            w_b > 0.01, sum_b / jnp.maximum(w_b, 1e-6), initial_mean
+        )
+        strength = luma_a * mix(1.0, 0.6, edge_strength)
+        new_luma = mix(center_luma, robust_luma, strength)
+
+    # ------------------------------------------------------------ color pass
+    new_chroma = center_chroma
+    if color_a > 0.001:
+        center_r_y = center_linear[0] - center_luma
+        center_b_y = center_linear[2] - center_luma
+        c_spatial = 2.0 + 1.5 * c_curve
+        c_spat_n = -1.0 / max(2.0 * c_spatial * c_spatial, 1e-6)
+        luma_tol = 0.12 + (0.04 - 0.12) * c_curve
+        luma_n = -1.0 / max(2.0 * luma_tol * luma_tol, 1e-6)
+        chroma_tol = 0.20 + (0.08 - 0.20) * c_curve
+        chroma_n = -1.0 / max(2.0 * chroma_tol * chroma_tol, 1e-6)
+
+        jh1 = hash2(xs + 43.7, ys + 91.1)
+        jh2 = hash2(xs + 73.3, ys + 17.9)
+        cjx = (jh1 - 0.5) * c_stride * 0.5
+        cjy = (jh2 - 0.5) * c_stride * 0.5
+        amp = c_stride * 0.5 * 0.5  # |cj| < c_stride/4
+
+        sum_r = center_r_y
+        sum_bv = center_b_y
+        w_sum = jnp.ones_like(center_r_y)
+        for dx, dy in _OFFSETS:
+            off_x = jnp.round(dx * c_stride + cjx).astype(jnp.int32)
+            off_y = jnp.round(dy * c_stride + cjy).astype(jnp.int32)
+            lo_x, hi_x = cand(dx * c_stride, amp)
+            lo_y, hi_y = cand(dy * c_stride, amp)
+            s_luma, s_r_y, s_b_y = select_taps(
+                [pad_l, pad_r, pad_b], off_x, off_y, lo_x, hi_x, lo_y, hi_y
+            )
             w_s = math.exp(float(dx * dx + dy * dy) * c_spat_n)
             dl = s_luma - center_luma
             w_l = jnp.exp(dl * dl * luma_n)

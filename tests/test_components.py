@@ -259,3 +259,35 @@ def test_spatial_mesh_with_nr_matches_single_device():
     assert d.mean() < 1e-5
     assert (d > 1e-3).mean() < 0.005
     assert d.max() < 0.02
+
+
+def test_nr_exact_jitter_matches_gather_spec():
+    """RAPIDRAW_NR_EXACT_JITTER=1 routes static-amount NR through the
+    candidate-mask slice formulation, which must reproduce the jittered
+    gather path (the WGSL spec semantics incl. the per-pixel hash tap
+    jitter) to float precision."""
+    import os
+
+    import jax.numpy as jnp
+
+    from rapidraw_tpu.ops.nr import (
+        _apply_nr_jittered_slices,
+        apply_noise_reduction,
+    )
+
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.random((3, 64, 96), dtype=np.float32))
+    lin = img * 0.8
+    gathered = apply_noise_reduction(lin, img, 0.3, 0.25, 3.79, False)
+    sliced = _apply_nr_jittered_slices(lin, img, 0.3, 0.25, 3.79, False)
+    assert float(jnp.abs(gathered - sliced).max()) < 2e-6
+
+    # env opt-in routes the static path through it
+    os.environ["RAPIDRAW_NR_EXACT_JITTER"] = "1"
+    try:
+        routed = apply_noise_reduction(
+            lin, img, 0.3, 0.25, 3.79, False, static_luma=0.3, static_color=0.25
+        )
+    finally:
+        del os.environ["RAPIDRAW_NR_EXACT_JITTER"]
+    assert float(jnp.abs(gathered - routed).max()) < 2e-6
