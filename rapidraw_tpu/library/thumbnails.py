@@ -31,6 +31,27 @@ def thumbnail_cache_key(path: str, adjustments: dict) -> str:
     return h.hexdigest()
 
 
+def _cr3_preview_thumbnail(path: str, resolution: int) -> bytes | None:
+    """Downscaled JPEG from a CR3's embedded PRVW box (io/cr3.py)."""
+    import io as _io
+
+    from PIL import Image
+
+    from rapidraw_tpu.io.cr3 import parse_cr3_info
+
+    try:
+        info = parse_cr3_info(Path(path).read_bytes())
+    except Exception:  # noqa: BLE001
+        return None
+    if not info.preview_jpeg:
+        return None
+    im = Image.open(_io.BytesIO(info.preview_jpeg)).convert("RGB")
+    im.thumbnail((resolution, resolution))
+    buf = _io.BytesIO()
+    im.save(buf, "JPEG", quality=85)
+    return buf.getvalue()
+
+
 def generate_thumbnail(
     path: str,
     resolution: int = 720,
@@ -64,7 +85,22 @@ def generate_thumbnail(
 
     from rapidraw_tpu.params.parse import is_image_edited
 
-    img, is_raw = load_image(path)
+    try:
+        img, is_raw = load_image(path)
+    except Exception as e:  # noqa: BLE001
+        from rapidraw_tpu.io.containers import UnsupportedRawFormat
+
+        if isinstance(e, UnsupportedRawFormat) and str(path).lower().endswith(".cr3"):
+            # CR3: the crx payload can't be decoded, but the container
+            # carries a full-size PRVW JPEG — browse with that (the
+            # develop chain stays unavailable, matching the refusal)
+            data = _cr3_preview_thumbnail(path, resolution)
+            if data is not None:
+                if cache_file is not None:
+                    cache_file.parent.mkdir(parents=True, exist_ok=True)
+                    cache_file.write_bytes(data)
+                return data
+        raise
     x = jnp.asarray(img)
 
     if not is_raw and not is_image_edited(adjustments, is_raw):

@@ -202,3 +202,41 @@ def test_exif_write_through_all_formats(tmp_path):
             np.testing.assert_array_equal(back, arr)
         else:
             assert back.shape == arr.shape
+
+
+def test_cr3_thumbnail_from_embedded_preview(tmp_path):
+    """CR3 raw decode is refused (crx unpublished), but the thumbnail path
+    serves the container's embedded PRVW JPEG so library browsing works."""
+    import io as _io
+    import struct
+    import sys
+
+    sys.path.insert(0, str(tmp_path.parent))  # noqa: keep local imports sane
+    from rapidraw_tpu.io.cr3 import CANON_UUID
+    from rapidraw_tpu.library.thumbnails import generate_thumbnail
+
+    # preview JPEG
+    buf = _io.BytesIO()
+    Image.fromarray(
+        (np.random.default_rng(0).random((120, 160, 3)) * 255).astype(np.uint8)
+    ).save(buf, "JPEG")
+    jpeg = buf.getvalue()
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    # PRVW payload: 4 unknown + u16 unknown + u16 w + u16 h + u16 unknown
+    # + u32 jpeg length at offset 12, jpeg at 16 (io/cr3.py)
+    payload = (b"\0" * 4 + struct.pack(">HHH", 0, 160, 120) + b"\0\0"
+               + struct.pack(">I", len(jpeg)) + jpeg)
+    prvw = box(b"PRVW", payload)
+    canon = box(b"uuid", CANON_UUID + prvw)
+    moov = box(b"moov", canon)
+    ftyp = box(b"ftyp", b"crx " + b"\0\0\0\x01" + b"crx isom")
+    p = tmp_path / "shot.cr3"
+    p.write_bytes(ftyp + moov)
+
+    data = generate_thumbnail(str(p), resolution=64, cache_dir=tmp_path / "c")
+    assert data[:2] == b"\xff\xd8"
+    im = Image.open(_io.BytesIO(data))
+    assert max(im.size) == 64
