@@ -192,16 +192,20 @@ def _bench_develop_doc(doc: dict, metric: str, masks_json: bool = False) -> None
     params, cfg = stack_params([p for p, _ in parsed], [c for _, c in parsed])
 
     masks = None
+    blur_bands = None
     if masks_json:
         from rapidraw_tpu.masks.rasterize import rasterize_masks
+        from rapidraw_tpu.pipeline.bands import blur_band_rows
 
         m = rasterize_masks(doc, W, H, scale=1.0)
+        blur_bands = blur_band_rows(cfg, m)
         masks = jnp.asarray(np.stack([m] * BATCH))
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.random((BATCH, 3, H, W), dtype=np.float32))
 
-    fn = jax.jit(lambda imgs, p, mk: develop_batch(imgs, p, cfg, masks=mk))
+    fn = jax.jit(lambda imgs, p, mk: develop_batch(
+        imgs, p, cfg, masks=mk, blur_bands=blur_bands))
     out = fn(images, params, masks)
     _ = float(out[0, 0, 0, 0])  # compile + warm
 

@@ -43,7 +43,7 @@ def make_mesh(devices=None, batch: int | None = None, spatial: int | None = None
     return Mesh(arr, ("batch", "x"))
 
 
-def sharded_develop_batch(mesh: Mesh, cfg: DevelopConfig):
+def sharded_develop_batch(mesh: Mesh, cfg: DevelopConfig, blur_bands=None):
     """jit develop_batch with batch+spatial shardings over `mesh`.
 
     Returns fn(images (B,3,H,W), params, masks|None) -> (B,3,H,W); B must be
@@ -71,7 +71,9 @@ def sharded_develop_batch(mesh: Mesh, cfg: DevelopConfig):
 
     if not spatial:
         def body(images, params, masks):
-            out = develop_batch(images, params, cfg, masks=masks)
+            out = develop_batch(
+                images, params, cfg, masks=masks, blur_bands=blur_bands
+            )
             return out
 
         @jax.jit
@@ -99,7 +101,12 @@ def sharded_develop_batch(mesh: Mesh, cfg: DevelopConfig):
         token = blur_mod.FORCE_CONV.set(True)
         token_nr = nr_mod.FORCE_XLA.set(True)
         try:
-            out = develop_batch(images, params, cfg, masks=masks, fused=False)
+            # row bands slice/pad the H axis, which the spatial regime never
+            # shards (x shards W) — SPMD-safe
+            out = develop_batch(
+                images, params, cfg, masks=masks, fused=False,
+                blur_bands=blur_bands,
+            )
         finally:
             nr_mod.FORCE_XLA.reset(token_nr)
             blur_mod.FORCE_CONV.reset(token)

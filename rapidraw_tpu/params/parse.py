@@ -150,6 +150,14 @@ class DevelopConfig:
     # doc touches 2-3 fields per mask, so this cuts the per-pixel
     # influence-FMA count ~2-3x inside the megakernel)
     mask_blend_masks: tuple = ()
+    # blur-pyramid levels whose consumers' GLOBAL amounts are all statically
+    # zero (only masks drive them): ((level_key, contributing_mask_indices),
+    # ...). Outside those masks' support the effective amount is exactly 0
+    # and every consumer is exactly identity, so the level only needs to be
+    # computed over the masks' row band (pipeline.bands.blur_band_rows) —
+    # the TPU analog of the reference only paying for blur texels a mask
+    # actually reads (shader.wgsl consumers are amount-gated per pixel).
+    blur_band_masks: tuple = ()
     vignette_active: bool = False
     curves_active: bool = False
     mask_curves_active: bool = False
@@ -420,6 +428,30 @@ def parse_adjustments(
     )
     mask_hsl_active = any((np.abs(m["hsl"]) > 0).any() for m in mask_sets)
 
+    # band-restrictable blur levels: the level's global consumers are ALL
+    # statically zero and at least one mask drives a consumer field.
+    # Per-level consumers follow the *_blur_needed properties:
+    #   sharp     <- sharpness (global + mask)
+    #   tonal     <- shadows/blacks spatial multiplier
+    #   clarity   <- clarity, centre (global-only), halation
+    #   structure <- structure, dehaze, glow
+    def _contrib(*keys):
+        return tuple(sorted({
+            n for k in keys for n, mset in enumerate(mask_sets) if _nz(mset[k])
+        }))
+
+    blur_band_masks = []
+    for level, gkeys, mkeys in (
+        ("sharp", ("sharpness",), ("sharpness",)),
+        ("tonal", ("shadows", "blacks"), ("shadows", "blacks")),
+        ("clarity", ("clarity", "centre", "halation"), ("clarity", "halation")),
+        ("structure", ("structure", "dehaze", "glow"),
+         ("structure", "dehaze", "glow")),
+    ):
+        idx = _contrib(*mkeys)
+        if idx and not _nz(*[g[k] for k in gkeys]):
+            blur_band_masks.append((level, idx))
+
     cfg = DevelopConfig(
         is_raw=is_raw,
         tonemapper_agx=meta["tonemapper_agx"],
@@ -470,6 +502,7 @@ def parse_adjustments(
         mask_hsl_active=mask_hsl_active,
         mask_blend_fields=mask_blend_fields,
         mask_blend_masks=mask_blend_masks,
+        blur_band_masks=tuple(blur_band_masks),
         vignette_active=_nz(g["vignette_amount"]),
         curves_active=not curve_set_is_identity(g["curves"]),
         mask_curves_active=mask_curves_active,
@@ -510,6 +543,27 @@ def merge_configs(configs: list[DevelopConfig]) -> DevelopConfig:
                 }))
                 for f in merged_fields
             )
+        elif name == "blur_band_masks":
+            # a level stays band-restricted only if EVERY doc that needs it
+            # is band-eligible (one global consumer anywhere forces the full
+            # level); contributing mask indices union across docs
+            needed = {
+                "sharp": lambda c: c.sharpness_blur_needed,
+                "tonal": lambda c: c.tonal_blur_needed,
+                "clarity": lambda c: c.clarity_blur_needed,
+                "structure": lambda c: c.structure_blur_needed,
+            }
+            merged = []
+            for key in ("sharp", "tonal", "clarity", "structure"):
+                per_doc = [dict(c.blur_band_masks).get(key) for c in configs]
+                if any(d is not None for d in per_doc) and all(
+                    d is not None or not needed[key](c)
+                    for c, d in zip(configs, per_doc)
+                ):
+                    merged.append((key, tuple(sorted(
+                        {n for d in per_doc if d for n in d}
+                    ))))
+            fields[name] = tuple(merged)
         elif name in ("is_raw", "tonemapper_agx"):
             if len(set(vals)) > 1:
                 raise ValueError(f"cannot batch mixed {name!r} documents in one compile")

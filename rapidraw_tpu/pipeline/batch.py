@@ -104,6 +104,7 @@ def develop_batch(
     lut: jnp.ndarray | None = None,
     flare: jnp.ndarray | None = None,
     fused: bool | None = None,
+    blur_bands: tuple | None = None,
 ) -> jnp.ndarray:
     """Develop planar (B, 3, H, W) images with per-image stacked params.
 
@@ -112,6 +113,9 @@ def develop_batch(
     env RAPIDRAW_FUSED override). The spatially-sharded multi-chip path
     passes False — pallas_call has no SPMD partitioning rule, so XLA would
     gather+replicate it across shards.
+    blur_bands: static ((level, y0, y1), ...) row bands for mask-only blur
+    levels (pipeline.bands.blur_band_rows over THIS batch's mask bitmaps) —
+    exact, skips blur work outside the masks' support.
     """
     if fused is None:
         fused = _use_fused(cfg)
@@ -127,7 +131,9 @@ def develop_batch(
             # one megakernel launch for the whole batch: a leading grid
             # dimension replaces the host-side per-image slicing/stacking
             # that cost ~2 ms/frame at 24MP
-            return develop_fused_batch(images, params, cfg, masks=masks)
+            return develop_fused_batch(
+                images, params, cfg, masks=masks, blur_bands=blur_bands
+            )
         if b <= _UNROLL_MAX:
             # small batches unroll: lax.scan's per-step dynamic input slice
             # and output update each copy a full 300 MB frame — measured
@@ -140,7 +146,7 @@ def develop_batch(
                 mk_i = None if masks is None else masks[i]
                 outs.append(
                     develop_fused(images[i], p_i, cfg, masks=mk_i, lut=lut,
-                                  flare=flare)
+                                  flare=flare, blur_bands=blur_bands)
                 )
             return jnp.stack(outs)
 
@@ -152,12 +158,16 @@ def develop_batch(
                 mk = None
             else:
                 img, p, mk = xs
-            return None, develop_fused(img, p, cfg, masks=mk, lut=lut, flare=flare)
+            return None, develop_fused(
+                img, p, cfg, masks=mk, lut=lut, flare=flare, blur_bands=blur_bands
+            )
 
         xs = (images, params) if masks is None else (images, params, masks)
         _, out = jax.lax.scan(body, None, xs)
         return out
-    fn = lambda img, p, mk: develop(img, p, cfg, masks=mk, lut=lut, flare=flare)
+    fn = lambda img, p, mk: develop(
+        img, p, cfg, masks=mk, lut=lut, flare=flare, blur_bands=blur_bands
+    )
     if masks is None and cfg.mask_count == 0:
         return jax.vmap(lambda img, p: fn(img, p, None))(images, params)
     return jax.vmap(fn)(images, params, masks)

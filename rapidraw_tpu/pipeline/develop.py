@@ -75,6 +75,7 @@ def prepare_inputs(
     full_size: tuple[int, int] | None = None,
     tile_offset: tuple[int, int] = (0, 0),
     linearize_image: bool = True,
+    blur_bands: tuple | None = None,
 ):
     """Shared front half: CA, linearize, NR, blur pyramid, flare sampling.
 
@@ -82,6 +83,11 @@ def prepare_inputs(
     `linearize_blurs=False` leaves the blur levels in input space — the
     fused megakernel linearizes them per tile in VMEM instead, saving one
     full HBM round-trip per level.
+    `blur_bands`: static ((level_key, y0, y1), ...) from
+    pipeline.bands.blur_band_rows — levels listed there are computed only
+    over [y0, y1) rows (mask-only consumers; exact: outside the band the
+    effective amounts are zero and the consumers are identity). Ignored on
+    the tiled path (full_size != image dims — bands are full-image rows).
     """
     g = params["glob"]
     m = params["mask"]
@@ -147,11 +153,42 @@ def prepare_inputs(
     if need:
         from rapidraw_tpu.ops.blur import gaussian_blur_multi
 
-        levels = gaussian_blur_multi(input_rgb, tuple(r for _, r in need))
-        for (key, _), b in zip(need, levels):
-            blurs[key] = (
-                b if (is_raw or not linearize_blurs) else cs.srgb_to_linear(b)
-            )
+        def _lin(b):
+            return b if (is_raw or not linearize_blurs) else cs.srgb_to_linear(b)
+
+        bands = {}
+        if blur_bands and (w_full, h_full) == (w, h):
+            valid = {k for k, _ in need}
+            bands = {
+                k: (y0, y1) for k, y0, y1 in blur_bands
+                if k in valid and 0 <= y0 < y1 <= h and (y1 - y0) < h
+            }
+        full_need = [(k, r) for k, r in need if k not in bands]
+        band_need = [(k, r) for k, r in need if k in bands]
+        if full_need:
+            levels = gaussian_blur_multi(input_rgb, tuple(r for _, r in full_need))
+            for (key, _), b in zip(full_need, levels):
+                blurs[key] = _lin(b)
+        if band_need:
+            # per-band launches: a shared union slice wastes (union - own)
+            # rows per level — measured 6.0 vs 4.1 ms on config-4's bands
+            # (tools/prof_band_blur.py); levels share a launch only when
+            # their bands coincide. The max-radius halo makes each level's
+            # band rows exact full-image blur values (edge clamp only ever
+            # lands in the halo).
+            groups: dict = {}
+            for k, r in band_need:
+                groups.setdefault(bands[k], []).append((k, r))
+            for (y0, y1), items in groups.items():
+                rmax = max(r for _, r in items)
+                lo = max(0, y0 - rmax)
+                hi = min(h, y1 + rmax)
+                levels = gaussian_blur_multi(
+                    input_rgb[:, lo:hi], tuple(r for _, r in items)
+                )
+                for (key, _), b in zip(items, levels):
+                    band = _lin(b[:, y0 - lo : y1 - lo])
+                    blurs[key] = jnp.pad(band, ((0, 0), (y0, h - y1), (0, 0)))
 
     flare_rgb = None
     if cfg.flare_active:
@@ -187,6 +224,7 @@ def develop(
     flare: jnp.ndarray | None = None,
     tile_offset: tuple[int, int] = (0, 0),
     full_size: tuple[int, int] | None = None,
+    blur_bands: tuple | None = None,
 ) -> jnp.ndarray:
     """Develop one image.
 
@@ -216,7 +254,7 @@ def develop(
 
     initial_linear, blurs, flare_rgb, gated_infl, scale = prepare_inputs(
         image, params, cfg, masks, flare, full_size=full_size,
-        tile_offset=tile_offset,
+        tile_offset=tile_offset, blur_bands=blur_bands,
     )
 
     ys = (

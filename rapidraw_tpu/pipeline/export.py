@@ -96,20 +96,20 @@ def _device_u8(x):
     return _u8_jit(x)
 
 
-def _jitted_develop(cfg):
+def _jitted_develop(cfg, blur_bands=None):
     from rapidraw_tpu.pipeline.batch import develop_batch
 
-    key = ("batch", cfg)
+    key = ("batch", cfg, blur_bands)
     if key not in _jit_cache:
         _jit_cache[key] = jax.jit(
             lambda imgs, p, masks=None, lut=None: develop_batch(
-                imgs, p, cfg, masks=masks, lut=lut
+                imgs, p, cfg, masks=masks, lut=lut, blur_bands=blur_bands
             )
         )
     return _jit_cache[key]
 
 
-def _render_chunk(imgs, params, masks, lut, cfg) -> np.ndarray:
+def _render_chunk(imgs, params, masks, lut, cfg, blur_bands=None) -> np.ndarray:
     """Develop one export chunk, sharded across every visible chip.
 
     Multi-device: images/params/masks shard over the mesh batch axis
@@ -124,10 +124,12 @@ def _render_chunk(imgs, params, masks, lut, cfg) -> np.ndarray:
     if jax.device_count() > 1 and lut is None:
         from rapidraw_tpu.parallel.mesh import make_mesh, sharded_develop_batch
 
-        key = ("mesh", cfg)
+        key = ("mesh", cfg, blur_bands)
         if key not in _jit_cache:
             mesh = make_mesh()
-            _jit_cache[key] = (mesh, sharded_develop_batch(mesh, cfg))
+            _jit_cache[key] = (
+                mesh, sharded_develop_batch(mesh, cfg, blur_bands=blur_bands)
+            )
         mesh, fn = _jit_cache[key]
         b = imgs.shape[0]
         pad = (-b) % mesh.shape["batch"]
@@ -140,7 +142,9 @@ def _render_chunk(imgs, params, masks, lut, cfg) -> np.ndarray:
             if masks is not None:
                 masks = rep(masks)
         return np.asarray(_device_u8(fn(imgs, params, masks)))[:b]
-    return np.asarray(_device_u8(_jitted_develop(cfg)(imgs, params, masks, lut)))
+    return np.asarray(
+        _device_u8(_jitted_develop(cfg, blur_bands)(imgs, params, masks, lut))
+    )
 
 
 def _prepare_one(path: str, settings: ExportSettings):
@@ -457,6 +461,7 @@ def export_images(
             [c["params"] for c in chunk], [c["cfg"] for c in chunk], cfg=bucket_cfg
         )
         masks = None
+        blur_bands = None
         if cfg.mask_count > 0:
             n = cfg.mask_count
             h, w = imgs.shape[-2:]
@@ -466,10 +471,14 @@ def export_images(
                 if m.shape[0] < n:
                     m = np.concatenate([m, np.zeros((n - m.shape[0], h, w), np.float32)])
                 mstack.append(m[:n])
-            masks = jnp.asarray(np.stack(mstack))
+            mnp = np.stack(mstack)
+            from rapidraw_tpu.pipeline.bands import blur_band_rows
+
+            blur_bands = blur_band_rows(cfg, mnp)
+            masks = jnp.asarray(mnp)
         lut = jnp.asarray(chunk[0]["lut"]) if chunk[0]["lut"] is not None else None
 
-        out = _render_chunk(imgs, params, masks, lut, cfg)
+        out = _render_chunk(imgs, params, masks, lut, cfg, blur_bands=blur_bands)
         dt = time.perf_counter() - t0
         tasks = []
         for b, c in enumerate(chunk):

@@ -213,6 +213,7 @@ def develop_fused(
     flare: jnp.ndarray | None = None,
     tile_offset: tuple[int, int] = (0, 0),
     full_size: tuple[int, int] | None = None,
+    blur_bands: tuple | None = None,
 ) -> jnp.ndarray:
     """Drop-in replacement for pipeline.develop.develop on TPU.
 
@@ -232,7 +233,7 @@ def develop_fused(
     initial_linear, blurs, flare_rgb, gated_infl, scale = prepare_inputs(
         image, params, cfg, masks, flare, linearize_blurs=False,
         linearize_image=not kernel_linearize_image,
-        full_size=full_size, tile_offset=tile_offset,
+        full_size=full_size, tile_offset=tile_offset, blur_bands=blur_bands,
     )
 
     params_t = dict(_trim_param_curves(params, cfg.curve_segments))
@@ -341,6 +342,7 @@ def develop_fused_batch(
     params: dict,
     cfg: DevelopConfig,
     masks: jnp.ndarray | None = None,
+    blur_bands: tuple | None = None,
 ) -> jnp.ndarray:
     """Develop a whole (B, 3, H, W) batch in ONE megakernel launch.
 
@@ -381,10 +383,42 @@ def develop_fused_batch(
     if need:
         from rapidraw_tpu.ops.blur import gaussian_blur_multi
 
-        levels = gaussian_blur_multi(flat, tuple(r for _, r in need))
-        for (key, _), blurred in zip(need, levels):
-            blur_keys.append(key)
-            tile_inputs.append(blurred.reshape(b, 3, h, w))
+        bands = {}
+        if blur_bands:
+            valid = {k for k, _ in need}
+            bands = {
+                k: (y0, y1) for k, y0, y1 in blur_bands
+                if k in valid and 0 <= y0 < y1 <= h and (y1 - y0) < h
+            }
+        full_need = [(k, r) for k, r in need if k not in bands]
+        band_need = [(k, r) for k, r in need if k in bands]
+        if full_need:
+            levels = gaussian_blur_multi(flat, tuple(r for _, r in full_need))
+            for (key, _), blurred in zip(full_need, levels):
+                blur_keys.append(key)
+                tile_inputs.append(blurred.reshape(b, 3, h, w))
+        if band_need:
+            # mask-only level(s): blur just each level's row band (+radius
+            # halo); rows outside are zeros the amount-gated consumers never
+            # observe (pipeline.bands). Per-band launches — a shared union
+            # slice measured slower (tools/prof_band_blur.py).
+            groups: dict = {}
+            for k, r in band_need:
+                groups.setdefault(bands[k], []).append((k, r))
+            for (y0, y1), items in groups.items():
+                rmax = max(r for _, r in items)
+                lo = max(0, y0 - rmax)
+                hi = min(h, y1 + rmax)
+                levels = gaussian_blur_multi(
+                    flat[:, lo:hi], tuple(r for _, r in items)
+                )
+                for (key, _), blurred in zip(items, levels):
+                    band = jnp.pad(
+                        blurred[:, y0 - lo : y1 - lo],
+                        ((0, 0), (y0, h - y1), (0, 0)),
+                    )
+                    blur_keys.append(key)
+                    tile_inputs.append(band.reshape(b, 3, h, w))
 
     has_masks = cfg.mask_count > 0
     if has_masks:
