@@ -10,8 +10,10 @@ Containers:
   TIFF-family: DNG/TIFF (io/dng.py), CR2/NEF/PEF/ARW/ORF/RW2
   (io/makers.py — incl. the Olympus predictive and Panasonic 12-bit
   bitstreams via native/pana_oly.cc).
-  Detected-but-unsupported: CR3 (ISO BMFF), X3F (Foveon) — clear
-  UnsupportedRawFormat.
+  CR3 (ISO BMFF): io/cr3.py + io/crx.py decode the lossless crx dialect
+  (native/crx.cc); payloads that don't match the implemented structure
+  refuse precisely with container metadata + preview still served.
+  Detected-but-unsupported: X3F (Foveon) — clear UnsupportedRawFormat.
 """
 
 from __future__ import annotations
@@ -21,7 +23,7 @@ import struct
 from rapidraw_tpu.io.dng import DngError, RawFile, parse_dng
 
 SUPPORTED_FORMATS = (
-    "dng", "tiff", "cr2", "nef", "nrw", "pef", "arw", "srf", "sr2",
+    "dng", "tiff", "cr2", "cr3", "nef", "nrw", "pef", "arw", "srf", "sr2",
     "orf", "rw2", "raf",
 )
 

@@ -190,3 +190,51 @@ def ljpeg_decode(stream: bytes):
         n = w.value * h.value * nc.value
         return buf[:n].reshape(h.value, w.value * nc.value).copy()
     raise ValueError("ljpeg stream too large")
+
+
+def crx_decode(sample: bytes, planes: int, pw: int, ph: int):
+    """Decode one crx-class tile sample -> uint16 (planes, ph, pw).
+
+    Strictly validates the ff01/ff02/ff03 framing; raises ValueError on any
+    mismatch (io/cr3.py treats that as "not our crx dialect" and falls back
+    to its precise refusal).
+    """
+    import numpy as np
+
+    lib = load("crx")
+    fn = lib.crx_decode
+    fn.restype = ctypes.c_int
+    fn.argtypes = [
+        ctypes.c_char_p, ctypes.c_longlong,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint16),
+    ]
+    out = np.empty((planes, ph, pw), np.uint16)
+    rc = fn(sample, len(sample), planes, pw, ph,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    if rc != 0:
+        raise ValueError(f"crx decode failed (code {rc})")
+    return out
+
+
+def crx_encode(planes_arr) -> bytes:
+    """Encode uint16 (planes, ph, pw) as one crx-class tile sample."""
+    import numpy as np
+
+    a = np.ascontiguousarray(planes_arr, np.uint16)
+    planes, ph, pw = a.shape
+    lib = load("crx")
+    fn = lib.crx_encode
+    fn.restype = ctypes.c_longlong
+    fn.argtypes = [
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_longlong,
+    ]
+    cap = a.nbytes * 2 + 4096
+    buf = (ctypes.c_ubyte * cap)()
+    n = fn(a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+           planes, pw, ph, buf, cap)
+    if n < 0:
+        raise ValueError(f"crx encode failed (code {n})")
+    return bytes(buf[: int(n)])
