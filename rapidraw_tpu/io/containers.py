@@ -24,7 +24,7 @@ from rapidraw_tpu.io.dng import DngError, RawFile, parse_dng
 
 SUPPORTED_FORMATS = (
     "dng", "tiff", "cr2", "cr3", "nef", "nrw", "pef", "arw", "srf", "sr2",
-    "orf", "rw2", "raf",
+    "orf", "rw2", "rwl", "raf",
 )
 
 

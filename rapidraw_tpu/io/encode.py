@@ -41,9 +41,15 @@ def encode_image(
     elif fmt == "webp":
         im.save(path, "WEBP", quality=quality)
     elif fmt in ("avif", "jxl"):
+        # reference encodes both lossy (quality) and lossless (q>=100)
+        # variants (export_processing.rs:388-469); JXL needs a plugin in
+        # some PIL builds — gate with an actionable error either way
+        kwargs = {"quality": quality}
+        if quality >= 100:
+            kwargs = {"quality": 100, "lossless": True} if fmt == "jxl" else {"quality": 100}
         try:
-            im.save(path)
-        except (KeyError, OSError) as e:
+            im.save(path, fmt.upper(), **kwargs)
+        except (KeyError, OSError, TypeError) as e:
             raise ValueError(f"format {fmt!r} not supported by this PIL build: {e}") from e
     else:
         raise ValueError(f"unsupported export format: {fmt}")

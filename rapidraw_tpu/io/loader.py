@@ -17,7 +17,8 @@ import numpy as np
 
 RAW_EXTENSIONS = {
     "dng", "cr2", "cr3", "nef", "nrw", "arw", "srf", "sr2", "raf", "orf",
-    "rw2", "pef", "dcr", "kdc", "mos", "mrw", "raw", "3fr", "erf", "x3f", "iiq",
+    "rw2", "rwl", "pef", "dcr", "kdc", "mos", "mrw", "raw", "3fr", "erf",
+    "x3f", "iiq",
 }
 
 

@@ -153,3 +153,24 @@ def test_mixed_docs_bucket_and_merge(tmp_path):
     results = export_images(paths, out, ExportSettings(batch_size=4))
     assert all(r.ok for r in results), [r.error for r in results]
     assert len(list(out.glob("*.jpg"))) == 3
+
+
+def test_encode_avif_lossy_and_lossless(tmp_path):
+    """AVIF export (export_processing.rs:388-469): lossy honors quality,
+    q>=100 selects the lossless variant; unsupported builds raise an
+    actionable ValueError instead of writing nothing."""
+    from rapidraw_tpu.io.encode import encode_image
+
+    rng = np.random.default_rng(5)
+    img = rng.random((3, 40, 48), dtype=np.float32)
+    try:
+        encode_image(img, tmp_path / "a.avif", "avif", 60)
+        encode_image(img, tmp_path / "b.avif", "avif", 100)
+    except ValueError as e:
+        assert "not supported by this PIL build" in str(e)
+        return
+    from PIL import Image
+
+    lossy = Image.open(tmp_path / "a.avif")
+    assert lossy.size == (48, 40)
+    assert (tmp_path / "b.avif").stat().st_size > (tmp_path / "a.avif").stat().st_size

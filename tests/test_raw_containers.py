@@ -1065,3 +1065,32 @@ def test_xtrans_directional_edge_quality():
     err = np.abs(out - rgb)[:, 4:-4, 4:-4]
     assert err.max() < 0.2, err.max()
     assert err.mean() < 0.004, err.mean()
+
+
+def test_rwl_routes_to_rw2_parser(tmp_path):
+    """Leica RWL shares Panasonic's RW2 container (magic 85); the loader
+    must accept the extension and the sniffer route it by magic."""
+    _skip_if_no_native()
+    from rapidraw_tpu.io.loader import is_raw_file
+
+    rng = np.random.default_rng(22)
+    h, w = 20, 56
+    stream, expected = _encode_rw2_stream(h, w, rng)
+    ifd = Ifd([
+        (0x0001, 1, bytes([4, 0, 0, 0])),
+        (0x0002, 3, [w]), (0x0003, 3, [h]),
+        (0x0004, 3, [2]), (0x0005, 3, [4]),
+        (0x0006, 3, [h]), (0x0007, 3, [w]),
+        (0x0009, 3, [1]),
+        (0x000A, 3, [12]),
+        (0x001C, 3, [143]), (0x001D, 3, [143]), (0x001E, 3, [143]),
+        (0x0024, 3, [520]), (0x0025, 3, [263]), (0x0026, 3, [410]),
+        (0x0118, 4, ("blob", stream)),
+    ])
+    data = bytearray(build_tiff([ifd]))
+    data[2:4] = b"U\0"
+    data = bytes(data)
+    assert is_raw_file(tmp_path / "leica.rwl")
+    assert sniff_container(data, "rwl") == "rw2"
+    r = parse_raw(data, ext="rwl")
+    np.testing.assert_array_equal(r.cfa, expected[2:, 4:] & 0xFFFF)
