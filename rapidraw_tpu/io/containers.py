@@ -118,9 +118,7 @@ def sniff_container(data: bytes, ext: str = "") -> str:
     return "unknown"
 
 
-def parse_raw(data: bytes, ext: str = "") -> RawFile:
-    """Decode any supported RAW container to a RawFile."""
-    kind = sniff_container(data, ext)
+def _dispatch(kind: str, data: bytes) -> RawFile | None:
     if kind == "tiff":
         return parse_dng(data)
     if kind == "cr2":
@@ -155,11 +153,30 @@ def parse_raw(data: bytes, ext: str = "") -> RawFile:
         from rapidraw_tpu.io.cr3 import parse_cr3
 
         return parse_cr3(data)  # structured parse; raises with metadata
+    return None
+
+
+def parse_raw(data: bytes, ext: str = "") -> RawFile:
+    """Decode any supported RAW container to a RawFile.
+
+    Contract (the reference gets this from rawler's fuzz-hardened Result
+    path): arbitrary bytes either decode or raise ValueError — internal
+    parser slips on malformed input (KeyError/IndexError/struct.error/
+    OverflowError) are converted, never propagated. tests/test_raw_fuzz.py
+    pins this."""
+    kind = sniff_container(data, ext)
+    if kind not in ("unknown", "x3f", "bmff"):
+        try:
+            raw = _dispatch(kind, data)
+        except (KeyError, IndexError, struct.error, OverflowError, TypeError) as e:
+            raise DngError(
+                f"malformed {kind} file: {type(e).__name__}: {e}"
+            ) from e
+        if raw is not None:
+            return raw
     if kind in ("x3f", "bmff"):
         raise UnsupportedRawFormat(kind)
-    if kind == "unknown":
-        raise DngError(
-            f"unrecognized RAW container (extension {ext or '?'}); "
-            f"supported: {', '.join(SUPPORTED_FORMATS)}"
-        )
-    raise UnsupportedRawFormat(kind)
+    raise DngError(
+        f"unrecognized RAW container (extension {ext or '?'}); "
+        f"supported: {', '.join(SUPPORTED_FORMATS)}"
+    )

@@ -197,8 +197,12 @@ def parse_dng(data: bytes) -> RawFile:
         key=lambda i: (i.get(_T["ImageWidth"], [0])[0] * i.get(_T["ImageLength"], [0])[0]),
     )
 
+    if _T["ImageWidth"] not in ifd or _T["ImageLength"] not in ifd:
+        raise DngError("raw IFD missing ImageWidth/ImageLength")
     width = ifd[_T["ImageWidth"]][0]
     height = ifd[_T["ImageLength"]][0]
+    if not (0 < width <= 65535 and 0 < height <= 65535) or width * height > 1 << 28:
+        raise DngError(f"implausible raw dimensions {width}x{height}")
     bits = ifd.get(_T["BitsPerSample"], [16])[0]
     compression = ifd.get(_T["Compression"], [1])[0]
     photometric = ifd.get(_T["Photometric"], [32803])[0]
@@ -227,8 +231,12 @@ def parse_dng(data: bytes) -> RawFile:
         return ljpeg_decode(bytes(data[off : off + cnt]))
 
     if _T["TileOffsets"] in ifd:
+        if _T["TileWidth"] not in ifd or _T["TileLength"] not in ifd:
+            raise DngError("tiled raw IFD missing TileWidth/TileLength")
         tw = ifd[_T["TileWidth"]][0]
         tl = ifd[_T["TileLength"]][0]
+        if tw <= 0 or tl <= 0:
+            raise DngError(f"implausible tile dimensions {tw}x{tl}")
         offsets = ifd[_T["TileOffsets"]]
         counts = ifd.get(_T["TileByteCounts"], [0] * len(offsets))
         tiles_x = -(-width // tw)
@@ -248,6 +256,8 @@ def parse_dng(data: bytes) -> RawFile:
             w = min(tw * spp, width * spp - x0)
             plane[y0 : y0 + h, x0 : x0 + w] = tile[:h, :w]
     else:
+        if _T["StripOffsets"] not in ifd:
+            raise DngError("raw IFD missing StripOffsets")
         offsets = ifd[_T["StripOffsets"]]
         counts = ifd.get(_T["StripByteCounts"], [len(data) - offsets[0]])
         rps = ifd.get(_T["RowsPerStrip"], [height])[0]
