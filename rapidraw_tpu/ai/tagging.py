@@ -212,3 +212,45 @@ def index_folder_tags(
         if progress is not None:
             progress(i + 1, len(paths))
     return done
+
+
+def clear_ai_tags(root_path: str) -> int:
+    """Walk root for .rrdata sidecars and strip AI tags, keeping color:/
+    user: prefixed ones; returns the number of sidecars updated
+    (tagging.rs:469-504)."""
+    return _sweep_tags(
+        root_path,
+        keep=lambda t: t.startswith(COLOR_TAG_PREFIX) or t.startswith(USER_TAG_PREFIX),
+    )
+
+
+def clear_all_tags(root_path: str) -> int:
+    """Remove every tag from every .rrdata under root (tagging.rs:506-540)."""
+    return _sweep_tags(root_path, keep=lambda t: False)
+
+
+def _sweep_tags(root_path: str, keep) -> int:
+    import json
+    from pathlib import Path
+
+    root = Path(root_path)
+    if not root.exists():
+        raise FileNotFoundError(f"Root path does not exist: {root_path}")
+    updated = 0
+    for p in root.rglob("*.rrdata"):
+        try:
+            meta = json.loads(p.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        tags = meta.get("tags")
+        if not isinstance(tags, list) or not tags:
+            continue
+        kept = [t for t in tags if isinstance(t, str) and keep(t)]
+        if len(kept) < len(tags):
+            meta["tags"] = kept or None
+            try:
+                p.write_text(json.dumps(meta, indent=2))
+                updated += 1
+            except OSError:
+                pass
+    return updated

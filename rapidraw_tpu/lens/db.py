@@ -132,6 +132,11 @@ class LensDatabase:
     def lenses_for_maker(self, maker: str) -> list[Lens]:
         return [l for l in self.lenses if l.maker() == maker]
 
+    def makers(self) -> list[str]:
+        """Distinct lens makers, sorted (lens_corrections.rs
+        get_lensfun_makers)."""
+        return sorted({l.maker() for l in self.lenses})
+
 
 def _strip_maker_prefix(name: str, maker: str) -> str:
     if name.lower().startswith(maker.lower()):

@@ -226,3 +226,164 @@ class Albums:
 
     def images(self, name: str) -> list[str]:
         return list(self._data.get(name, []))
+
+    def sync_folder_rename(self, old_folder: str, new_folder: str) -> None:
+        """Rewrite album entries under a renamed folder
+        (file_management.rs sync_album_path_changes, :1758)."""
+        old_prefix = str(Path(old_folder)) + "/"
+        changed = False
+        for name, paths in self._data.items():
+            out = []
+            for p in paths:
+                if p.startswith(old_prefix):
+                    p = str(Path(new_folder) / p[len(old_prefix):])
+                    changed = True
+                out.append(p)
+            self._data[name] = out
+        if changed:
+            self._save()
+
+
+# ------------------------------------------------------------- folder ops
+
+
+def create_folder(path: str | Path) -> None:
+    """mkdir with a case-insensitive duplicate check in the parent
+    (file_management.rs:1717-1733)."""
+    p = Path(path)
+    parent = p.parent
+    if parent.exists():
+        lower = p.name.lower()
+        for entry in parent.iterdir():
+            if entry.name.lower() == lower:
+                raise FileExistsError("A folder with that name already exists.")
+    p.mkdir(parents=True, exist_ok=True)
+
+
+def rename_folder(path: str | Path, new_name: str,
+                  albums: "Albums | None" = None) -> str:
+    """Rename a directory (case-insensitive sibling check) and sync album
+    paths (file_management.rs:1736-1761). Returns the new path."""
+    p = Path(path)
+    if not p.is_dir():
+        raise NotADirectoryError("Path is not a directory.")
+    parent = p.parent
+    for entry in parent.iterdir():
+        if entry.name.lower() == new_name.lower() and entry != p:
+            raise FileExistsError("A folder with that name already exists.")
+    new_path = parent / new_name
+    p.rename(new_path)
+    if albums is not None:
+        albums.sync_folder_rename(str(p), str(new_path))
+    return str(new_path)
+
+
+def delete_folder(path: str | Path) -> None:
+    """Remove a directory tree (file_management.rs:1763-1776; the reference
+    tries the OS trash first and falls back to permanent delete — headless
+    deployments have no trash, so this is the fallback branch)."""
+    shutil.rmtree(path)
+
+
+def clear_all_sidecars(root_path: str | Path) -> int:
+    """Delete every .rrdata/.rrexif under root; returns the count
+    (file_management.rs:2758-2782)."""
+    root = Path(root_path)
+    if not root.exists():
+        raise FileNotFoundError(f"Root path does not exist: {root_path}")
+    deleted = 0
+    for p in root.rglob("*"):
+        if p.is_file() and p.suffix in (".rrdata", ".rrexif"):
+            try:
+                p.unlink()
+                deleted += 1
+            except OSError:
+                pass
+    return deleted
+
+
+def pinned_folder_trees(paths: list[str | Path]) -> list[FolderNode]:
+    """One folder tree per pinned root; unreadable roots are skipped
+    (file_management.rs:1017-1045)."""
+    out = []
+    for p in paths:
+        if not Path(p).is_dir():
+            continue
+        try:
+            out.append(scan_folder(p))
+        except OSError:
+            continue
+    return out
+
+
+# ---------------------------------------------------------- misc utilities
+
+
+def get_supported_file_types() -> dict:
+    """{"raw": [...], "nonRaw": [...]} (file_management.rs:1703-1714)."""
+    return {
+        "raw": sorted(RAW_EXTENSIONS),
+        "nonRaw": sorted(LDR_EXTENSIONS),
+    }
+
+
+def get_image_dimensions(path: str | Path) -> tuple[int, int]:
+    """(width, height) from the container header, virtual-copy aware
+    (lib.rs:232-238). LDR formats read only the header via PIL; RAW
+    formats parse the container metadata (no decode)."""
+    source, _ = parse_virtual_path(str(path))
+    sp = Path(source)
+    ext = sp.suffix.lower().lstrip(".")
+    if ext in RAW_EXTENSIONS:
+        from rapidraw_tpu.io.containers import parse_raw
+
+        r = parse_raw(sp.read_bytes(), ext=ext)
+        h, w = r.cfa.shape[-2:]
+        return int(w), int(h)
+    from PIL import Image
+
+    with Image.open(sp) as im:
+        return int(im.size[0]), int(im.size[1])
+
+
+def save_temp_file(data: bytes, suffix: str = "") -> str:
+    """Persist bytes to a kept temp file, returning its path
+    (lib.rs:1392-1398)."""
+    import tempfile
+
+    fd, name = tempfile.mkstemp(suffix=suffix, prefix="rapidraw_")
+    import os
+
+    with os.fdopen(fd, "wb") as f:
+        f.write(data)
+    return name
+
+
+def internal_library_root(base: str | Path | None = None) -> str:
+    """Create-if-missing the managed library folder
+    (file_management.rs:2552-2580: app-data/library). `base` overrides the
+    app-data dir (tests, alternate deployments)."""
+    if base is None:
+        from rapidraw_tpu.utils.settings import app_data_dir
+
+        base = app_data_dir()
+    root = Path(base) / "library"
+    root.mkdir(parents=True, exist_ok=True)
+    return str(root)
+
+
+def save_collage(data_url: str, first_path: str | Path) -> str:
+    """Persist a frontend-composed collage: decode the data-URL PNG and
+    write '<first stem>_Collage.png' beside the first image
+    (lib.rs:1555-1582)."""
+    import base64
+
+    prefix = "data:image/png;base64,"
+    if not data_url.startswith(prefix):
+        raise ValueError("Invalid base64 data format")
+    decoded = base64.b64decode(data_url[len(prefix):])
+    source, _ = parse_virtual_path(str(first_path))
+    sp = Path(source)
+    out = sp.parent / f"{sp.stem}_Collage.png"
+    out.write_bytes(decoded)
+    return str(out)

@@ -124,3 +124,87 @@ def apply_preset(
         if k in allowed:
             out[k] = v
     return out
+
+
+def export_presets_to_file(presets: list[dict], file_path: str | Path) -> None:
+    """Write a shareable preset file: {"creator": ..., "presets": [...]}
+    (file_management.rs:2688-2700). Input items are PresetStore entries
+    (name/adjustments/folder/id)."""
+    doc = {"creator": "Anonymous", "presets": presets}
+    Path(file_path).write_text(json.dumps(doc, indent=2, ensure_ascii=False))
+
+
+# ------------------------------------------------- batch sidecar operations
+
+
+def apply_adjustments_to_paths(paths: list[str], adjustments: dict,
+                               lens_db=None) -> None:
+    """Paste adjustments onto each image's sidecar: shallow key-merge over
+    the existing document, then per-image lens-param resolution when a DB
+    is supplied (file_management.rs:2147-2200)."""
+    from rapidraw_tpu.io.sidecar import load_sidecar, save_sidecar
+
+    for path in paths:
+        meta = load_sidecar(path)
+        merged = dict(meta.get("adjustments") or {})
+        merged.update(adjustments)
+        if lens_db is not None:
+            _resolve_lens_in_adjustments(merged, meta.get("exif"), lens_db)
+        meta["adjustments"] = merged
+        save_sidecar(path, meta)
+
+
+def reset_adjustments_for_paths(paths: list[str]) -> None:
+    """Reset each sidecar's adjustments to {} (file_management.rs:2246-2267)."""
+    from rapidraw_tpu.io.sidecar import load_sidecar, save_sidecar
+
+    for path in paths:
+        meta = load_sidecar(path)
+        meta["adjustments"] = {}
+        save_sidecar(path, meta)
+
+
+def apply_auto_adjustments_to_paths(paths: list[str]) -> None:
+    """Compute the auto heuristic per image and merge it over the sidecar
+    adjustments (file_management.rs:2318-2420); per-image isolation."""
+    import numpy as np
+
+    from rapidraw_tpu.analysis.auto_adjust import calculate_auto_adjustments
+    from rapidraw_tpu.io.loader import load_image
+    from rapidraw_tpu.io.sidecar import load_sidecar, save_sidecar
+
+    for path in paths:
+        try:
+            planar, _ = load_image(path)
+            auto = calculate_auto_adjustments(np.asarray(planar))
+        except Exception:
+            continue
+        meta = load_sidecar(path)
+        merged = dict(meta.get("adjustments") or {})
+        merged.update(auto)
+        meta["adjustments"] = merged
+        save_sidecar(path, meta)
+
+
+def _resolve_lens_in_adjustments(adjustments: dict, exif: dict | None,
+                                 lens_db) -> None:
+    """When the pasted doc enables an 'Auto'-style lens correction, refresh
+    distortion params from this image's EXIF lens/focal (the paste target
+    may be a different lens than the copy source,
+    file_management.rs resolve_lens_params_in_adjustments)."""
+    if not exif or not adjustments.get("lensDistortionAmount"):
+        return
+    model = exif.get("LensModel") or exif.get("Lens")
+    maker = exif.get("LensMake") or exif.get("Make")
+    focal = exif.get("FocalLength")
+    if not (model and maker and focal):
+        return
+    try:
+        focal_v = float(str(focal).split()[0].split("/")[0])
+    except ValueError:
+        return
+    from rapidraw_tpu.lens.db import resolve_lens_params
+
+    params = resolve_lens_params(lens_db, str(maker), str(model), focal_v)
+    if params:
+        adjustments["lensDistortionParams"] = params

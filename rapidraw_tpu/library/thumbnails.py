@@ -157,3 +157,15 @@ def generate_thumbnails(
             progress(i, len(paths), p)
         out[p] = generate_thumbnail(p, resolution, cache_dir)
     return out
+
+
+def clear_thumbnail_cache(cache_dir: str) -> None:
+    """Wipe and recreate the hash-keyed thumbnail cache directory
+    (file_management.rs:1035-1054)."""
+    import shutil
+    from pathlib import Path
+
+    d = Path(cache_dir)
+    if d.exists():
+        shutil.rmtree(d)
+    d.mkdir(parents=True, exist_ok=True)

@@ -339,3 +339,43 @@ def resolve_warped_image(
         x = warp_image_geometry(x, gp)
     arr = np.asarray(jnp.clip(x, 0.0, 1.0))
     return (arr * 255.0 + 0.5).astype(np.uint8).transpose(1, 2, 0)
+
+
+def generate_mask_overlay(
+    mask_def: dict,
+    width: int,
+    height: int,
+    scale: float = 1.0,
+    crop_offset=(0.0, 0.0),
+    adjustments: dict | None = None,
+    image=None,
+) -> str:
+    """Red half-transparent RGBA PNG of one MaskDefinition, returned as a
+    data URL for the editor overlay (mask_generation.rs:1391-1445): alpha =
+    intensity * 0.5, color (255, 0, 0). Returns "" when the mask renders
+    empty. `image` feeds the warped-image resolve for color/luminance range
+    sub-masks."""
+    import base64
+    import io as _io
+
+    warped = None
+    if adjustments is not None and image is not None:
+        if any(_sub_needs_warp(s) for s in mask_def.get("subMasks") or []):
+            warped = resolve_warped_image(image, adjustments)
+
+    scaled_offset = (crop_offset[0] * scale, crop_offset[1] * scale)
+    gray = generate_mask_bitmap(mask_def, width, height, scale, scaled_offset, warped)
+    if gray is None:
+        return ""
+    from PIL import Image
+
+    rgba = np.zeros((height, width, 4), np.uint8)
+    rgba[..., 0] = 255
+    rgba[..., 3] = (gray.astype(np.uint16) // 2).astype(np.uint8)
+    buf = _io.BytesIO()
+    Image.fromarray(rgba, "RGBA").save(buf, format="PNG")
+    return "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+
+
+def _sub_needs_warp(sub: dict) -> bool:
+    return sub.get("type") in ("color", "luminance") and sub.get("visible", False)

@@ -439,6 +439,12 @@ class RenderService:
         self._geometry_base.clear()
         self._warped_cache.clear()
 
+    def is_image_cached(self, path: str) -> bool:
+        """Whether the decoded full image is resident (lib.rs
+        is_image_cached): a hit means switching to this photo skips the
+        decode."""
+        return self._decoded.get(path) is not None
+
 
 def downscale_to_long_edge_np(img: np.ndarray, long_edge: int) -> np.ndarray:
     import jax.numpy as jnp

@@ -51,6 +51,22 @@ LIVE_PREVIEW_QUALITY = {
 }
 
 
+def app_data_dir() -> Path:
+    """Per-user app-data directory (the reference resolves Tauri's
+    app_data_dir, lib.rs; override with RAPIDRAW_DATA_DIR)."""
+    import os
+
+    env = os.environ.get("RAPIDRAW_DATA_DIR")
+    if env:
+        d = Path(env)
+    else:
+        xdg = os.environ.get("XDG_DATA_HOME")
+        base = Path(xdg) if xdg else Path.home() / ".local" / "share"
+        d = base / "rapidraw_tpu"
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
 class AppSettings(dict):
     """Settings document with defaults; unknown keys round-trip untouched."""
 

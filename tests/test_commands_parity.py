@@ -1,0 +1,282 @@
+"""Host-side command parity: the long tail of reference Tauri commands.
+
+Each test pins one of the small file_management.rs / tagging.rs / lib.rs
+commands whose counterpart lives in library/catalog.py, library/presets.py,
+ai/tagging.py, io/exif.py or masks/rasterize.py.
+"""
+
+import base64
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from rapidraw_tpu.io.sidecar import load_sidecar, save_sidecar
+from rapidraw_tpu.library.catalog import (
+    Albums,
+    clear_all_sidecars,
+    create_folder,
+    delete_folder,
+    get_image_dimensions,
+    get_supported_file_types,
+    internal_library_root,
+    pinned_folder_trees,
+    rename_folder,
+    save_temp_file,
+)
+
+
+def test_create_folder_case_insensitive_duplicate(tmp_path):
+    create_folder(tmp_path / "Shoots")
+    assert (tmp_path / "Shoots").is_dir()
+    with pytest.raises(FileExistsError):
+        create_folder(tmp_path / "shoots")
+
+
+def test_rename_folder_syncs_albums(tmp_path):
+    src = tmp_path / "old"
+    src.mkdir()
+    (src / "a.jpg").write_bytes(b"x")
+    albums = Albums(tmp_path / "albums.json")
+    albums.add("trip", [str(src / "a.jpg")])
+    new_path = rename_folder(src, "new", albums=albums)
+    assert Path(new_path).is_dir() and not src.exists()
+    assert albums.images("trip") == [str(tmp_path / "new" / "a.jpg")]
+    (tmp_path / "New2").mkdir()
+    with pytest.raises(FileExistsError):
+        rename_folder(new_path, "new2")
+
+
+def test_delete_folder_and_clear_all_sidecars(tmp_path):
+    d = tmp_path / "lib" / "sub"
+    d.mkdir(parents=True)
+    (d / "img.jpg").write_bytes(b"x")
+    (d / "img.jpg.rrdata").write_text("{}")
+    (d / "out.png.rrexif").write_text("{}")
+    assert clear_all_sidecars(tmp_path / "lib") == 2
+    assert (d / "img.jpg").exists()
+    delete_folder(tmp_path / "lib")
+    assert not (tmp_path / "lib").exists()
+    with pytest.raises(FileNotFoundError):
+        clear_all_sidecars(tmp_path / "missing")
+
+
+def test_pinned_folder_trees_skips_unreadable(tmp_path):
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    trees = pinned_folder_trees([tmp_path / "a", tmp_path / "missing", tmp_path / "b"])
+    assert [Path(t.path).name for t in trees] == ["a", "b"]
+
+
+def test_get_supported_file_types_shape():
+    types = get_supported_file_types()
+    assert "dng" in types["raw"] and "cr3" in types["raw"]
+    assert "jpg" in types["nonRaw"] and not set(types["raw"]) & set(types["nonRaw"])
+
+
+def test_get_image_dimensions_ldr_and_virtual(tmp_path):
+    p = tmp_path / "im.png"
+    Image.new("RGB", (33, 21)).save(p)
+    assert get_image_dimensions(p) == (33, 21)
+    assert get_image_dimensions(str(p) + "?vc=2") == (33, 21)
+
+
+def test_save_temp_file_roundtrip():
+    path = save_temp_file(b"payload", suffix=".bin")
+    try:
+        assert Path(path).read_bytes() == b"payload"
+    finally:
+        Path(path).unlink()
+
+
+def test_internal_library_root_created(tmp_path):
+    root = internal_library_root(base=tmp_path)
+    assert Path(root) == tmp_path / "library" and Path(root).is_dir()
+
+
+# ------------------------------------------------------------------- tags
+
+
+def test_clear_ai_tags_keeps_user_and_color(tmp_path):
+    from rapidraw_tpu.ai.tagging import clear_ai_tags, clear_all_tags
+
+    img = tmp_path / "x.jpg"
+    img.write_bytes(b"x")
+    save_sidecar(img, {"tags": ["sunset", "color:red", "user:fav"], "rating": 3})
+    img2 = tmp_path / "y.jpg"
+    img2.write_bytes(b"x")
+    save_sidecar(img2, {"tags": ["color:blue"]})
+
+    assert clear_ai_tags(str(tmp_path)) == 1  # only x.jpg had AI tags
+    assert load_sidecar(img)["tags"] == ["color:red", "user:fav"]
+    assert load_sidecar(img)["rating"] == 3
+    assert load_sidecar(img2)["tags"] == ["color:blue"]
+
+    assert clear_all_tags(str(tmp_path)) == 2
+    assert load_sidecar(img)["tags"] in ([], None)
+
+
+# ------------------------------------------------------------------- exif
+
+
+def test_update_exif_fields_merge_and_delete(tmp_path):
+    from rapidraw_tpu.io.exif import update_exif_fields
+
+    img = tmp_path / "x.jpg"
+    Image.new("RGB", (4, 4)).save(img)
+    save_sidecar(img, {"exif": {"Artist": "Old", "Copyright": "c"}})
+    update_exif_fields([img], {"Artist": "  New  ", "Copyright": "", "Rating": "5"})
+    exif = load_sidecar(img)["exif"]
+    assert exif["Artist"] == "New" and exif["Rating"] == "5"
+    assert "Copyright" not in exif
+
+
+def test_update_exif_fields_seeds_from_file(tmp_path):
+    from PIL import Image as PILImage
+
+    from rapidraw_tpu.io.exif import update_exif_fields
+
+    img = tmp_path / "cam.jpg"
+    im = PILImage.new("RGB", (4, 4))
+    exif = PILImage.Exif()
+    exif[271] = "CamMaker"  # Make
+    im.save(img, exif=exif)
+    update_exif_fields([img], {"Artist": "Me"})
+    stored = load_sidecar(img)["exif"]
+    assert stored["Make"] == "CamMaker" and stored["Artist"] == "Me"
+
+
+# ---------------------------------------------------------------- presets
+
+
+def test_export_presets_to_file(tmp_path):
+    from rapidraw_tpu.library.presets import PresetStore, export_presets_to_file
+
+    store = PresetStore(tmp_path / "presets.json")
+    p = store.add("warm", {"temperature": 20})
+    out = tmp_path / "share.json"
+    export_presets_to_file([p], out)
+    doc = json.loads(out.read_text())
+    assert doc["creator"] == "Anonymous"
+    assert doc["presets"][0]["name"] == "warm"
+    # round-trips through import_file
+    store2 = PresetStore(tmp_path / "p2.json")
+    # import accepts a list of preset objects
+    (tmp_path / "plain.json").write_text(json.dumps(doc["presets"]))
+    imported = store2.import_file(tmp_path / "plain.json")
+    assert imported[0]["adjustments"] == {"temperature": 20}
+
+
+def test_apply_and_reset_adjustments_for_paths(tmp_path):
+    from rapidraw_tpu.library.presets import (
+        apply_adjustments_to_paths,
+        reset_adjustments_for_paths,
+    )
+
+    img = tmp_path / "x.jpg"
+    img.write_bytes(b"x")
+    save_sidecar(img, {"adjustments": {"exposure": 1.0, "contrast": 5}, "rating": 2})
+    apply_adjustments_to_paths([str(img)], {"contrast": 30, "saturation": 10})
+    adj = load_sidecar(img)["adjustments"]
+    assert adj == {"exposure": 1.0, "contrast": 30, "saturation": 10}
+    assert load_sidecar(img)["rating"] == 2
+
+    reset_adjustments_for_paths([str(img)])
+    assert load_sidecar(img)["adjustments"] == {}
+    assert load_sidecar(img)["rating"] == 2
+
+
+def test_apply_auto_adjustments_to_paths(tmp_path):
+    from rapidraw_tpu.library.presets import apply_auto_adjustments_to_paths
+
+    img = tmp_path / "x.png"
+    rng = np.random.default_rng(0)
+    Image.fromarray((rng.random((32, 48, 3)) * 255).astype(np.uint8)).save(img)
+    apply_auto_adjustments_to_paths([str(img)])
+    adj = load_sidecar(img)["adjustments"]
+    assert adj and "exposure" in adj
+    # unreadable paths are skipped, not fatal
+    apply_auto_adjustments_to_paths([str(tmp_path / "missing.png")])
+
+
+# ------------------------------------------------------------ mask overlay
+
+
+def test_generate_mask_overlay_data_url():
+    from rapidraw_tpu.masks.rasterize import generate_mask_overlay
+
+    mask_def = {
+        "visible": True,
+        "subMasks": [{
+            "type": "radial", "visible": True, "mode": "additive",
+            "parameters": {"centerX": 32, "centerY": 24, "radiusX": 20,
+                           "radiusY": 16, "rotation": 0.0, "feather": 0.5},
+        }],
+    }
+    url = generate_mask_overlay(mask_def, 64, 48)
+    assert url.startswith("data:image/png;base64,")
+    png = base64.b64decode(url.split(",", 1)[1])
+    import io
+
+    im = Image.open(io.BytesIO(png))
+    assert im.size == (64, 48) and im.mode == "RGBA"
+    a = np.asarray(im)
+    # red everywhere, alpha peaked at the mask center, zero at corners
+    assert a[24, 32, 0] == 255 and a[24, 32, 3] > 100
+    assert a[0, 0, 3] == 0
+    # alpha = intensity // 2, never above 127
+    assert a[..., 3].max() <= 127
+
+    # invisible mask -> empty string
+    assert generate_mask_overlay({"visible": False, "subMasks": []}, 8, 8) == ""
+
+
+def test_is_image_cached_and_clear(tmp_path):
+    from rapidraw_tpu.pipeline.service import RenderService
+
+    img = tmp_path / "x.png"
+    Image.fromarray(np.zeros((16, 24, 3), np.uint8)).save(img)
+    svc = RenderService()
+    assert not svc.is_image_cached(str(img))
+    svc.load(str(img))
+    assert svc.is_image_cached(str(img))
+    svc.clear_caches()
+    assert not svc.is_image_cached(str(img))
+
+
+def test_clear_thumbnail_cache(tmp_path):
+    from rapidraw_tpu.library.thumbnails import clear_thumbnail_cache
+
+    d = tmp_path / "thumbs"
+    d.mkdir()
+    (d / "aa.jpg").write_bytes(b"x")
+    clear_thumbnail_cache(str(d))
+    assert d.is_dir() and not list(d.iterdir())
+
+
+def test_save_collage_and_makers(tmp_path):
+    import base64
+    import io
+
+    from rapidraw_tpu.lens.db import parse_lensfun_xml
+    from rapidraw_tpu.library.catalog import save_collage
+
+    first = tmp_path / "IMG_001.jpg"
+    first.write_bytes(b"x")
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 8)).save(buf, format="PNG")
+    url = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+    out = save_collage(url, str(first) + "?vc=2")
+    assert Path(out).name == "IMG_001_Collage.png" and Path(out).exists()
+    with pytest.raises(ValueError):
+        save_collage("data:image/jpeg;base64,xxxx", str(first))
+
+    db = parse_lensfun_xml("""<lensdatabase>
+      <lens><maker>Canon</maker><model>EF 50mm</model><mount>EF</mount>
+        <cropfactor>1.0</cropfactor></lens>
+      <lens><maker>Nikon</maker><model>AF 35mm</model><mount>F</mount>
+        <cropfactor>1.0</cropfactor></lens>
+    </lensdatabase>""")
+    assert db.makers() == ["Canon", "Nikon"]
