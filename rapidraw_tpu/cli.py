@@ -327,6 +327,91 @@ def _cmd_tag(args) -> int:
     return 0
 
 
+def _cmd_lib(args) -> int:
+    """Library/file-management verbs (COMMANDS.md host-side surface)."""
+    import json as _json
+
+    from rapidraw_tpu.library import catalog
+
+    op = args.op
+    if op == "ls":
+        for p in catalog.list_images(args.path, recursive=args.recursive):
+            print(p)
+    elif op == "rate":
+        for p in args.paths:
+            catalog.set_rating(p, args.value)
+    elif op == "label":
+        for p in args.paths:
+            catalog.set_color_label(p, args.value or None)
+    elif op == "tag-add":
+        for p in args.paths:
+            catalog.add_tags(p, [f"user:{t}" for t in args.tags])
+    elif op == "tag-remove":
+        for p in args.paths:
+            catalog.remove_tags(p, args.tags + [f"user:{t}" for t in args.tags])
+    elif op == "clear-ai-tags":
+        from rapidraw_tpu.ai.tagging import clear_ai_tags
+
+        print(clear_ai_tags(args.path))
+    elif op == "clear-sidecars":
+        print(catalog.clear_all_sidecars(args.path))
+    elif op == "types":
+        print(_json.dumps(catalog.get_supported_file_types()))
+    elif op == "dims":
+        for p in args.paths:
+            w, h = catalog.get_image_dimensions(p)
+            print(f"{p}: {w}x{h}")
+    return 0
+
+
+def _cmd_exif(args) -> int:
+    import json as _json
+
+    from rapidraw_tpu.io.exif import read_exif_tags, update_exif_fields
+
+    if args.set:
+        updates = dict(kv.split("=", 1) for kv in args.set)
+        update_exif_fields(args.paths, updates)
+    for p in args.paths:
+        print(_json.dumps({p: read_exif_tags(p)}, ensure_ascii=False))
+    return 0
+
+
+def _cmd_preset(args) -> int:
+    import json as _json
+
+    from rapidraw_tpu.library.presets import (
+        PresetStore,
+        apply_adjustments_to_paths,
+        export_presets_to_file,
+        reset_adjustments_for_paths,
+    )
+
+    store = PresetStore(args.store)
+    if args.op == "list":
+        for p in store.list():
+            print(p["name"])
+    elif args.op == "import":
+        for p in store.import_file(args.file):
+            print(f"imported {p['name']}")
+    elif args.op == "export":
+        export_presets_to_file(store.list(), args.file)
+    elif args.op == "apply":
+        preset = store.get(args.name)
+        if preset is None:
+            print(f"no preset named {args.name!r}", file=sys.stderr)
+            return 1
+        apply_adjustments_to_paths(args.paths, preset["adjustments"])
+    elif args.op == "reset":
+        reset_adjustments_for_paths(args.paths)
+    elif args.op == "show":
+        preset = store.get(args.name)
+        if preset is None:
+            return 1
+        print(_json.dumps(preset["adjustments"], indent=2, ensure_ascii=False))
+    return 0
+
+
 def main(argv=None) -> int:
     _enable_persistent_jit_cache()
     ap = argparse.ArgumentParser(prog="rapidraw_tpu")
@@ -418,6 +503,58 @@ def main(argv=None) -> int:
     tg.add_argument("--custom", nargs="*", help="score only these labels")
     tg.add_argument("--max-tags", type=int, default=10)
     tg.set_defaults(fn=_cmd_tag)
+
+    lb = sub.add_parser("lib", help="library/file-management operations")
+    lsub = lb.add_subparsers(dest="op", required=True)
+    p_ls = lsub.add_parser("ls", help="list images (incl. virtual copies)")
+    p_ls.add_argument("path")
+    p_ls.add_argument("-r", "--recursive", action="store_true")
+    p_rate = lsub.add_parser("rate", help="set star rating on sidecars")
+    p_rate.add_argument("value", type=int)
+    p_rate.add_argument("paths", nargs="+")
+    p_lab = lsub.add_parser("label", help="set color label ('' clears)")
+    p_lab.add_argument("value")
+    p_lab.add_argument("paths", nargs="+")
+    p_ta = lsub.add_parser("tag-add", help="add user: tags")
+    p_ta.add_argument("--tags", required=True, type=lambda s: s.split(","),
+                      help="comma-separated tag list")
+    p_ta.add_argument("paths", nargs="+")
+    p_tr = lsub.add_parser("tag-remove", help="remove tags")
+    p_tr.add_argument("--tags", required=True, type=lambda s: s.split(","),
+                      help="comma-separated tag list")
+    p_tr.add_argument("paths", nargs="+")
+    p_cat = lsub.add_parser("clear-ai-tags", help="strip AI tags under a root")
+    p_cat.add_argument("path")
+    p_cs = lsub.add_parser("clear-sidecars", help="delete all sidecars under a root")
+    p_cs.add_argument("path")
+    lsub.add_parser("types", help="print supported file types JSON")
+    p_dim = lsub.add_parser("dims", help="print image dimensions (no decode)")
+    p_dim.add_argument("paths", nargs="+")
+    lb.set_defaults(fn=_cmd_lib)
+
+    ex = sub.add_parser("exif", help="read/update EXIF via sidecars")
+    ex.add_argument("paths", nargs="+")
+    ex.add_argument("--set", nargs="*", metavar="KEY=VALUE",
+                    help="field updates (empty value deletes the key)")
+    ex.set_defaults(fn=_cmd_exif)
+
+    pr = sub.add_parser("preset", help="preset store operations")
+    pr.add_argument("--store", default="presets.json",
+                    help="preset store JSON (default ./presets.json)")
+    psub = pr.add_subparsers(dest="op", required=True)
+    psub.add_parser("list")
+    p_imp = psub.add_parser("import", help="import presets (.json or Lightroom .xmp)")
+    p_imp.add_argument("file")
+    p_exp = psub.add_parser("export", help="export all presets to a share file")
+    p_exp.add_argument("file")
+    p_app = psub.add_parser("apply", help="paste a preset onto image sidecars")
+    p_app.add_argument("name")
+    p_app.add_argument("paths", nargs="+")
+    p_res = psub.add_parser("reset", help="reset sidecar adjustments to {}")
+    p_res.add_argument("paths", nargs="+")
+    p_shw = psub.add_parser("show", help="print a preset's adjustments JSON")
+    p_shw.add_argument("name")
+    pr.set_defaults(fn=_cmd_preset)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -280,3 +280,43 @@ def test_save_collage_and_makers(tmp_path):
         <cropfactor>1.0</cropfactor></lens>
     </lensdatabase>""")
     assert db.makers() == ["Canon", "Nikon"]
+
+
+# --------------------------------------------------------------------- cli
+
+
+def test_cli_lib_and_preset_and_exif(tmp_path, capsys):
+    from rapidraw_tpu.cli import main
+
+    img = tmp_path / "a.jpg"
+    Image.new("RGB", (12, 8)).save(img)
+
+    assert main(["lib", "rate", "4", str(img)]) == 0
+    assert load_sidecar(img)["rating"] == 4
+    assert main(["lib", "tag-add", "--tags", "fav", str(img)]) == 0
+    assert load_sidecar(img)["tags"] == ["user:fav"]
+    assert main(["lib", "dims", str(img)]) == 0
+    assert "12x8" in capsys.readouterr().out
+    assert main(["lib", "types"]) == 0
+    assert "dng" in capsys.readouterr().out
+    assert main(["lib", "ls", str(tmp_path)]) == 0
+    assert str(img) in capsys.readouterr().out
+
+    store = tmp_path / "store.json"
+    pj = tmp_path / "one.json"
+    pj.write_text(json.dumps({"name": "punch", "adjustments": {"contrast": 40}}))
+    assert main(["preset", "--store", str(store), "import", str(pj)]) == 0
+    assert main(["preset", "--store", str(store), "apply", "punch", str(img)]) == 0
+    assert load_sidecar(img)["adjustments"]["contrast"] == 40
+    capsys.readouterr()
+    assert main(["preset", "--store", str(store), "show", "punch"]) == 0
+    assert json.loads(capsys.readouterr().out)["contrast"] == 40
+    assert main(["preset", "--store", str(store), "reset", str(img)]) == 0
+    assert load_sidecar(img)["adjustments"] == {}
+    out_file = tmp_path / "share.json"
+    assert main(["preset", "--store", str(store), "export", str(out_file)]) == 0
+    assert json.loads(out_file.read_text())["presets"][0]["name"] == "punch"
+
+    capsys.readouterr()
+    assert main(["exif", str(img), "--set", "Artist=Me"]) == 0
+    assert load_sidecar(img)["exif"]["Artist"] == "Me"
