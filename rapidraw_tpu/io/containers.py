@@ -24,7 +24,7 @@ from rapidraw_tpu.io.dng import DngError, RawFile, parse_dng
 
 SUPPORTED_FORMATS = (
     "dng", "tiff", "cr2", "cr3", "nef", "nrw", "pef", "arw", "srf", "sr2",
-    "orf", "rw2", "rwl", "raf",
+    "orf", "rw2", "rwl", "raf", "mrw",
 )
 
 
@@ -84,6 +84,8 @@ def sniff_container(data: bytes, ext: str = "") -> str:
         return "raf"
     if data[:4] == b"FOVb":
         return "x3f"
+    if data[:4] == b"\x00MRM":
+        return "mrw"
     if data[:4] in (b"IIRO", b"IIRS", b"MMOR"):  # Olympus magics 0x4f52/0x5352
         return "orf"
     if data[:4] == b"IIU\0":  # Panasonic RW2 magic 85
@@ -153,6 +155,10 @@ def _dispatch(kind: str, data: bytes) -> RawFile | None:
         from rapidraw_tpu.io.cr3 import parse_cr3
 
         return parse_cr3(data)  # structured parse; raises with metadata
+    if kind == "mrw":
+        from rapidraw_tpu.io.makers import parse_mrw
+
+        return parse_mrw(data)
     return None
 
 

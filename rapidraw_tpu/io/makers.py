@@ -738,3 +738,112 @@ def parse_orf(data: bytes) -> RawFile:
         xyz_to_cam=None,
         orientation=int((_first(ifds, _T["Orientation"]) or [1])[0]),
     )
+
+
+# ----------------------------------------------------------- MRW (Minolta)
+
+_MRW_PATTERNS = {0x0001: "RGGB", 0x0004: "GBRG"}
+
+
+def _unpack_12be(raw: bytes, row_samples: int, n_rows: int) -> np.ndarray:
+    """Big-endian (MSB-first) 12-bit packing: 2 samples per 3 bytes,
+    p0 = b0 << 4 | b1 >> 4, p1 = (b1 & 0xF) << 8 | b2 (rawler decode_12be)."""
+    row_bytes = (row_samples * 12 + 7) // 8
+    need = row_bytes * n_rows
+    if len(raw) < need:
+        raise DngError("truncated 12-bit big-endian plane")
+    buf = np.frombuffer(raw, np.uint8, count=need).astype(np.uint16)
+    buf = buf.reshape(n_rows, row_bytes)
+    pairs = row_samples // 2
+    b0 = buf[:, 0 : pairs * 3 : 3]
+    b1 = buf[:, 1 : pairs * 3 : 3]
+    b2 = buf[:, 2 : pairs * 3 : 3]
+    out = np.empty((n_rows, pairs * 2), np.uint16)
+    out[:, 0::2] = (b0 << 4) | (b1 >> 4)
+    out[:, 1::2] = ((b1 & 0xF) << 8) | b2
+    if row_samples % 2:
+        t0 = buf[:, pairs * 3]
+        t1 = buf[:, pairs * 3 + 1]
+        out = np.concatenate([out, ((t0 << 4) | (t1 >> 4))[:, None]], axis=1)
+    return out
+
+
+def parse_mrw(data: bytes) -> RawFile:
+    """Minolta MRW: '\\0MRM' + big-endian block chain ('\\0PRD' sensor
+    descriptor, '\\0WBG' white-balance gains, '\\0TTW' embedded TIFF EXIF)
+    followed by the CFA plane — 12-bit big-endian packed (storage 0x59) or
+    16-bit big-endian words (0x52). Semantics from the publicly documented
+    MRW layout (D. Jelinek's spec / dcraw's minolta handling, as with the
+    ARW2 curve); 12-bit range, white level 4095.
+
+    The reference decodes MRW via rawler (Cargo.toml:27)."""
+    if data[:4] != b"\x00MRM" or len(data) < 16:
+        raise DngError("not an MRW file")
+    (hdr_len,) = struct.unpack_from(">I", data, 4)
+    raw_off = 8 + hdr_len
+    if raw_off <= 8 or raw_off >= len(data):
+        raise DngError("malformed MRW header length")
+
+    prd = None
+    wbg = None
+    pos = 8
+    while pos + 8 <= raw_off:
+        name = data[pos : pos + 4]
+        (blen,) = struct.unpack_from(">I", data, pos + 4)
+        body_at = pos + 8
+        if blen < 0 or body_at + blen > len(data):
+            raise DngError("malformed MRW block chain")
+        if name == b"\x00PRD":
+            prd = data[body_at : body_at + blen]
+        elif name == b"\x00WBG":
+            wbg = data[body_at : body_at + blen]
+        pos = body_at + blen
+    if prd is None or len(prd) < 24:
+        raise DngError("MRW missing PRD sensor descriptor")
+
+    ccd_h, ccd_w, img_h, img_w = struct.unpack_from(">HHHH", prd, 8)
+    datasize = prd[16]
+    storage = prd[18]
+    (bayer,) = struct.unpack_from(">H", prd, 22)
+    if ccd_h <= 0 or ccd_w <= 0 or ccd_h * ccd_w > 120_000_000:
+        raise DngError("implausible MRW sensor dimensions")
+
+    raw = data[raw_off:]
+    if storage == 0x59 and datasize == 12:
+        plane = _unpack_12be(raw, ccd_w, ccd_h)
+    elif storage == 0x52:
+        need = ccd_w * ccd_h
+        if len(raw) < need * 2:
+            raise DngError("truncated MRW 16-bit plane")
+        plane = np.frombuffer(raw, ">u2", count=need).reshape(ccd_h, ccd_w)
+    else:
+        raise DngError(f"unsupported MRW storage method 0x{storage:02x}")
+
+    if 0 < img_h <= ccd_h and 0 < img_w <= ccd_w:
+        plane = plane[:img_h, :img_w]
+
+    wb = np.ones(3, np.float32)
+    if wbg is not None and len(wbg) >= 12:
+        denoms = [64 << wbg[i] for i in range(4)]
+        gains = struct.unpack_from(">HHHH", wbg, 4)
+        norm = [g / d for g, d in zip(gains, denoms)]
+        pattern0 = _MRW_PATTERNS.get(bayer, "RGGB")
+        # gain order follows the bayer pattern's channel order
+        by_chan = {"R": [], "G": [], "B": []}
+        for ch, g in zip(pattern0, norm):
+            by_chan[ch].append(g)
+        if by_chan["R"] and by_chan["G"] and by_chan["B"]:
+            r = by_chan["R"][0]
+            g = float(np.mean(by_chan["G"]))
+            b = by_chan["B"][0]
+            if g > 0:
+                wb = np.array([r / g, 1.0, b / g], np.float32)
+
+    return RawFile(
+        cfa=np.ascontiguousarray(plane.astype(np.uint16, copy=False)),
+        pattern=_MRW_PATTERNS.get(bayer, "RGGB"),
+        black_level=0.0,
+        white_level=4095.0,
+        wb=wb,
+        xyz_to_cam=None,
+    )

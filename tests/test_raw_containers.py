@@ -1094,3 +1094,55 @@ def test_rwl_routes_to_rw2_parser(tmp_path):
     assert sniff_container(data, "rwl") == "rw2"
     r = parse_raw(data, ext="rwl")
     np.testing.assert_array_equal(r.cfa, expected[2:, 4:] & 0xFFFF)
+
+
+# ------------------------------------------------------------------- MRW
+
+
+def _build_mrw(cfa: np.ndarray, packed: bool, bayer: int = 0x0001,
+               gains=(320, 256, 256, 448)) -> bytes:
+    """Minolta MRW container per the public spec (parse_mrw docstring)."""
+    h, w = cfa.shape
+    prd = (b"27730001" + struct.pack(">HHHH", h, w, h, w)
+           + bytes([12 if packed else 16, 12, 0x59 if packed else 0x52, 0])
+           + struct.pack(">HH", 0, bayer))
+    wbg = bytes([0, 0, 0, 0]) + struct.pack(">HHHH", *gains)
+    blocks = (b"\x00PRD" + struct.pack(">I", len(prd)) + prd
+              + b"\x00WBG" + struct.pack(">I", len(wbg)) + wbg)
+    if packed:
+        assert w % 2 == 0
+        payload = bytearray()
+        for row in cfa:
+            for i in range(0, w, 2):
+                a, b = int(row[i]), int(row[i + 1])
+                payload += bytes([a >> 4, ((a & 0xF) << 4) | (b >> 8), b & 0xFF])
+        payload = bytes(payload)
+    else:
+        payload = cfa.astype(">u2").tobytes()
+    return b"\x00MRM" + struct.pack(">I", len(blocks)) + blocks + payload
+
+
+def test_mrw_packed_roundtrip():
+    rng = np.random.default_rng(31)
+    cfa = rng.integers(0, 4095, (8, 12), dtype=np.uint16)
+    r = parse_raw(_build_mrw(cfa, packed=True), ext="mrw")
+    np.testing.assert_array_equal(r.cfa, cfa)
+    assert r.pattern == "RGGB" and r.white_level == 4095.0
+    # WBG gains (320, 256, 256, 448)/64 over RGGB -> wb = (1.25, 1.0, 1.75)
+    np.testing.assert_allclose(r.wb, [1.25, 1.0, 1.75], atol=1e-6)
+
+
+def test_mrw_unpacked_and_gbrg():
+    rng = np.random.default_rng(32)
+    cfa = rng.integers(0, 4095, (6, 10), dtype=np.uint16)
+    r = parse_raw(_build_mrw(cfa, packed=False, bayer=0x0004), ext="mrw")
+    np.testing.assert_array_equal(r.cfa, cfa)
+    assert r.pattern == "GBRG"
+
+
+def test_mrw_malformed_refused():
+    with pytest.raises(ValueError):
+        parse_raw(b"\x00MRM" + struct.pack(">I", 0xFFFFFF) + b"x" * 32, ext="mrw")
+    with pytest.raises(ValueError):
+        parse_raw(_build_mrw(np.zeros((4, 4), np.uint16), packed=True)[:-10],
+                  ext="mrw")

@@ -31,6 +31,13 @@ def _structured_dng() -> bytes:
     return build_tiff([ifd]) + bytes(8192)
 
 
+def _structured_mrw() -> bytes:
+    from tests.test_raw_containers import _build_mrw
+
+    cfa = np.arange(48, dtype=np.uint16).reshape(6, 8) * 50
+    return _build_mrw(cfa, packed=True)
+
+
 def _seeds() -> list[bytes]:
     """Magic prefixes that route into each parser + one deep DNG."""
     tiff_le = b"II*\0" + struct.pack("<I", 8) + struct.pack("<H", 3) + b"\x01\x02" * 20
@@ -46,6 +53,7 @@ def _seeds() -> list[bytes]:
         b"FUJIFILMCCD-RAW 0201FF129502" + b"\0" * 36,          # RAF
         b"\0\0\0\x18ftypcrx \0\0\0\x01crx isom" + b"\x33" * 40,  # CR3
         b"FOVb" + b"\x01\0\0\0" + b"\x99" * 56,                # X3F (refusal)
+        _structured_mrw(),
         b"\0\0\0\x14ftypisom\0\0\0\x01" + b"\x44" * 44,        # generic BMFF
     ]
 
