@@ -9,11 +9,14 @@ a deep parse crash.
 Containers:
   TIFF-family: DNG/TIFF (io/dng.py), CR2/NEF/PEF/ARW/ORF/RW2
   (io/makers.py — incl. the Olympus predictive and Panasonic 12-bit
-  bitstreams via native/pana_oly.cc).
+  bitstreams via native/pana_oly.cc), plus the generic vendor TIFF-CFA
+  long tail (ERF/MEF/MOS/FFF/3FR/KDC/DCR/DCS/SRW, parse_tiff_cfa).
+  Block-chain: MRW (Minolta, parse_mrw). RAF (Fujifilm, io/raf.py).
   CR3 (ISO BMFF): io/cr3.py + io/crx.py decode the lossless crx dialect
   (native/crx.cc); payloads that don't match the implemented structure
   refuse precisely with container metadata + preview still served.
-  Detected-but-unsupported: X3F (Foveon) — clear UnsupportedRawFormat.
+  Detected-but-unsupported: X3F (Foveon), CRW (Canon CIFF) — clear
+  UnsupportedRawFormat.
 """
 
 from __future__ import annotations
@@ -25,7 +28,16 @@ from rapidraw_tpu.io.dng import DngError, RawFile, parse_dng
 SUPPORTED_FORMATS = (
     "dng", "tiff", "cr2", "cr3", "nef", "nrw", "pef", "arw", "srf", "sr2",
     "orf", "rw2", "rwl", "raf", "mrw",
+    # generic vendor TIFF-CFA path (io/makers.py parse_tiff_cfa)
+    "erf", "mef", "mos", "fff", "3fr", "kdc", "dcr", "dcs", "srw",
 )
+
+# Make-prefix -> the generic TIFF-CFA path (formats.rs:4-71's vendor list)
+_TIFF_CFA_MAKES = (
+    "EPSON", "SEIKO EPSON", "MAMIYA", "LEAF", "HASSELBLAD", "SAMSUNG",
+    "KODAK", "EASTMAN KODAK",
+)
+_TIFF_CFA_EXTS = ("erf", "mef", "mos", "fff", "3fr", "kdc", "dcr", "dcs", "srw")
 
 
 class UnsupportedRawFormat(ValueError):
@@ -91,6 +103,8 @@ def sniff_container(data: bytes, ext: str = "") -> str:
     if data[:4] == b"IIU\0":  # Panasonic RW2 magic 85
         return "rw2"
     if data[:2] in (b"II", b"MM"):
+        if data[6:14] == b"HEAPCCDR":  # Canon CIFF (.crw)
+            return "crw"
         try:
             endian = "<" if data[:2] == b"II" else ">"
             (magic,) = struct.unpack_from(endian + "H", data, 2)
@@ -110,6 +124,8 @@ def sniff_container(data: bytes, ext: str = "") -> str:
             return "arw"
         if make.startswith("PENTAX") or make.startswith("RICOH"):
             return "pef"
+        if make.startswith(_TIFF_CFA_MAKES) or ext in _TIFF_CFA_EXTS:
+            return "tiffcfa"
         if ext in ("nef", "nrw"):
             return "nef"
         if ext in ("arw", "srf", "sr2"):
@@ -159,6 +175,10 @@ def _dispatch(kind: str, data: bytes) -> RawFile | None:
         from rapidraw_tpu.io.makers import parse_mrw
 
         return parse_mrw(data)
+    if kind == "tiffcfa":
+        from rapidraw_tpu.io.makers import parse_tiff_cfa
+
+        return parse_tiff_cfa(data)
     return None
 
 
@@ -180,7 +200,7 @@ def parse_raw(data: bytes, ext: str = "") -> RawFile:
             ) from e
         if raw is not None:
             return raw
-    if kind in ("x3f", "bmff"):
+    if kind in ("x3f", "bmff", "crw"):
         raise UnsupportedRawFormat(kind)
     raise DngError(
         f"unrecognized RAW container (extension {ext or '?'}); "

@@ -15,10 +15,12 @@ from pathlib import Path
 
 import numpy as np
 
+# the reference's full RAW extension list, formats.rs:4-71
 RAW_EXTENSIONS = {
-    "dng", "cr2", "cr3", "nef", "nrw", "arw", "srf", "sr2", "raf", "orf",
-    "rw2", "rwl", "pef", "dcr", "kdc", "mos", "mrw", "raw", "3fr", "erf",
-    "x3f", "iiq",
+    "dng", "pro", "ari", "crw", "cr2", "cr3", "bay", "raw", "erf", "raf",
+    "3fr", "fff", "iiq", "kdc", "k25", "dcs", "dcr", "mos", "rwl", "mef",
+    "mrw", "nef", "nrw", "orf", "rw2", "pef", "ptx", "srw", "x3f", "arw",
+    "srf", "sr2",
 }
 
 

@@ -847,3 +847,130 @@ def parse_mrw(data: bytes) -> RawFile:
         wb=wb,
         xyz_to_cam=None,
     )
+
+
+# ------------------------------------ generic vendor TIFF-CFA (the long tail)
+
+# Epson ERF, Mamiya MEF, Leaf MOS, Hasselblad FFF/3FR, Kodak KDC/DCR/DCS and
+# Samsung SRW are TIFF-family containers whose raw plane is stored with
+# Compression=1: plain 16-bit words or TIFF 6.0 MSB-first packed 12/14-bit
+# strips. The reference decodes all of them via rawler (Cargo.toml:27).
+# Vendor-specific metadata handled here: Samsung as-shot WB levels (tags
+# 0xa021 gains / 0xa028 black offsets, dcraw's samsung parsing) and
+# DNG-style AsShotNeutral when present (Kodak DCS writes it).
+
+_SAMSUNG_WB = 0xA021
+_SAMSUNG_WB_BLACK = 0xA028
+
+
+def parse_tiff_cfa(data: bytes) -> RawFile:
+    """Decode a vendor TIFF whose largest 1-sample strip IFD is the CFA.
+
+    Thumbnails/previews in these containers are RGB (SamplesPerPixel=3) or
+    8-bit, so the raw plane is the largest IFD with SamplesPerPixel=1 and
+    BitsPerSample in {12, 14, 16}. Compressed dialects (Hasselblad 3FR
+    entropy coding, Kodak DCR bitstreams, Samsung SRW v2 compressed) refuse
+    precisely rather than mis-decode."""
+    if data[:2] == b"II":
+        endian = "<"
+    elif data[:2] == b"MM":
+        endian = ">"
+    else:
+        raise DngError("not a TIFF-family file")
+    first = struct.unpack_from(endian + "HI", data, 2)[1]
+    ifds = _collect_ifds(data, endian, first)
+    make = str(_first(ifds, _TAG_MAKE) or "").strip()
+
+    cands = []
+    for i in ifds:
+        if _T["StripOffsets"] not in i:
+            continue
+        spp = i.get(_T["SamplesPerPixel"], [1])[0]
+        bits = i.get(_T["BitsPerSample"], [16])[0]
+        w = i.get(_T["ImageWidth"], [0])[0]
+        h = i.get(_T["ImageLength"], [0])[0]
+        if spp != 1 or bits not in (12, 14, 16) or w <= 0 or h <= 0:
+            continue
+        cands.append((w * h, i))
+    if not cands:
+        raise DngError(f"no raw CFA IFD found in {make or 'vendor'} TIFF")
+    ifd = max(cands, key=lambda t: t[0])[1]
+
+    width = ifd[_T["ImageWidth"]][0]
+    height = ifd[_T["ImageLength"]][0]
+    if width * height > 1 << 28:
+        raise DngError(f"implausible raw dimensions {width}x{height}")
+    bits = ifd.get(_T["BitsPerSample"], [16])[0]
+    compression = ifd.get(_T["Compression"], [1])[0]
+    if compression != 1:
+        raise DngError(
+            f"unsupported {make or 'vendor'} TIFF compression {compression}"
+        )
+
+    offsets = ifd[_T["StripOffsets"]]
+    counts = ifd.get(_T["StripByteCounts"], [len(data) - offsets[0]])
+    rps = ifd.get(_T["RowsPerStrip"], [height])[0]
+    if rps <= 0:
+        raise DngError("implausible RowsPerStrip")
+    plane = np.zeros((height, width), np.uint16)
+    row = 0
+    for off, cnt in zip(offsets, counts):
+        n_rows = min(rps, height - row)
+        if n_rows <= 0:
+            break
+        if bits == 16:
+            need = n_rows * width * 2
+            if off + need > len(data) or cnt < need:
+                raise DngError("truncated 16-bit strip")
+            strip = np.frombuffer(
+                data, endian + "u2", count=n_rows * width, offset=off
+            ).reshape(n_rows, width)
+        else:
+            need = ((width * bits + 7) // 8) * n_rows
+            if off + need > len(data) or cnt < need:
+                raise DngError(f"truncated packed {bits}-bit strip")
+            strip = _unpack_msb(data[off : off + need], bits, width, n_rows)
+        plane[row : row + n_rows] = strip
+        row += n_rows
+    if row < height:
+        raise DngError("strips cover fewer rows than ImageLength")
+
+    black = float(np.mean(ifd.get(_T["BlackLevel"], [0])))
+    white = float(ifd.get(_T["WhiteLevel"], [(1 << bits) - 1])[0])
+
+    wb = np.ones(3, np.float32)
+    neutral = _first(ifds, _T["AsShotNeutral"])
+    gains = _first(ifds, _SAMSUNG_WB)
+    if gains and len(gains) >= 4:
+        # dcraw samsung: cam_mul[c ^ (c >> 1)] = levels[c] - blacks[c]
+        # -> file order (R, G, B, G2) lands on cam_mul (R, G, G2, B)
+        blacks = _first(ifds, _SAMSUNG_WB_BLACK) or [0, 0, 0, 0]
+        lv = [float(g) - float(b) for g, b in zip(gains[:4], blacks[:4])]
+        r, g, b = lv[0], lv[1], lv[2]
+        if g > 0 and r > 0 and b > 0:
+            wb = np.array([r / g, 1.0, b / g], np.float32)
+    elif neutral and len(neutral) >= 3:
+        n = np.asarray(neutral[:3], np.float64)
+        n[n <= 0] = 1.0
+        inv = 1.0 / n
+        wb = (inv / inv[1]).astype(np.float32)
+
+    pat = ifd.get(_TAG_CFA_PATTERN) or _first(ifds, _TAG_CFA_PATTERN)
+    pattern = (
+        "".join({0: "R", 1: "G", 2: "B"}.get(v, "G") for v in pat[:4])
+        if pat
+        else "RGGB"
+    )
+    cm = _first(ifds, _T["ColorMatrix2"]) or _first(ifds, _T["ColorMatrix1"])
+    xyz_to_cam = (
+        np.asarray(cm, np.float32).reshape(3, 3) if cm and len(cm) >= 9 else None
+    )
+    return RawFile(
+        cfa=plane,
+        pattern=pattern,
+        black_level=black,
+        white_level=white,
+        wb=wb,
+        xyz_to_cam=xyz_to_cam,
+        orientation=int((_first(ifds, _T["Orientation"]) or [1])[0]),
+    )

@@ -1146,3 +1146,168 @@ def test_mrw_malformed_refused():
     with pytest.raises(ValueError):
         parse_raw(_build_mrw(np.zeros((4, 4), np.uint16), packed=True)[:-10],
                   ext="mrw")
+
+
+# --------------------------------------- generic vendor TIFF-CFA long tail
+
+
+def _thumb_ifd() -> Ifd:
+    """An RGB preview IFD that must NOT be picked as the raw plane."""
+    return (
+        Ifd()
+        .add(256, 3, [64])
+        .add(257, 3, [48])
+        .add(258, 3, [8, 8, 8])
+        .add(277, 3, [3])
+        .add(259, 3, [1])
+        .add(273, 4, ("blob", bytes(64 * 48 * 3)))
+        .add(279, 4, [64 * 48 * 3])
+    )
+
+
+def test_erf_packed_12bit():
+    rng = np.random.default_rng(40)
+    cfa = rng.integers(0, 4095, (6, 8), dtype=np.uint16)
+    raw_ifd = (
+        Ifd()
+        .add(256, 3, [8])
+        .add(257, 3, [6])
+        .add(258, 3, [12])
+        .add(277, 3, [1])
+        .add(259, 3, [1])
+        .add(273, 4, ("blob", _pack_msb(cfa, 12)))
+        .add(279, 4, [len(_pack_msb(cfa, 12))])
+    )
+    ifd0 = _thumb_ifd().add(271, 2, "SEIKO EPSON CORP.")
+    data = build_tiff([ifd0, raw_ifd])
+    assert sniff_container(data, "erf") == "tiffcfa"
+    r = parse_raw(data, ext="erf")
+    np.testing.assert_array_equal(r.cfa, cfa)
+    assert r.pattern == "RGGB" and r.white_level == 4095.0
+
+
+def test_srw_16bit_wb():
+    rng = np.random.default_rng(41)
+    cfa = rng.integers(0, 16383, (8, 10), dtype=np.uint16)
+    raw_ifd = (
+        Ifd()
+        .add(256, 3, [10])
+        .add(257, 3, [8])
+        .add(258, 3, [16])
+        .add(277, 3, [1])
+        .add(259, 3, [1])
+        .add(273, 4, ("blob", cfa.tobytes()))
+        .add(279, 4, [cfa.size * 2])
+    )
+    ifd0 = (
+        _thumb_ifd()
+        .add(271, 2, "SAMSUNG")
+        .add(0xA021, 4, [640, 256, 512, 256])
+        .add(0xA028, 4, [128, 0, 0, 0])
+    )
+    data = build_tiff([ifd0, raw_ifd])
+    assert sniff_container(data, "srw") == "tiffcfa"
+    r = parse_raw(data, ext="srw")
+    np.testing.assert_array_equal(r.cfa, cfa)
+    # dcraw samsung WB: (640-128)/256 = 2.0 red, 512/256 = 2.0 blue
+    np.testing.assert_allclose(r.wb, [2.0, 1.0, 2.0], atol=1e-6)
+
+
+def test_fff_16bit_bigendian_pattern():
+    rng = np.random.default_rng(42)
+    cfa = rng.integers(0, 65535, (4, 6), dtype=np.uint16)
+    raw_ifd = (
+        Ifd()
+        .add(256, 3, [6])
+        .add(257, 3, [4])
+        .add(258, 3, [16])
+        .add(277, 3, [1])
+        .add(273, 4, ("blob", cfa.astype(">u2").tobytes()))
+        .add(279, 4, [cfa.size * 2])
+        .add(33422, 1, [1, 0, 2, 1])  # GRBG
+    )
+    ifd0 = Ifd().add(271, 2, "Hasselblad")
+    data = build_tiff([ifd0, raw_ifd], endian=">")
+    r = parse_raw(data, ext="fff")
+    np.testing.assert_array_equal(r.cfa, cfa)
+    assert r.pattern == "GRBG"
+
+
+def test_3fr_compressed_refused_precisely():
+    raw_ifd = (
+        Ifd()
+        .add(256, 3, [6])
+        .add(257, 3, [4])
+        .add(258, 3, [16])
+        .add(277, 3, [1])
+        .add(259, 3, [8])  # Hasselblad entropy coding
+        .add(273, 4, ("blob", bytes(64)))
+        .add(279, 4, [64])
+    )
+    ifd0 = Ifd().add(271, 2, "Hasselblad")
+    data = build_tiff([ifd0, raw_ifd])
+    with pytest.raises(ValueError, match="compression"):
+        parse_raw(data, ext="3fr")
+
+
+def test_kdc_asshotneutral_wb():
+    rng = np.random.default_rng(43)
+    cfa = rng.integers(0, 4095, (4, 8), dtype=np.uint16)
+    raw_ifd = (
+        Ifd()
+        .add(256, 3, [8])
+        .add(257, 3, [4])
+        .add(258, 3, [12])
+        .add(277, 3, [1])
+        .add(273, 4, ("blob", _pack_msb(cfa, 12)))
+        .add(279, 4, [len(_pack_msb(cfa, 12))])
+    )
+    neutral = struct.pack("<6I", 1, 2, 1, 1, 1, 2)  # 0.5, 1.0, 0.5
+    ifd0 = (
+        Ifd()
+        .add(271, 2, "EASTMAN KODAK COMPANY")
+        .add(50728, 5, neutral)
+    )
+    data = build_tiff([ifd0, raw_ifd])
+    r = parse_raw(data, ext="kdc")
+    np.testing.assert_array_equal(r.cfa, cfa)
+    np.testing.assert_allclose(r.wb, [2.0, 1.0, 2.0], atol=1e-6)
+
+
+def test_mef_ext_dispatch_without_make():
+    cfa = (np.arange(24, dtype=np.uint16) * 7).reshape(4, 6)
+    raw_ifd = (
+        Ifd()
+        .add(256, 3, [6])
+        .add(257, 3, [4])
+        .add(258, 3, [16])
+        .add(277, 3, [1])
+        .add(273, 4, ("blob", cfa.tobytes()))
+        .add(279, 4, [cfa.size * 2])
+    )
+    data = build_tiff([raw_ifd])
+    assert sniff_container(data, "mef") == "tiffcfa"
+    r = parse_raw(data, ext="mef")
+    np.testing.assert_array_equal(r.cfa, cfa)
+
+
+def test_crw_refused_precisely():
+    data = b"II\x1a\x00\x00\x00HEAPCCDR" + bytes(64)
+    assert sniff_container(data, "crw") == "crw"
+    with pytest.raises(UnsupportedRawFormat, match="crw"):
+        parse_raw(data, ext="crw")
+
+
+def test_tiffcfa_truncated_strip_refused():
+    raw_ifd = (
+        Ifd()
+        .add(256, 3, [64])
+        .add(257, 3, [64])
+        .add(258, 3, [16])
+        .add(277, 3, [1])
+        .add(273, 4, ("blob", bytes(32)))
+        .add(279, 4, [64 * 64 * 2])
+    )
+    data = build_tiff([Ifd().add(271, 2, "LEAF"), raw_ifd])
+    with pytest.raises(ValueError):
+        parse_raw(data, ext="mos")

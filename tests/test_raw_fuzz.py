@@ -38,6 +38,19 @@ def _structured_mrw() -> bytes:
     return _build_mrw(cfa, packed=True)
 
 
+def _structured_tiffcfa() -> bytes:
+    """Vendor TIFF routed to parse_tiff_cfa (Make=SAMSUNG + WB tags)."""
+    from tests.test_raw_containers import Ifd, build_tiff
+
+    cfa = (np.arange(48, dtype=np.uint16) * 999).reshape(6, 8)
+    ifd = Ifd([
+        (256, 3, [8]), (257, 3, [6]), (258, 3, [16]), (259, 3, [1]),
+        (271, 2, "SAMSUNG"), (273, 4, ("blob", cfa.tobytes())),
+        (279, 4, [cfa.size * 2]), (0xA021, 4, [512, 256, 256, 256]),
+    ])
+    return build_tiff([ifd])
+
+
 def _seeds() -> list[bytes]:
     """Magic prefixes that route into each parser + one deep DNG."""
     tiff_le = b"II*\0" + struct.pack("<I", 8) + struct.pack("<H", 3) + b"\x01\x02" * 20
@@ -54,6 +67,8 @@ def _seeds() -> list[bytes]:
         b"\0\0\0\x18ftypcrx \0\0\0\x01crx isom" + b"\x33" * 40,  # CR3
         b"FOVb" + b"\x01\0\0\0" + b"\x99" * 56,                # X3F (refusal)
         _structured_mrw(),
+        _structured_tiffcfa(),
+        b"II\x1a\0\0\0HEAPCCDR" + b"\x11" * 48,                # CRW (refusal)
         b"\0\0\0\x14ftypisom\0\0\0\x01" + b"\x44" * 44,        # generic BMFF
     ]
 
