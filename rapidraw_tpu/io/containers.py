@@ -126,6 +126,8 @@ def sniff_container(data: bytes, ext: str = "") -> str:
             return "pef"
         if make.startswith(_TIFF_CFA_MAKES) or ext in _TIFF_CFA_EXTS:
             return "tiffcfa"
+        if make.startswith("PHASE ONE") or ext == "iiq":
+            return "iiq"  # Phase One bitstream — detect-and-refuse
         if ext in ("nef", "nrw"):
             return "nef"
         if ext in ("arw", "srf", "sr2"):
@@ -200,7 +202,7 @@ def parse_raw(data: bytes, ext: str = "") -> RawFile:
             ) from e
         if raw is not None:
             return raw
-    if kind in ("x3f", "bmff", "crw"):
+    if kind in ("x3f", "bmff", "crw", "iiq"):
         raise UnsupportedRawFormat(kind)
     raise DngError(
         f"unrecognized RAW container (extension {ext or '?'}); "

@@ -1311,3 +1311,11 @@ def test_tiffcfa_truncated_strip_refused():
     data = build_tiff([Ifd().add(271, 2, "LEAF"), raw_ifd])
     with pytest.raises(ValueError):
         parse_raw(data, ext="mos")
+
+
+def test_iiq_refused_precisely():
+    ifd0 = Ifd().add(271, 2, "Phase One A/S").add(256, 3, [100]).add(257, 3, [80])
+    data = build_tiff([ifd0])
+    assert sniff_container(data, "iiq") == "iiq"
+    with pytest.raises(UnsupportedRawFormat, match="iiq"):
+        parse_raw(data, ext="iiq")
