@@ -59,8 +59,19 @@ def _apply_exif_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
 
 
 def load_ldr(path: str | Path) -> np.ndarray:
-    """Decode an LDR file to planar (3, H, W) float32 sRGB-encoded [0,1]."""
+    """Decode an LDR file to planar (3, H, W) float32 sRGB-encoded [0,1].
+
+    PIL covers the bulk of NON_RAW_EXTENSIONS (formats.rs:73-79); the
+    float/HDR tail (hdr/exr/ff/pam) decodes via io/float_images.py, clamped
+    to [0,1] like the reference's DynamicImage->RGB8 conversion."""
     from PIL import Image
+
+    ext = Path(str(path)).suffix.lower().lstrip(".")
+    if ext in ("hdr", "exr", "ff", "pam"):
+        from rapidraw_tpu.io.float_images import load_float_image
+
+        arr = np.clip(load_float_image(path), 0.0, 1.0)
+        return np.ascontiguousarray(arr.transpose(2, 0, 1))
 
     with Image.open(path) as im:
         try:
