@@ -17,7 +17,14 @@ from pathlib import Path
 from rapidraw_tpu.io.loader import RAW_EXTENSIONS, parse_virtual_path
 from rapidraw_tpu.io.sidecar import SIDECAR_EXT, load_sidecar, save_sidecar, sidecar_path
 
-LDR_EXTENSIONS = {"jpg", "jpeg", "png", "tif", "tiff", "webp", "bmp", "gif"}
+# the reference's NON_RAW_EXTENSIONS, formats.rs:73-79 (PIL decodes the
+# bulk; hdr/exr/ff/pam via io/float_images.py; jxl accepted-but-undecodable
+# there exactly as in the reference's image crate build)
+LDR_EXTENSIONS = {
+    "jpg", "jpeg", "png", "gif", "bmp", "tiff", "tif", "webp", "jxl",
+    "exr", "hdr", "tga", "ico", "dds", "qoi", "ff",
+    "pnm", "pbm", "pgm", "ppm", "pam",
+}
 SUPPORTED_EXTENSIONS = LDR_EXTENSIONS | RAW_EXTENSIONS
 
 
