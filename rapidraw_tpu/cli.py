@@ -370,6 +370,11 @@ def _cmd_exif(args) -> int:
     from rapidraw_tpu.io.exif import read_exif_tags, update_exif_fields
 
     if args.set:
+        for kv in args.set:
+            if "=" not in kv:
+                raise SystemExit(
+                    f"error: --set expects TAG=VALUE, got {kv!r}"
+                )
         updates = dict(kv.split("=", 1) for kv in args.set)
         update_exif_fields(args.paths, updates)
     for p in args.paths:

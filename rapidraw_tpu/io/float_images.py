@@ -93,15 +93,42 @@ def load_hdr(data: bytes) -> np.ndarray:
                         pos += n
                     x += n
         else:
-            # flat RGBE (incl. old-style; old RLE (1,1,1,n) refused)
+            # old-format scanline (Radiance color.c oldreadcolrs): flat
+            # RGBE groups, where (1,1,1,count) repeats the previous pixel
+            # count<<rshift times (consecutive markers raise rshift by 8).
+            # Fast path: no marker groups in the next w pixels -> memcpy.
             need = w * 4
-            if pos + need > len(data):
-                raise FloatImageError("truncated HDR flat scanline")
-            row = np.frombuffer(data, np.uint8, need, pos).reshape(w, 4)
-            if np.any((row[:, 0] == 1) & (row[:, 1] == 1) & (row[:, 2] == 1)):
-                raise FloatImageError("old-style HDR RLE not supported")
-            rgbe[y] = row
-            pos += need
+            flat = (
+                np.frombuffer(data, np.uint8, need, pos).reshape(w, 4)
+                if pos + need <= len(data)
+                else None
+            )
+            if flat is not None and not np.any(
+                (flat[:, 0] == 1) & (flat[:, 1] == 1) & (flat[:, 2] == 1)
+            ):
+                rgbe[y] = flat
+                pos += need
+                continue
+            x = 0
+            rshift = 0
+            while x < w:
+                if pos + 4 > len(data):
+                    raise FloatImageError("truncated HDR old-format scanline")
+                r, g, b, e = data[pos : pos + 4]
+                pos += 4
+                if r == 1 and g == 1 and b == 1:
+                    if x == 0:
+                        raise FloatImageError("HDR repeat run with no prior pixel")
+                    count = e << rshift
+                    if count <= 0 or x + count > w:
+                        raise FloatImageError("bad HDR old-format repeat run")
+                    rgbe[y, x : x + count] = rgbe[y, x - 1]
+                    x += count
+                    rshift += 8
+                else:
+                    rgbe[y, x] = (r, g, b, e)
+                    x += 1
+                    rshift = 0
 
     mant = rgbe[:, :, :3].astype(np.float32)
     e = rgbe[:, :, 3].astype(np.int32)

@@ -600,9 +600,10 @@ _RW2_BLACKS = (0x001C, 0x001D, 0x001E)
 _RW2_WB_LEVELS = (0x0024, 0x0025, 0x0026)  # red, green, blue
 _RW2_RAW_OFFSET = 0x0118
 
-# CFAPattern value -> 2x2 layout (dcraw parse: "\x94\x61\x49"[i], decoded
-# through dcraw's 2-bit filter codes)
-_RW2_PATTERNS = {0: "RGGB", 1: "GRBG", 2: "GBRG"}
+# CFAPattern tag 0x0009 is 1-BASED (exiftool PanasonicRaw: 1=[Red,Green]
+# [Green,Blue], 2=[Green,Red][Blue,Green], 3=[Green,Blue][Red,Green],
+# 4=[Blue,Green][Green,Red]); real RW2 files nearly always write 1 (RGGB)
+_RW2_PATTERNS = {1: "RGGB", 2: "GRBG", 3: "GBRG", 4: "BGGR"}
 
 
 def parse_rw2(data: bytes) -> RawFile:
@@ -667,7 +668,7 @@ def parse_rw2(data: bytes) -> RawFile:
             np.float32,
         )
 
-    pat = _RW2_PATTERNS.get(int(ifd.get(_RW2_CFA, [1])[0]), "GRBG")
+    pat = _RW2_PATTERNS.get(int(ifd.get(_RW2_CFA, [1])[0]), "RGGB")
     return RawFile(
         cfa=plane.astype(np.uint16, copy=False),
         pattern=_shift_pattern(pat, top, left),

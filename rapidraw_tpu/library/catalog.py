@@ -342,11 +342,9 @@ def get_image_dimensions(path: str | Path) -> tuple[int, int]:
     sp = Path(source)
     ext = sp.suffix.lower().lstrip(".")
     if ext in RAW_EXTENSIONS:
-        from rapidraw_tpu.io.containers import parse_raw
+        from rapidraw_tpu.io.containers import raw_dimensions
 
-        r = parse_raw(sp.read_bytes(), ext=ext)
-        h, w = r.cfa.shape[-2:]
-        return int(w), int(h)
+        return raw_dimensions(sp.read_bytes(), ext=ext)
     from PIL import Image
 
     with Image.open(sp) as im:

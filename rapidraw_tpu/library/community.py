@@ -173,12 +173,7 @@ def save_community_preset(
     """Install one community preset under the 'Community' folder of a
     PresetStore, replacing any same-named entry there
     (file_management.rs:2703-2757)."""
-    for existing in list(store.list()):
-        if (
-            existing.get("folder") == COMMUNITY_FOLDER
-            and existing.get("name") == name
-        ):
-            store.delete(name)
+    store.delete(name, folder=COMMUNITY_FOLDER)
     entry = store.add(name, adjustments, folder=COMMUNITY_FOLDER)
     entry["includeMasks"] = include_masks
     entry["includeCropTransform"] = include_crop_transform

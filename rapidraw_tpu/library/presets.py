@@ -65,6 +65,9 @@ class PresetStore:
                 return p
         return None
 
+    # sentinel: delete() matches any folder unless one is named
+    _ANY_FOLDER = object()
+
     def add(self, name: str, adjustments: dict, folder: str | None = None) -> dict:
         preset = {
             "id": str(uuid.uuid4()),
@@ -72,14 +75,24 @@ class PresetStore:
             "folder": folder,
             "adjustments": adjustments,
         }
-        self._presets = [p for p in self._presets if p.get("name") != name]
+        # same-named presets in OTHER folders coexist (the reference keys
+        # presets by id within folders); only the (name, folder) pair is
+        # replaced
+        self._presets = [
+            p for p in self._presets
+            if not (p.get("name") == name and p.get("folder") == folder)
+        ]
         self._presets.append(preset)
         self._save()
         return preset
 
-    def delete(self, name: str) -> bool:
+    def delete(self, name: str, folder=_ANY_FOLDER) -> bool:
         before = len(self._presets)
-        self._presets = [p for p in self._presets if p.get("name") != name]
+        self._presets = [
+            p for p in self._presets
+            if p.get("name") != name
+            or (folder is not self._ANY_FOLDER and p.get("folder") != folder)
+        ]
         self._save()
         return len(self._presets) != before
 

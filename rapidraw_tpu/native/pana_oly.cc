@@ -55,7 +55,10 @@ struct PanaBits {
   unsigned bits(int nbits) {
     if (vbits == 0) refill();
     vbits = (vbits - nbits) & 0x1ffff;
-    int byte = vbits >> 3;
+    // dcraw pana_bits: the byte index XORs 0x3ff0, i.e. the down-counting
+    // cursor walks 16-byte groups FORWARD through the section while bytes
+    // within each group are consumed backward
+    int byte = (vbits >> 3) ^ 0x3ff0;
     return ((buf[byte] | (buf[byte + 1] << 8)) >> (vbits & 7)) &
            ((1u << nbits) - 1);
   }

@@ -534,12 +534,21 @@ def merge_configs(configs: list[DevelopConfig]) -> DevelopConfig:
                 f for f in BLEND_FIELDS
                 if any(f in c.mask_blend_fields for c in configs)
             )
+            def _masks_for(c, f):
+                # mirror grade.blend_mask_indices: configs whose
+                # mask_blend_masks is shorter than mask_blend_fields
+                # (pre-gating caches / hand-built configs) blend all masks
+                i = c.mask_blend_fields.index(f)
+                if i < len(c.mask_blend_masks):
+                    return c.mask_blend_masks[i]
+                return tuple(range(c.mask_count))
+
             fields[name] = tuple(
                 tuple(sorted({
                     n
                     for c in configs
                     if f in c.mask_blend_fields
-                    for n in c.mask_blend_masks[c.mask_blend_fields.index(f)]
+                    for n in _masks_for(c, f)
                 }))
                 for f in merged_fields
             )

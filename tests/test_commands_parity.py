@@ -320,3 +320,28 @@ def test_cli_lib_and_preset_and_exif(tmp_path, capsys):
     capsys.readouterr()
     assert main(["exif", str(img), "--set", "Artist=Me"]) == 0
     assert load_sidecar(img)["exif"]["Artist"] == "Me"
+
+
+def test_get_image_dimensions_raw_metadata_only(tmp_path):
+    """Dimension queries must not decode pixels (lib.rs:232-238): a DNG
+    whose strip payload is CORRUPT still reports header dims."""
+    import struct
+
+    from tests.test_raw_containers import Ifd, build_tiff
+
+    ifd = Ifd()
+    ifd.add(256, 4, [48]).add(257, 4, [32]).add(258, 3, [16])
+    ifd.add(259, 3, [1]).add(262, 3, [32803]).add(277, 3, [1])
+    ifd.add(273, 4, [0xFFFFFF]).add(279, 4, [12])  # bogus strip offset
+    ifd.add(50706, 1, bytes([1, 4, 0, 0]))
+    p = tmp_path / "broken.dng"
+    p.write_bytes(build_tiff([ifd]))
+    assert get_image_dimensions(p) == (48, 32)
+
+    # MRW: PRD header dims without touching the plane
+    from tests.test_raw_containers import _build_mrw
+    import numpy as np
+
+    q = tmp_path / "old.mrw"
+    q.write_bytes(_build_mrw(np.zeros((6, 8), np.uint16), packed=False))
+    assert get_image_dimensions(q) == (8, 6)

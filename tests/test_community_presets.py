@@ -82,3 +82,20 @@ def test_install_into_community_folder(tmp_path):
     # persisted to disk
     store2 = PresetStore(tmp_path / "presets.json")
     assert store2.get("Teal Pop")["adjustments"] == {"exposure": 1.0}
+
+
+def test_install_does_not_clobber_same_named_user_preset(tmp_path):
+    from rapidraw_tpu.library.presets import PresetStore
+
+    store = PresetStore(tmp_path / "presets.json")
+    mine = store.add("Portrait", {"exposure": 0.5}, folder=None)
+    save_community_preset(store, "Portrait", {"exposure": -1.0})
+    names = [(p["name"], p.get("folder")) for p in store.list()]
+    assert ("Portrait", None) in names, "user preset must survive install"
+    assert ("Portrait", "Community") in names
+    assert store.get("Portrait")["id"] == mine["id"]  # user's wins by order
+    # reinstall replaces only the community copy
+    save_community_preset(store, "Portrait", {"exposure": 2.0})
+    comm = [p for p in store.list() if p.get("folder") == "Community"]
+    assert len(comm) == 1 and comm[0]["adjustments"]["exposure"] == 2.0
+    assert ("Portrait", None) in [(p["name"], p.get("folder")) for p in store.list()]

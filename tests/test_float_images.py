@@ -229,3 +229,24 @@ def test_loader_dispatches_float_formats(tmp_path):
                   + np.concatenate([px, alpha], axis=2).astype(">u2").tobytes())
     planar2 = load_ldr(q)
     np.testing.assert_allclose(planar2.transpose(1, 2, 0), px.astype(np.float32) / 65535.0, atol=1e-4)
+
+
+def test_hdr_old_format_repeat_runs_and_111_pixel():
+    """(1,1,1,e) is a LEGAL dark pixel only as the old-format repeat marker
+    of the previous pixel; a flat file containing it decodes via the
+    old-format path (Radiance color.c oldreadcolrs)."""
+    w, h = 6, 1
+    head = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n" + f"-Y {h} +X {w}\n".encode()
+    # pixel, repeat x3 (marker count=3), then two literal pixels
+    body = bytes([10, 20, 30, 130]) + bytes([1, 1, 1, 3]) \
+        + bytes([40, 50, 60, 129]) + bytes([7, 8, 9, 128])
+    out = load_hdr(head + body)
+    s130 = 2.0 ** (130 - 136)
+    np.testing.assert_allclose(out[0, 0], np.array([10, 20, 30]) * s130)
+    for x in (1, 2, 3):
+        np.testing.assert_allclose(out[0, x], out[0, 0])
+    np.testing.assert_allclose(out[0, 4], np.array([40, 50, 60]) * 2.0 ** (129 - 136))
+    np.testing.assert_allclose(out[0, 5], np.array([7, 8, 9]) * 2.0 ** (128 - 136))
+    # repeat with no prior pixel refuses
+    with pytest.raises(ValueError):
+        load_hdr(head + bytes([1, 1, 1, 2]) + bytes(20))

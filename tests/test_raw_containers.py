@@ -714,11 +714,12 @@ def _encode_rw2_stream(h, w, rng):
     a = [0x20000]  # backwards bit cursor within the section
 
     def put(v, n):
-        # flat LSB-first bit placement at the down-counting cursor —
-        # values pack from the end of the section backwards
+        # LSB-first bit placement at the down-counting cursor with dcraw's
+        # byte-index XOR: 16-byte groups advance forward through the
+        # section, bytes within a group are consumed backward
         a[0] -= n
         assert a[0] >= 0, "test frame exceeds one section"
-        idx = a[0] // 8
+        idx = (a[0] // 8) ^ 0x3FF0
         sh = a[0] % 8
         word = buf[idx] | (buf[idx + 1] << 8)
         word |= (v & ((1 << n) - 1)) << sh
@@ -783,7 +784,7 @@ def test_rw2_container_parse():
         (0x0002, 3, [w]), (0x0003, 3, [h]),
         (0x0004, 3, [2]), (0x0005, 3, [4]),   # top, left
         (0x0006, 3, [h]), (0x0007, 3, [w]),   # bottom, right
-        (0x0009, 3, [1]),                     # GRBG
+        (0x0009, 3, [1]),                     # 1-based: RGGB
         (0x000A, 3, [12]),
         (0x001C, 3, [143]), (0x001D, 3, [143]), (0x001E, 3, [143]),
         (0x0024, 3, [520]), (0x0025, 3, [263]), (0x0026, 3, [410]),
@@ -802,8 +803,8 @@ def test_rw2_container_parse():
 
 
 def _shift(r):
-    # GRBG shifted by (top=2, left=4) stays GRBG (even offsets)
-    return "GRBG"
+    # RGGB shifted by (top=2, left=4) stays RGGB (even offsets)
+    return "RGGB"
 
 
 # ---------------------------------------------------------- ORF predictive
