@@ -92,9 +92,19 @@ def read_exif_bytes(path: str | Path) -> bytes | None:
     return None
 
 
+def _tobytes_raw(exif) -> bytes:
+    """Image.Exif.tobytes() with the 'Exif\\x00\\x00' prefix stripped —
+    the module convention is raw TIFF payloads (PNG eXIf / WebP EXIF chunks
+    are spec-invalid with the prefix; JPEG splice re-adds it)."""
+    raw = exif.tobytes()
+    return raw[6:] if raw.startswith(b"Exif\x00\x00") else raw
+
+
 def strip_gps(exif_payload: bytes) -> bytes:
     """Remove the GPS IFD from an EXIF payload (export_processing.rs GPS
-    strip behavior)."""
+    strip behavior). GPS-less payloads return UNCHANGED — re-serializing
+    through PIL would lossily rewrite MakerNote offsets and drop tags PIL
+    can't round-trip."""
     from PIL import Image
 
     exif = Image.Exif()
@@ -102,10 +112,11 @@ def strip_gps(exif_payload: bytes) -> bytes:
         exif.load(exif_payload)
     except Exception:
         return exif_payload
-    if _GPS_IFD_TAG in exif:
-        del exif[_GPS_IFD_TAG]
+    if _GPS_IFD_TAG not in exif:
+        return exif_payload
+    del exif[_GPS_IFD_TAG]
     try:
-        return exif.tobytes()
+        return _tobytes_raw(exif)
     except Exception:
         return exif_payload
 
@@ -119,6 +130,10 @@ def splice_exif_into_jpeg(jpeg_path: str | Path, exif_payload: bytes) -> None:
         raise ValueError("not a JPEG file")
     if not exif_payload.startswith(b"Exif\x00\x00"):
         exif_payload = b"Exif\x00\x00" + exif_payload
+    if len(exif_payload) + 2 > 0xFFFF:  # APP1 16-bit length limit
+        raise ValueError(
+            f"EXIF payload {len(exif_payload)}B exceeds the 64KB APP1 limit"
+        )
     seg = b"\xff\xe1" + struct.pack(">H", len(exif_payload) + 2) + exif_payload
 
     # walk segments after SOI; drop any existing APP1-Exif, insert ours first
@@ -275,7 +290,7 @@ def copy_exif(
         try:
             exif.load(payload)
             exif[0x0131] = software  # Software tag
-            payload = exif.tobytes()
+            payload = _tobytes_raw(exif)
         except Exception:
             pass
     dstp = Path(dst)

@@ -206,14 +206,18 @@ def _output_path(
     total: int = 1,
     vc: int | None = None,
     appearance: int = 0,
+    created=None,
 ) -> Path:
     """Template + virtual-copy suffix + optional source-tree preservation
-    (export_processing.rs:767-822)."""
-    from rapidraw_tpu.io.exif import get_creation_date
+    (export_processing.rs:767-822). `created` lets callers reuse one EXIF
+    read for both the filename template and timestamp restore."""
+    if created is None:
+        from rapidraw_tpu.io.exif import get_creation_date
 
+        created = get_creation_date(source)
     src = Path(source)
     name = generate_filename_from_template(
-        settings.filename_template, src, seq, total, get_creation_date(source)
+        settings.filename_template, src, seq, total, created
     )
     if vc is not None:
         name = f"{name}_VC{vc:02d}"
@@ -239,13 +243,15 @@ def _output_path(
     return target_dir / f"{name}.{ext}"
 
 
-def _restore_timestamps(source: str, dst: Path) -> None:
+def _restore_timestamps(source: str, dst: Path, created=None) -> None:
     """Stamp the output with the source's EXIF capture time (rs:272-281)."""
     import os
 
-    from rapidraw_tpu.io.exif import get_creation_date
+    if created is None:
+        from rapidraw_tpu.io.exif import get_creation_date
 
-    t = get_creation_date(source).timestamp()
+        created = get_creation_date(source)
+    t = created.timestamp()
     try:
         os.utime(dst, (t, t))
     except OSError:
@@ -373,15 +379,36 @@ def export_images(
     enc_sem = threading.BoundedSemaphore(n_enc * 2)
     seq_state = {"seq": 0}
     appearance: dict = {}
+    claimed_paths: set = set()
 
     def encode_one(idx, p, planar, dt, n_in_chunk):
-        # sequence/appearance state is assigned in the render loop (single
-        # thread) so filename numbering stays deterministic
+        # sequence/appearance/output-path state is assigned in the render
+        # loop (single thread) so filename numbering is deterministic and
+        # two sources that template to the same name can't overwrite each
+        # other (2023/IMG_0001.CR2 + 2024/IMG_0001.CR2 without
+        # preserve_folders both map to IMG_0001_edited.jpg)
         seq_state["seq"] += 1
         seq = seq_state["seq"]
         real, vc = parse_virtual_path(p)
         appearance[real] = appearance.get(real, 0) + 1
         app = appearance[real]
+        from rapidraw_tpu.io.exif import get_creation_date
+
+        try:
+            created = get_creation_date(real)  # one EXIF read: name + utime
+        except Exception:  # noqa: BLE001 — missing/unreadable source EXIF
+            import datetime as _dt
+
+            created = _dt.datetime.now()
+        dst = _output_path(
+            real, out_dir, settings, seq, total=total, vc=vc,
+            appearance=app, created=created,
+        )
+        n_dup = 1
+        while str(dst) in claimed_paths:
+            dst = dst.with_name(f"{dst.stem}-{n_dup}{dst.suffix}")
+            n_dup += 1
+        claimed_paths.add(str(dst))
 
         def task():
             try:
@@ -395,17 +422,13 @@ def export_images(
                     from rapidraw_tpu.pipeline.watermark import apply_watermark
 
                     out = apply_watermark(np.asarray(out), settings.watermark)
-                dst = _output_path(
-                    real, out_dir, settings, seq, total=total, vc=vc,
-                    appearance=app,
-                )
                 encode_image(out, dst, settings.format, settings.quality)
                 if settings.copy_exif:
                     from rapidraw_tpu.io.exif import copy_exif
 
                     copy_exif(real, dst, strip_gps_data=settings.strip_gps)
                 if settings.preserve_timestamps:
-                    _restore_timestamps(real, dst)
+                    _restore_timestamps(real, dst, created=created)
                 if settings.export_masks:
                     _export_masks_for_image(p, dst, settings)
                 r = ExportResult(p, str(dst), True, seconds=dt / n_in_chunk)
@@ -453,7 +476,20 @@ def export_images(
     union_cfg: dict = {}
 
     def render_chunk(key):
+        # device-side failures are isolated per BUCKET, like prepare/encode
+        # failures are per image: one bad bucket must not abort the batch
         chunk = chunks.pop(key)
+        try:
+            _render_chunk_inner(key, chunk)
+        except Exception as e:  # noqa: BLE001
+            for c in chunk:
+                _track_prepared(-1)
+                with res_lock:
+                    results[c["idx"]] = ExportResult(
+                        c["path"], None, False, f"render failed: {e}"
+                    )
+
+    def _render_chunk_inner(key, chunk):
         bucket_cfg = union_cfg[key]
         t0 = time.perf_counter()
         imgs = jnp.stack([c["timg"] for c in chunk])
@@ -620,7 +656,8 @@ def _export_masks_for_image(path: str, main_output: Path, settings: ExportSettin
     out_dir = main_output.parent
     stem = main_output.stem
     ext = main_output.suffix.lstrip(".")
-    for i, mdef in enumerate(masks_json):
+    # rasterize_masks caps bitmaps at MAX_MASKS — export the same subset
+    for i, mdef in enumerate(masks_json[: bitmaps.shape[0]]):
         single = dict(adj)
         single["masks"] = [mdef]
         params, cfg = parse_adjustments(single, is_raw=is_raw)

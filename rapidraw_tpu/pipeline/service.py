@@ -116,14 +116,21 @@ class RenderService:
         return warped
 
     def _masks(
-        self, adjustments: dict, w: int, h: int, scale: float, crop_offset,
-        warped_image=None,
+        self, path: str, adjustments: dict, w: int, h: int, scale: float,
+        crop_offset, warped_image=None,
     ):
         import hashlib
 
+        from rapidraw_tpu.utils.hashing import calculate_geometry_hash
+
         mask_defs = adjustments.get("masks")
+        # keyed by image identity + geometry hash as well: color/luminance
+        # masks sample the warped IMAGE, so same-shaped defs on a different
+        # photo (or after a geometry change) must not hit the same bitmaps
+        # (mask_generation.rs:1459-1511 hashes per image render job)
         key_src = json.dumps(
-            {"m": mask_defs, "w": w, "h": h, "s": scale, "c": crop_offset},
+            {"p": path, "g": calculate_geometry_hash(adjustments),
+             "m": mask_defs, "w": w, "h": h, "s": scale, "c": crop_offset},
             sort_keys=True, default=str,
         )
         key = hashlib.blake2b(key_src.encode(), digest_size=8).hexdigest()
@@ -180,22 +187,14 @@ class RenderService:
         _, h, w = x.shape
         scale = h / full_h if full_h else 1.0
         warped = self._warped_for_masks(path, adjustments)
-        masks = self._masks(adjustments, w, h, scale, crop_offset, warped_image=warped)
+        masks = self._masks(
+            path, adjustments, w, h, scale, crop_offset, warped_image=warped
+        )
 
-        roi_px = None
-        if roi is not None:
-            # normalized ROI (lib.rs:448-457) clamped into the preview
-            rx = int(max(0.0, min(roi[0], 1.0)) * w)
-            ry = int(max(0.0, min(roi[1], 1.0)) * h)
-            rw = max(int(roi[2] * w), 1)
-            rh = max(int(roi[3] * h), 1)
-            rw = min(rw, w - rx)
-            rh = min(rh, h - ry)
-            roi_px = (rx, ry, rw, rh)
-            x = x[:, ry : ry + rh, rx : rx + rw]
-            if masks is not None:
-                masks = masks[:, ry : ry + rh, rx : rx + rw]
-
+        # the reference applies the interactive quality divisor BEFORE ROI
+        # normalization (lib.rs:430-457): ROI x/y/w/h, the render, and the
+        # reply's full dims all live in ONE (possibly divisor-downscaled)
+        # preview coordinate space
         xj = jnp.asarray(x)
         if divisor > 1.0:
             xj = downscale(
@@ -206,6 +205,20 @@ class RenderService:
                 iy = (np.arange(h2) * masks.shape[1] / h2).astype(np.int64)
                 ix = (np.arange(w2) * masks.shape[2] / w2).astype(np.int64)
                 masks = masks[:, iy[:, None], ix[None, :]]
+        ph, pw = int(xj.shape[1]), int(xj.shape[2])
+
+        roi_px = None
+        if roi is not None:
+            # normalized ROI (lib.rs:448-457) clamped into the preview;
+            # rx/ry cap at dim-1 so the crop is never empty
+            rx = min(int(max(0.0, min(roi[0], 1.0)) * pw), pw - 1)
+            ry = min(int(max(0.0, min(roi[1], 1.0)) * ph), ph - 1)
+            rw = min(max(int(roi[2] * pw), 1), pw - rx)
+            rh = min(max(int(roi[3] * ph), 1), ph - ry)
+            roi_px = (rx, ry, rw, rh)
+            xj = xj[:, ry : ry + rh, rx : rx + rw]
+            if masks is not None:
+                masks = masks[:, ry : ry + rh, rx : rx + rw]
 
         tonemapper_override = self.settings.tonemapper_override(is_raw)
         params, cfg = parse_adjustments(adjustments, is_raw, tonemapper_override)
@@ -237,8 +250,11 @@ class RenderService:
             jpeg=jpeg,
             width=out.shape[2],
             height=out.shape[1],
-            full_width=full_w,
-            full_height=full_h,
+            # the reply's full dims are the PROCESSING preview's (the same
+            # coordinate space as x/y/w/h), matching the reference's
+            # preview_width/preview_height framing (lib.rs:575-582)
+            full_width=pw,
+            full_height=ph,
             roi=roi_px,
             seconds=time.perf_counter() - t0,
             histogram=histogram,
@@ -288,7 +304,7 @@ class RenderService:
         _, h, w = x.shape
         scale = w / pre_w if pre_w else 1.0
         warped = self._warped_for_masks(path, adjustments)
-        masks = self._masks(adjustments, w, h, scale, (0.0, 0.0), warped_image=warped)
+        masks = self._masks(path, adjustments, w, h, scale, (0.0, 0.0), warped_image=warped)
 
         tonemapper_override = self.settings.tonemapper_override(is_raw)
         params, cfg = parse_adjustments(adjustments, is_raw, tonemapper_override)
@@ -408,7 +424,7 @@ class RenderService:
         _, h, w = x.shape
         scale = h / full_h if full_h else 1.0
         warped = self._warped_for_masks(path, adjustments)
-        masks = self._masks(adjustments, w, h, scale, crop_offset, warped_image=warped)
+        masks = self._masks(path, adjustments, w, h, scale, crop_offset, warped_image=warped)
         tonemapper_override = self.settings.tonemapper_override(is_raw)
         params, cfg = parse_adjustments(adjustments, is_raw, tonemapper_override)
         lut = self._load_lut(adjustments, cfg)

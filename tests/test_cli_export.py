@@ -270,3 +270,29 @@ def test_render_chunk_sharded_matches_single_device():
     # u8 quantization may flip on <=1 ulp float differences between the
     # sharded and plain paths: allow off-by-one
     assert np.abs(sharded.astype(int) - plain.astype(int)).max() <= 1
+
+
+def test_export_colliding_names_uniquified(tmp_path):
+    """Two sources templating to the same output name must both survive
+    (previously the encode threads overwrote one file and reported two
+    successes)."""
+    import numpy as np
+    from PIL import Image
+
+    from rapidraw_tpu.pipeline.export import ExportSettings, export_images
+
+    rng = np.random.default_rng(3)
+    (tmp_path / "2023").mkdir()
+    (tmp_path / "2024").mkdir()
+    paths = []
+    for sub in ("2023", "2024"):
+        p = tmp_path / sub / "IMG_0001.jpg"
+        Image.fromarray((rng.random((24, 32, 3)) * 255).astype(np.uint8)).save(p)
+        paths.append(str(p))
+    out = tmp_path / "out"
+    results = export_images(paths, out, ExportSettings(batch_size=2))
+    assert all(r.ok for r in results)
+    outs = {r.output for r in results}
+    assert len(outs) == 2, outs
+    for o in outs:
+        assert Path(o).exists()

@@ -240,3 +240,48 @@ def test_cr3_thumbnail_from_embedded_preview(tmp_path):
     assert data[:2] == b"\xff\xd8"
     im = Image.open(_io.BytesIO(data))
     assert max(im.size) == 64
+
+
+def test_png_exif_chunk_is_raw_tiff_even_after_gps_strip(tmp_path):
+    """PNG eXIf chunk data must start with the raw TIFF header, never the
+    JPEG-only 'Exif\\x00\\x00' prefix — including when the GPS strip
+    re-serializes the payload (the spec-invalid prefix broke conforming
+    readers)."""
+    import struct
+
+    exif = Image.Exif()
+    exif[0x010F] = "AcmeCam"
+    exif[0x8825] = {1: "N", 16: "T"}  # GPS present: strip path re-encodes
+    src = _jpg(tmp_path / "src.jpg", exif=exif)
+    arr = (np.random.default_rng(1).random((16, 16, 3)) * 255).astype(np.uint8)
+    dst = tmp_path / "o.png"
+    Image.fromarray(arr).save(dst, "PNG")
+    assert copy_exif(src, dst, strip_gps_data=True)
+    data = dst.read_bytes()
+    pos = 8
+    payload = None
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        if data[pos + 4 : pos + 8] == b"eXIf":
+            payload = data[pos + 8 : pos + 8 + ln]
+            break
+        pos += 12 + ln
+    assert payload is not None
+    assert payload[:2] in (b"II", b"MM"), payload[:8]
+    assert not payload.startswith(b"Exif\x00\x00")
+
+
+def test_gps_less_copy_is_byte_lossless(tmp_path):
+    """strip_gps on a GPS-less payload must be the identity — PIL
+    re-serialization would corrupt MakerNote offsets."""
+    from rapidraw_tpu.io.exif import strip_gps
+
+    exif = Image.Exif()
+    exif[0x010F] = "AcmeCam"
+    src = _jpg(tmp_path / "src.jpg", exif=exif)
+    from rapidraw_tpu.io.exif import read_exif_bytes
+
+    payload = read_exif_bytes(src)
+    if payload.startswith(b"Exif\x00\x00"):
+        payload = payload[6:]
+    assert strip_gps(payload) == payload

@@ -145,7 +145,7 @@ def test_color_range_mask_resolves_warped_image(tmp_path):
     svc = RenderService()
     warped = svc._warped_for_masks(str(p), adj)
     assert warped is not None and warped.shape == (60, 80, 3)
-    masks = svc._masks(adj, 80, 60, 1.0, (0.0, 0.0), warped_image=warped)
+    masks = svc._masks(str(p), adj, 80, 60, 1.0, (0.0, 0.0), warped_image=warped)
     assert masks is not None
     assert masks[0][:, :35].mean() > 0.8  # red half selected
     assert masks[0][:, 45:].mean() < 0.1  # blue half not
@@ -219,3 +219,32 @@ def test_analytics_worker(tmp_path):
     w.close()
     assert not isinstance(got[0], Exception)
     assert "histogram" in got[0] and "waveform" in got[0]
+
+
+def test_mask_cache_keyed_by_image_identity(tmp_path):
+    """Same mask defs + dims on two DIFFERENT photos must not share
+    bitmaps: color/luminance masks sample the image itself."""
+    a = np.zeros((60, 80, 3), np.uint8)
+    a[:, :40] = (220, 30, 30)        # red fills the left HALF
+    b = np.zeros((60, 80, 3), np.uint8)
+    b[:20, :20] = (220, 30, 30)      # red fills only a small corner
+    pa, pb = tmp_path / "a.jpg", tmp_path / "b.jpg"
+    Image.fromarray(a).save(pa, quality=98)
+    Image.fromarray(b).save(pb, quality=98)
+    adj = {
+        "masks": [{
+            "visible": True, "invert": False, "opacity": 100.0,
+            "adjustments": {"exposure": 2.0},
+            "subMasks": [{"type": "color", "visible": True, "mode": "additive",
+                          "parameters": {"targetX": 10, "targetY": 10, "tolerance": 30}}],
+        }],
+    }
+    svc = RenderService()
+    wa = svc._warped_for_masks(str(pa), adj)
+    ma = svc._masks(str(pa), adj, 80, 60, 1.0, (0.0, 0.0), warped_image=wa)
+    wb = svc._warped_for_masks(str(pb), adj)
+    mb = svc._masks(str(pb), adj, 80, 60, 1.0, (0.0, 0.0), warped_image=wb)
+    assert ma is not mb
+    # A selects the whole left half, B only the corner — bitmaps must differ
+    diff = np.abs(np.asarray(ma, np.float32) - np.asarray(mb, np.float32))
+    assert float(diff.max()) > 0.5
