@@ -124,8 +124,11 @@ def apply_all_transformations(
     image = apply_rotation(image, float(adjustments.get("rotation", 0.0) or 0.0))
 
     crop = adjustments.get("crop")
+    pre_shape = image.shape
     image = apply_crop(image, crop if isinstance(crop, dict) else None)
     offset = (0.0, 0.0)
-    if isinstance(crop, dict):
+    # a rejected/identity crop (apply_crop returns the image unchanged)
+    # must not report a phantom offset — masks would shift off-position
+    if isinstance(crop, dict) and image.shape != pre_shape:
         offset = (float(crop.get("x", 0.0)), float(crop.get("y", 0.0)))
     return image, offset

@@ -70,7 +70,16 @@ def parse_3dl(text: str) -> np.ndarray:
     size = int(round(n ** (1 / 3)))
     if size**3 != n:
         raise LutError(f"Invalid 3DL LUT: {n} entries is not a perfect cube")
-    return _data_to_cube(np.asarray(vals, np.float32), size)
+    data = np.asarray(vals, np.float32)
+    # .3dl stores INTEGER code values (Autodesk/Lustre: 10/12/16-bit);
+    # normalize by the format's full-scale peak. Documented divergence from
+    # the reference, whose parse_3dl (lut_processing.rs:120-155) feeds the
+    # raw integers to the sampler and blows out every real-world .3dl.
+    peak = float(data.max())
+    if peak > 2.0:
+        bits = max(int(np.ceil(np.log2(peak + 1.0))), 2)
+        data = data / float((1 << bits) - 1)
+    return _data_to_cube(data, size)
 
 
 def parse_hald(image: np.ndarray) -> np.ndarray:

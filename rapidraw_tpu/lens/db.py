@@ -169,12 +169,16 @@ def parse_lensfun_xml(text: str) -> LensDatabase:
     except ET.ParseError:
         return db
     for cam in root.findall("camera"):
+        try:
+            cam_cf = float(cam.findtext("cropfactor") or 1.0)
+        except ValueError:
+            cam_cf = 1.0  # malformed value must not abort the whole DB load
         db.cameras.append(
             Camera(
                 makers=_names(cam, "maker"),
                 models=_names(cam, "model"),
                 mount=(cam.findtext("mount") or "").strip(),
-                cropfactor=float(cam.findtext("cropfactor") or 1.0),
+                cropfactor=cam_cf,
             )
         )
     for lens_el in root.findall("lens"):

@@ -16,7 +16,7 @@ from pathlib import Path
 import numpy as np
 
 
-def thumbnail_cache_key(path: str, adjustments: dict) -> str:
+def thumbnail_cache_key(path: str, adjustments: dict, resolution: int = 720) -> str:
     import json
 
     p = Path(path)
@@ -27,6 +27,9 @@ def thumbnail_cache_key(path: str, adjustments: dict) -> str:
     h = hashlib.blake2b(digest_size=16)
     h.update(str(path).encode())
     h.update(str(mtime).encode())
+    # resolution is part of the identity: a 240px cache hit must not
+    # satisfy a 1440px request
+    h.update(str(int(resolution)).encode())
     h.update(json.dumps(adjustments, sort_keys=True, default=str).encode())
     return h.hexdigest()
 
@@ -76,7 +79,7 @@ def generate_thumbnail(
     from rapidraw_tpu.pipeline.develop import develop
 
     adjustments = load_adjustments(path)
-    key = thumbnail_cache_key(path, adjustments)
+    key = thumbnail_cache_key(path, adjustments, resolution)
     cache_file = None
     if cache_dir is not None:
         cache_file = Path(cache_dir) / f"{key}.jpg"
@@ -118,13 +121,24 @@ def generate_thumbnail(
     # warp -> downscale -> flip/rotate/crop ordering closely enough for
     # thumbnails; the geometry cache trick of :1216-1219 is the jit cache)
     x, crop_offset = apply_all_transformations(x, adjustments)
+    full_h = int(x.shape[1])  # POST-transform height — mask coordinates
+    # live in the transformed frame (same convention as service.py)
     x = downscale_to_long_edge(x, resolution)
     _, h, w = x.shape
-    full_h = img.shape[1]
     scale = h / full_h if full_h else 1.0
+    from rapidraw_tpu.masks.rasterize import (
+        requires_warped_image, resolve_warped_image,
+    )
+
+    warped = (
+        resolve_warped_image(img, adjustments, is_raw)
+        if requires_warped_image(adjustments)
+        else None
+    )
     masks = rasterize_masks(
         adjustments, w, h, scale=scale,
         crop_offset=(crop_offset[0] * scale, crop_offset[1] * scale),
+        warped_image=warped,
     )
     params, cfg = parse_adjustments(adjustments, is_raw=is_raw)
     out = develop(x, params, cfg, masks=jnp.asarray(masks) if masks is not None else None)

@@ -150,8 +150,12 @@ def _range_mask(params: dict, width, height, scale, crop_offset, warped_u8, mode
     inside = (dist_sq <= tol_sq) & valid
     intensity = np.where(inside, 1.0 - np.sqrt(dist_sq) / np.sqrt(tol_sq), 0.0)
     mask = (np.clip(intensity, 0, 1) * 255.0).astype(np.uint8)
+    # feather default is 0.0 for BOTH range modes: the reference's
+    # ParametricMaskParameters uses the serde FIELD default (0.0,
+    # mask_generation.rs:199-200); the 35.0 in impl Default is never
+    # reached on the :1048/:1149 parse paths
     return apply_grow_and_feather(
-        mask, float(params.get("grow", 0.0)), float(params.get("feather", 35.0 if mode else 0.0))
+        mask, float(params.get("grow", 0.0)), float(params.get("feather", 0.0))
     )
 
 
@@ -217,6 +221,10 @@ def generate_ai_depth(params: dict, width, height, scale, crop_offset) -> np.nda
     intensity = lower * upper * (val_pct / 100.0)
     mask = (intensity * 255.0).astype(np.uint8)
 
+    # the reference blurs TWICE with the same "feather" JSON field:
+    # params.feather*0.1 inline (mask_generation.rs:955-957) and again in
+    # apply_grow_and_feather via GrowFeatherParameters (:958-964) — both
+    # structs deserialize the same key. Intentional parity, not a bug.
     feather = float(params.get("feather", 0.0) or 0.0)
     if feather > 0.0:
         from scipy.ndimage import gaussian_filter

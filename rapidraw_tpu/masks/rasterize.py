@@ -308,7 +308,9 @@ def requires_warped_image(adjustments: dict) -> bool:
         if not isinstance(m, dict) or not m.get("visible", False):
             continue
         for sub in m.get("subMasks") or []:
-            if isinstance(sub, dict) and sub.get("visible", True) and \
+            # visible defaults False, matching generate_sub_mask — a
+            # sub-mask that won't render must not trigger the full-res warp
+            if isinstance(sub, dict) and sub.get("visible", False) and \
                     sub.get("type") in ("color", "luminance"):
                 return True
     return False
@@ -349,19 +351,21 @@ def generate_mask_overlay(
     crop_offset=(0.0, 0.0),
     adjustments: dict | None = None,
     image=None,
+    is_raw: bool = False,
 ) -> str:
     """Red half-transparent RGBA PNG of one MaskDefinition, returned as a
     data URL for the editor overlay (mask_generation.rs:1391-1445): alpha =
     intensity * 0.5, color (255, 0, 0). Returns "" when the mask renders
     empty. `image` feeds the warped-image resolve for color/luminance range
-    sub-masks."""
+    sub-masks; pass `is_raw` so the overlay samples the SAME tonemapped
+    warped image the develop-time mask samples."""
     import base64
     import io as _io
 
     warped = None
     if adjustments is not None and image is not None:
         if any(_sub_needs_warp(s) for s in mask_def.get("subMasks") or []):
-            warped = resolve_warped_image(image, adjustments)
+            warped = resolve_warped_image(image, adjustments, is_raw)
 
     scaled_offset = (crop_offset[0] * scale, crop_offset[1] * scale)
     gray = generate_mask_bitmap(mask_def, width, height, scale, scaled_offset, warped)

@@ -137,3 +137,23 @@ def test_all_transformations_compose():
     assert out.shape == (3, 24, 20)
     assert offset == (4.0, 6.0)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_rejected_crop_reports_no_offset():
+    """An invalid crop rect leaves the image uncropped and must report a
+    zero offset, or every mask shifts by the phantom crop origin."""
+    import jax.numpy as jnp
+
+    from rapidraw_tpu.geometry.transforms import apply_all_transformations
+
+    img = jnp.zeros((3, 40, 60), jnp.float32)
+    out, offset = apply_all_transformations(
+        img, {"crop": {"x": 100, "y": 50, "width": 0, "height": 0}}
+    )
+    assert out.shape == (3, 40, 60)
+    assert offset == (0.0, 0.0)
+    out2, offset2 = apply_all_transformations(
+        img, {"crop": {"x": 10, "y": 5, "width": 20, "height": 20}}
+    )
+    assert out2.shape == (3, 20, 20)
+    assert offset2 == (10.0, 5.0)

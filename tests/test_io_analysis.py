@@ -172,3 +172,20 @@ def test_dng_roundtrip(tmp_path):
     assert is_raw
     assert img.shape == (3, h, w)
     assert np.isfinite(img).all()
+
+
+def test_parse_3dl_normalizes_integer_code_values():
+    """Real .3dl files store 10/12-bit integers; white must map to 1.0
+    (documented divergence from the reference, which feeds raw integers
+    to the sampler — lut_processing.rs:120-155)."""
+    from rapidraw_tpu.io.lut import parse_3dl
+
+    size = 2
+    lines = []
+    for r in range(size):
+        for g in range(size):
+            for b in range(size):
+                lines.append(f"{r * 4095} {g * 4095} {b * 4095}")
+    lut = parse_3dl("\n".join(lines))
+    assert lut.shape == (2, 2, 2, 3)
+    assert float(lut.max()) == 1.0 and float(lut.min()) == 0.0

@@ -285,3 +285,16 @@ def test_gps_less_copy_is_byte_lossless(tmp_path):
     if payload.startswith(b"Exif\x00\x00"):
         payload = payload[6:]
     assert strip_gps(payload) == payload
+
+
+def test_thumbnail_cache_key_includes_resolution(tmp_path):
+    p = _jpg(tmp_path / "r.jpg")
+    assert thumbnail_cache_key(p, {}, 240) != thumbnail_cache_key(p, {}, 1440)
+    # and generate_thumbnail at two sizes returns two different renders
+    d = tmp_path / "cache"
+    small = generate_thumbnail(p, resolution=16, cache_dir=d)
+    big = generate_thumbnail(p, resolution=32, cache_dir=d)
+    from PIL import Image as _I
+    import io as _io
+    assert max(_I.open(_io.BytesIO(small)).size) == 16
+    assert max(_I.open(_io.BytesIO(big)).size) == 32
