@@ -27,15 +27,16 @@ def perform_auto_analysis(image: np.ndarray) -> dict[str, float]:
     from rapidraw_tpu.geometry.resize import downscale
     import jax.numpy as jnp
 
+    # normalize dtype FIRST: downscale returns float32, and a u8 image
+    # downscaled to 0-255 floats would saturate the [0,1] clip below
+    if image.dtype == np.uint8:
+        image = image.astype(np.float32) / 255.0
     _, h, w = image.shape
     if max(h, w) > 1024:
         image = np.asarray(downscale(jnp.asarray(image, jnp.float32), 1024, 1024))
 
-    if image.dtype == np.uint8:
-        px = image.astype(np.float32)
-    else:
-        px = np.clip(image.astype(np.float32), 0.0, 1.0) * 255.0
-        px = px.astype(np.uint8).astype(np.float32)  # reference runs on rgb8
+    px = np.clip(image.astype(np.float32), 0.0, 1.0) * 255.0
+    px = px.astype(np.uint8).astype(np.float32)  # reference runs on rgb8
 
     _, h, w = px.shape
     total = float(h * w)

@@ -119,7 +119,10 @@ def group_similar(
         queue = [i]
         while queue:
             cur = queue.pop(0)
-            for j in range(cur + 1, n):
+            # scan ALL unprocessed nodes: limiting to j > cur made the
+            # transitive closure order-dependent (A-C-B chains split when
+            # the bridge node had a higher index than a member)
+            for j in range(n):
                 if processed[j]:
                     continue
                 if hamming(analyses[cur].hash_bits, analyses[j].hash_bits) <= similarity_threshold:

@@ -22,12 +22,19 @@ def encode_image(
 
     path = Path(path)
     fmt = (fmt or path.suffix.lstrip(".")).lower()
+    from rapidraw_tpu.io.loader import to_uint8_hwc
+
     if planar.ndim == 3 and planar.shape[0] == 3 and planar.dtype != np.uint8:
-        arr = (np.clip(planar, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8).transpose(1, 2, 0)
+        arr = to_uint8_hwc(planar)
     elif planar.ndim == 3 and planar.shape[0] == 3 and planar.dtype == np.uint8:
         arr = planar.transpose(1, 2, 0)  # device-quantized planar u8
     elif planar.ndim == 3 and planar.shape[-1] == 3:
-        arr = planar.astype(np.uint8)
+        # interleaved (H, W, 3): floats scale like the planar branch —
+        # a bare astype truncated [0,1] data to near-black
+        if planar.dtype == np.uint8:
+            arr = planar
+        else:
+            arr = (np.clip(planar, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
     else:
         raise ValueError(f"unsupported image array shape {planar.shape}")
     im = Image.fromarray(arr)
@@ -61,7 +68,9 @@ def encode_jpeg_bytes(planar: np.ndarray, quality: int = 85) -> bytes:
 
     from PIL import Image
 
-    arr = (np.clip(planar, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8).transpose(1, 2, 0)
+    from rapidraw_tpu.io.loader import to_uint8_hwc
+
+    arr = to_uint8_hwc(planar)
     buf = io.BytesIO()
     Image.fromarray(arr).save(buf, "JPEG", quality=quality)
     return buf.getvalue()

@@ -75,10 +75,16 @@ def list_images(path: str | Path, recursive: bool = False) -> list[str]:
 
 
 def _associated_files(path: Path) -> list[Path]:
+    """The image plus ALL its sidecars: 'a.jpg.rrdata' and every
+    virtual-copy sidecar 'a.jpg.N.rrdata' (sidecar_path naming) — VC edits
+    must travel with copy/move/delete."""
     out = [path]
     sc = sidecar_path(path)
     if sc.exists():
         out.append(sc)
+    for vc_sc in path.parent.glob(f"{path.name}.*{SIDECAR_EXT}"):
+        if vc_sc != sc and vc_sc.exists():
+            out.append(vc_sc)
     return out
 
 
@@ -103,10 +109,16 @@ def move_image(src: str | Path, dst_dir: str | Path) -> str:
 def rename_image(src: str | Path, new_stem: str) -> str:
     src = Path(str(parse_virtual_path(str(src))[0]))
     dst = src.with_name(new_stem + src.suffix)
+    if dst.exists() and str(dst) != str(src):
+        raise FileExistsError(f"rename target already exists: {dst}")
     src.rename(dst)
+    # every sidecar (base + virtual copies) follows the new name
     sc = sidecar_path(src)
     if sc.exists():
         sc.rename(dst.parent / (dst.name + SIDECAR_EXT))
+    for vc_sc in src.parent.glob(f"{src.name}.*{SIDECAR_EXT}"):
+        tail = vc_sc.name[len(src.name):]
+        vc_sc.rename(dst.parent / (dst.name + tail))
     return str(dst)
 
 
@@ -227,8 +239,9 @@ class Albums:
         self._save()
 
     def remove(self, name: str, paths: list[str]) -> None:
-        album = self._data.get(name, [])
-        self._data[name] = [p for p in album if p not in set(paths)]
+        if name not in self._data:
+            return  # do not create a phantom empty album
+        self._data[name] = [p for p in self._data[name] if p not in set(paths)]
         self._save()
 
     def images(self, name: str) -> list[str]:
@@ -342,9 +355,21 @@ def get_image_dimensions(path: str | Path) -> tuple[int, int]:
     sp = Path(source)
     ext = sp.suffix.lower().lstrip(".")
     if ext in RAW_EXTENSIONS:
+        import mmap
+
         from rapidraw_tpu.io.containers import raw_dimensions
 
-        return raw_dimensions(sp.read_bytes(), ext=ext)
+        # mmap instead of read_bytes: the metadata walk touches only the
+        # header pages, not the whole 100MB+ RAW
+        with open(sp, "rb") as f:
+            try:
+                with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ) as mm:
+                    return raw_dimensions(mm, ext=ext)
+            except (ValueError, OSError) as e:
+                if isinstance(e, ValueError):
+                    raise
+                f.seek(0)
+                return raw_dimensions(f.read(), ext=ext)
     from PIL import Image
 
     with Image.open(sp) as im:

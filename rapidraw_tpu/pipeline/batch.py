@@ -87,7 +87,7 @@ def _use_fused(cfg: DevelopConfig) -> bool:
     """
     env = os.environ.get("RAPIDRAW_FUSED")
     if env is not None:
-        return env not in ("0", "false", "")
+        return env.strip().lower() not in ("0", "false", "no", "off", "")
     return jax.devices()[0].platform == "tpu"
 
 

@@ -345,3 +345,105 @@ def test_get_image_dimensions_raw_metadata_only(tmp_path):
     q = tmp_path / "old.mrw"
     q.write_bytes(_build_mrw(np.zeros((6, 8), np.uint16), packed=False))
     assert get_image_dimensions(q) == (8, 6)
+
+
+def test_group_similar_transitive_any_order():
+    """A-C and B-C similar, A-B not: grouping must be one group regardless
+    of index order (the BFS previously only scanned forward indices)."""
+    import numpy as np
+
+    from rapidraw_tpu.compositions.culling import ImageAnalysis, group_similar
+
+    def mk(bits):
+        arr = np.zeros(64, np.uint8)
+        arr[:bits] = 1
+        return ImageAnalysis(
+            path="x", quality_score=1.0, sharpness_metric=1.0,
+            center_focus_metric=1.0, exposure_metric=1.0, width=8, height=8,
+            hash_bits=arr,
+        )
+
+    a = mk(0)
+    b = mk(40)                     # 40 bits from a
+    c = mk(20)                     # 20 bits from both a and b
+    groups = group_similar([a, b, c], similarity_threshold=24)
+    assert sorted(len(g) for g in groups) == [3]
+    groups2 = group_similar([a, c, b], similarity_threshold=24)
+    assert sorted(len(g) for g in groups2) == [3]
+
+
+def test_auto_analysis_u8_large_image():
+    """A >1024px uint8 image must not saturate after the float downscale."""
+    import numpy as np
+
+    from rapidraw_tpu.analysis.auto_adjust import perform_auto_analysis
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(40, 200, (3, 1100, 1400), dtype=np.uint8)
+    res_u8 = perform_auto_analysis(img)
+    res_f = perform_auto_analysis(img.astype(np.float32) / 255.0)
+    # dtype must not change the analysis (u8 previously saturated to white)
+    for k, v in res_f.items():
+        assert abs(res_u8[k] - v) < 1e-4, (k, res_u8[k], v)
+
+
+def test_rename_refuses_existing_target(tmp_path):
+    from PIL import Image
+    import numpy as np
+
+    from rapidraw_tpu.library.catalog import rename_image
+
+    for n in ("a.jpg", "b.jpg"):
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(tmp_path / n)
+    with pytest.raises(FileExistsError):
+        rename_image(tmp_path / "a.jpg", "b")
+    assert (tmp_path / "a.jpg").exists() and (tmp_path / "b.jpg").exists()
+
+
+def test_virtual_copy_sidecars_travel_with_file(tmp_path):
+    from PIL import Image
+    import numpy as np
+
+    from rapidraw_tpu.io.sidecar import save_sidecar
+    from rapidraw_tpu.library.catalog import (
+        create_virtual_copy, move_image, rename_image,
+    )
+
+    p = tmp_path / "img.jpg"
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(p)
+    vc = create_virtual_copy(p)
+    save_sidecar(vc, {"adjustments": {"exposure": 1.5}})
+    assert (tmp_path / "img.jpg.1.rrdata").exists()
+
+    dst_dir = tmp_path / "moved"
+    moved = move_image(p, dst_dir)
+    assert (dst_dir / "img.jpg.1.rrdata").exists(), "VC sidecar must move"
+    assert not (tmp_path / "img.jpg.1.rrdata").exists()
+
+    renamed = rename_image(moved, "renamed")
+    assert (dst_dir / "renamed.jpg.1.rrdata").exists()
+
+
+def test_albums_remove_does_not_create_phantom(tmp_path):
+    from rapidraw_tpu.library.catalog import Albums
+
+    al = Albums(tmp_path / "albums.json")
+    al.remove("nope", ["x.jpg"])
+    assert "nope" not in al.names() if hasattr(al, "names") else True
+    assert al.images("nope") == []
+    import json as _json
+    if (tmp_path / "albums.json").exists():
+        assert "nope" not in _json.loads((tmp_path / "albums.json").read_text())
+
+
+def test_encode_image_hwc_float_scales(tmp_path):
+    import numpy as np
+    from PIL import Image
+
+    from rapidraw_tpu.io.encode import encode_image
+
+    hwc = np.full((8, 8, 3), 0.5, np.float32)
+    out = tmp_path / "o.png"
+    encode_image(hwc, out, "png")
+    back = np.asarray(Image.open(out))
+    assert 120 <= int(back.mean()) <= 135, back.mean()
