@@ -104,10 +104,16 @@ def _clip_dir():
     return Path(os.environ.get("RAPIDRAW_CLIP", str(_models_dir() / "clip")))
 
 
+_CLIP_CACHE: dict = {}
+
+
 def _load_clip():
     from rapidraw_tpu.ai.models import ModelUnavailable
 
     d = _clip_dir()
+    hit = _CLIP_CACHE.get(str(d))
+    if hit is not None:
+        return hit
     if not d.is_dir():
         raise ModelUnavailable(
             f"CLIP checkpoint not found at {d}. Place a transformers "
@@ -118,6 +124,8 @@ def _load_clip():
     model = CLIPModel.from_pretrained(d)
     model.eval()
     tokenizer = AutoTokenizer.from_pretrained(d)
+    _CLIP_CACHE.clear()  # one checkpoint resident at a time
+    _CLIP_CACHE[str(d)] = (model, tokenizer)
     return model, tokenizer
 
 
@@ -161,6 +169,10 @@ def generate_tags_with_clip(
 
     final = set(initial)
     if not is_custom:
+        # bare color names, NOT "color:"-prefixed: the reference's
+        # extract_color_tags also returns bare names (tagging.rs:86-144,
+        # insert at :232-235) — generated color tags are AI tags and are
+        # wiped by clear_ai_tags there too
         final.update(extract_color_tags(planar))
         for t in initial:
             final.update(TAG_HIERARCHY.get(t, ()))
@@ -198,15 +210,29 @@ def index_folder_tags(
             for t in existing
         )
         if not has_ai:
+            from rapidraw_tpu.ai.models import ModelUnavailable
             from rapidraw_tpu.io.loader import load_image
 
             try:
                 planar, _ = load_image(p)
                 # thumbnail-scale the scoring input like the reference's
-                # cached thumbnail path (tagging.rs:345-350)
+                # cached thumbnail path (tagging.rs:345-350); CLIP resizes
+                # to 224 anyway, so downscale once on the long edge
+                if max(planar.shape[1:]) > 720:
+                    import jax.numpy as jnp
+
+                    from rapidraw_tpu.geometry.resize import downscale_to_long_edge
+
+                    planar = np.asarray(
+                        downscale_to_long_edge(jnp.asarray(planar), 720)
+                    )
                 tags = generate_tags_with_clip(planar, custom_tags, max_tags)
                 add_tags(p, tags)
                 done += 1
+            except ModelUnavailable:
+                # a missing checkpoint is a configuration error for the
+                # WHOLE walk, not a per-image decode failure — surface it
+                raise
             except Exception:
                 pass  # per-image isolation, like the reference's logged skip
         if progress is not None:

@@ -228,6 +228,11 @@ def _gaussian_blur_1ch(img: np.ndarray, sigma: float) -> np.ndarray:
 
 def run_bm3d(rgb: np.ndarray, intensity: float) -> np.ndarray:
     """Denoise planar (3, H, W) float [0,1] (denoising.rs:247-295)."""
+    _, h, w = rgb.shape
+    if h <= BLOCK or w <= BLOCK:
+        # the reference's 0..saturating_sub(dim-8) loop yields no reference
+        # blocks for tiny frames and leaves the image untouched
+        return np.asarray(rgb, np.float32)
     p = Bm3dParams.from_intensity(intensity)
     r, g, b = (np.asarray(c, np.float32) * 255.0 for c in rgb)
     y = 0.299 * r + 0.587 * g + 0.114 * b

@@ -102,7 +102,14 @@ def stitch_panorama(images: list[np.ndarray]) -> np.ndarray:
             tree[i].append((j, pair_h[(i, j)]))
             tree[j].append((i, np.linalg.inv(pair_h[(i, j)])))
 
-    root = 0
+    # root = a member of the LARGEST connected component, not frame 0 —
+    # an unrelated first shot must not reject a valid panorama among the
+    # remaining frames
+    comp_sizes: dict[int, int] = {}
+    for i in range(n):
+        comp_sizes[dsu.find(i)] = comp_sizes.get(dsu.find(i), 0) + 1
+    best_comp = max(comp_sizes, key=comp_sizes.get)
+    root = min(i for i in range(n) if dsu.find(i) == best_comp)
     # homography of each frame into the root's plane via BFS
     H = {root: np.eye(3)}
     queue = [root]

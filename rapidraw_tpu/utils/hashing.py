@@ -61,7 +61,9 @@ def calculate_geometry_hash(adjustments: dict) -> int:
     h = _H()
     if "aiPatches" in adjustments:
         h.update(_json_str(adjustments["aiPatches"]))
-    h.update(adjustments.get("orientationSteps"))
+    # normalized like calculate_transform_hash: missing/None == 0, so the
+    # warped-image cache and the transform cache agree on geometry identity
+    h.update(int(adjustments.get("orientationSteps") or 0))
     for key in GEOMETRY_KEYS:
         if key in adjustments:
             h.update(key)
@@ -75,11 +77,13 @@ def calculate_visual_hash(path: str, adjustments: dict) -> int:
     skip = set(GEOMETRY_KEYS) | {
         "crop", "rotation", "orientationSteps", "flipHorizontal", "flipVertical",
     }
-    for key, value in adjustments.items():
+    # sorted: semantically identical documents must hash equal regardless
+    # of JSON key order (sidecars written by the reference vs this port)
+    for key in sorted(adjustments):
         if key in skip:
             continue
         h.update(key)
-        h.update(_json_str(value))
+        h.update(_json_str(adjustments[key]))
     return h.finish()
 
 

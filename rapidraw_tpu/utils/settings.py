@@ -70,6 +70,16 @@ def app_data_dir() -> Path:
 class AppSettings(dict):
     """Settings document with defaults; unknown keys round-trip untouched."""
 
+    def __init__(self, *args, **kwargs):
+        # deep-copy nested defaults: AppSettings(DEFAULTS) must not share
+        # the module-global mutable lists/dicts across instances
+        import copy as _copy
+
+        super().__init__()
+        for a in args:
+            self.update(_copy.deepcopy(a))
+        self.update(_copy.deepcopy(kwargs))
+
     @classmethod
     def load(cls, path: str | Path) -> "AppSettings":
         s = cls(DEFAULTS)

@@ -41,3 +41,14 @@ def test_bm3d_flat_image_stable():
     flat = np.full((3, 64, 64), 0.5, np.float32)
     out = run_bm3d(flat, intensity=0.3)
     np.testing.assert_allclose(out, 0.5, atol=0.02)
+
+
+def test_bm3d_tiny_frame_is_identity():
+    """Frames <= one block return unchanged, like the reference's
+    saturating_sub loop yielding zero reference blocks."""
+    import numpy as np
+
+    from rapidraw_tpu.compositions.bm3d import run_bm3d
+
+    img = np.random.default_rng(1).random((3, 6, 6)).astype(np.float32)
+    np.testing.assert_allclose(run_bm3d(img, 0.8), img, atol=1e-5)

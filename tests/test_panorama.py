@@ -42,3 +42,20 @@ def test_stitch_rejects_single_and_unrelated():
     flat = np.zeros((3, 200, 200), np.float32)
     with pytest.raises(PanoramaError):
         stitch_panorama([unrelated, flat])
+
+
+def test_panorama_root_not_frame_zero(tmp_path):
+    """An unrelated first frame must not block stitching the others."""
+    import numpy as np
+    import pytest
+
+    cv2 = pytest.importorskip("cv2")
+    from rapidraw_tpu.compositions.panorama import stitch_panorama
+
+    rng = np.random.default_rng(11)
+    base = (rng.random((240, 520, 3)) * 255).astype(np.uint8)
+    left = base[:, :320].astype(np.float32).transpose(2, 0, 1) / 255.0
+    right = base[:, 200:].astype(np.float32).transpose(2, 0, 1) / 255.0
+    noise = (rng.random((3, 240, 320)).astype(np.float32))  # unrelated
+    pano = stitch_panorama([noise, left, right])
+    assert pano.shape[2] >= 400  # wider than either input
