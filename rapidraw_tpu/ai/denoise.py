@@ -55,27 +55,14 @@ def _utnet():
     return UtNet()
 
 
-def _load_params(model):
-    """Load utnet.npz (flat {path: array}) from the models dir."""
-    import jax
-    import jax.numpy as jnp
+_jit_cache: dict = {}
 
-    d = Path(os.environ.get("RAPIDRAW_MODELS", Path.home() / ".cache" / "rapidraw_tpu" / "models"))
-    p = d / "utnet.npz"
-    if not p.exists():
-        raise ModelUnavailable(
-            f"UtNet weights not found at {p}; place the NIND UtNet parameters "
-            "there as a flat npz (convert from the published checkpoint), or "
-            "use the BM3D denoiser which needs no model."
-        )
-    flat = dict(np.load(p))
-    tree = {}
-    for k, v in flat.items():
-        node = tree
-        parts = k.split("/")
-        for part in parts[:-1]:
-            node = node.setdefault(part, {})
-        node[parts[-1]] = jnp.asarray(v)
+
+def _load_params(model):
+    """Load utnet.npz via the shared flat-npz loader (ai/masks.py)."""
+    from rapidraw_tpu.ai.masks import _load_variables
+
+    tree = _load_variables("utnet.npz", model_name="NIND UtNet")
     # accept both layouts: bare param paths ('Conv_0/kernel') or the full
     # variables tree ('params/Conv_0/kernel', the converter-tool output)
     return tree if "params" in tree else {"params": tree}
@@ -93,18 +80,26 @@ def denoise_ai(image: np.ndarray, quality: float = 0.5) -> np.ndarray:
     variables = _load_params(model)
     params = select_tile_params(quality)
 
-    @jax.jit
-    def fwd(batch):  # (B, 3, cs, cs) planar -> same
-        import jax.numpy as jnp
+    # jit once per process: a per-call @jax.jit closure retraces and
+    # recompiles the whole U-Net on every image. Weights are a traced
+    # ARGUMENT (not a closure capture) so reloading different weights
+    # reuses the same executable instead of serving stale ones.
+    if "fwd" not in _jit_cache:
 
-        x = batch.transpose(0, 2, 3, 1)
-        # the U-Net's 4 pool/upsample levels need 16-divisible dims; the
-        # tile context size (504, mirroring the reference's tiling) is
-        # not — reflect-pad in, crop out
-        h, w = x.shape[1], x.shape[2]
-        ph, pw = -h % 16, -w % 16
-        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
-        y = model.apply(variables, x)[:, :h, :w, :]
-        return y.transpose(0, 3, 1, 2)
+        @jax.jit
+        def fwd(vs, batch):  # (B, 3, cs, cs) planar -> same
+            import jax.numpy as jnp
 
-    return run_tiled(fwd, image, params)
+            x = batch.transpose(0, 2, 3, 1)
+            # the U-Net's 4 pool/upsample levels need 16-divisible dims;
+            # the tile context size (504, mirroring the reference's
+            # tiling) is not — reflect-pad in, crop out
+            h, w = x.shape[1], x.shape[2]
+            ph, pw = -h % 16, -w % 16
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+            y = model.apply(vs, x)[:, :h, :w, :]
+            return y.transpose(0, 3, 1, 2)
+
+        _jit_cache["fwd"] = fwd
+    fwd = _jit_cache["fwd"]
+    return run_tiled(lambda b: fwd(variables, b), image, params)

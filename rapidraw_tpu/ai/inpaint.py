@@ -156,7 +156,7 @@ def _models():
                 ch *= 2
                 gout = _GLOBAL_RATIO if i == 2 else 0.0
                 xl, xg = FFCBlockActNorm(
-                    ch, 3, 0.0 if i < 2 else 0.0, gout, stride=2,
+                    ch, 3, 0.0, gout, stride=2,  # every downsample input is all-local
                     name=f"down{i}",
                 )(xl, xg)
 

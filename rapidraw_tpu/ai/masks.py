@@ -160,16 +160,16 @@ def _models_dir() -> Path:
     )
 
 
-def _load_variables(filename: str):
+def _load_variables(filename: str, model_name: str = "U2-Net"):
     """Flat npz {'params/...': arr, 'batch_stats/...': arr} -> nested tree."""
     import jax.numpy as jnp
 
     p = _models_dir() / filename
     if not p.exists():
         raise ModelUnavailable(
-            f"U2-Net weights not found at {p}. This build has no network "
-            "egress; convert the published checkpoint to a flat npz and "
-            "place it there, or set RAPIDRAW_MODELS."
+            f"{model_name} weights not found at {p}. This build has no "
+            "network egress; convert the published checkpoint to a flat npz "
+            "and place it there, or set RAPIDRAW_MODELS_DIR."
         )
     flat = dict(np.load(p))
     tree: dict = {}

@@ -207,6 +207,10 @@ def parse_dng(data: bytes) -> RawFile:
     compression = ifd.get(_T["Compression"], [1])[0]
     photometric = ifd.get(_T["Photometric"], [32803])[0]
     spp = ifd.get(_T["SamplesPerPixel"], [1])[0]
+    # spp scales the allocation: cap it (CFA=1, LinearRaw<=4 in practice)
+    # so a crafted file can't request width*65535 columns
+    if not (1 <= spp <= 8) or width * height * spp > 1 << 30:
+        raise DngError(f"implausible SamplesPerPixel {spp}")
     if compression not in (1, 7):
         raise DngError(f"unsupported DNG compression {compression}")
     if compression == 1 and bits not in (8, 10, 12, 14, 16):
@@ -259,8 +263,17 @@ def parse_dng(data: bytes) -> RawFile:
         if _T["StripOffsets"] not in ifd:
             raise DngError("raw IFD missing StripOffsets")
         offsets = ifd[_T["StripOffsets"]]
-        counts = ifd.get(_T["StripByteCounts"], [len(data) - offsets[0]])
+        counts = ifd.get(_T["StripByteCounts"])
+        if not counts or len(counts) < len(offsets):
+            # synthesize from consecutive offsets — a short default list
+            # would silently truncate the strip loop (zip) to black rows
+            counts = [
+                (offsets[i + 1] if i + 1 < len(offsets) else len(data)) - offsets[i]
+                for i in range(len(offsets))
+            ]
         rps = ifd.get(_T["RowsPerStrip"], [height])[0]
+        if rps <= 0:
+            raise DngError("implausible RowsPerStrip")
         row = 0
         for off, cnt in zip(offsets, counts):
             n_rows = min(rps, height - row)
@@ -280,6 +293,8 @@ def parse_dng(data: bytes) -> RawFile:
     white = float(ifd.get(_T["WhiteLevel"], [(1 << bits) - 1])[0])
 
     neutral = ifd.get(_T["AsShotNeutral"]) or _first(ifds, _T["AsShotNeutral"]) or [1.0, 1.0, 1.0]
+    if len(neutral) < 3:  # short tag would give wb.shape=(2,) and crash develop
+        neutral = [1.0, 1.0, 1.0]
     neutral = np.asarray(neutral[:3], np.float64)
     neutral[neutral <= 0] = 1.0
     wb = 1.0 / neutral

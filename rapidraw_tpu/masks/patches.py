@@ -1,7 +1,8 @@
 """AI patch (generative replace) compositing.
 
 Port of composite_patches_on_image (image_loader.rs:214-332): visible
-aiPatches carrying base64 color + mask PNGs are alpha-blended onto the base
+aiPatches carrying base64 color + mask images (JPEG q92 in the
+reference, ai_commands.rs:553-572) are alpha-blended onto the base
 image before the geometry transform; patches without an explicit mask
 rasterize their subMasks instead. The reference strips patch base64 on the
 IPC hot path and re-hydrates from a cache (adjustment_utils.rs:47-91) — the
@@ -36,7 +37,9 @@ def _resize(arr: np.ndarray, w: int, h: int) -> np.ndarray:
 
 
 def composite_patches_on_image(image: np.ndarray, adjustments: dict) -> np.ndarray:
-    """image: planar (3, H, W) float; returns the composited copy."""
+    """image: planar (3, H, W) float; returns a composited copy when any
+    visible patch applies, else the INPUT array unchanged (don't mutate
+    the return value in place)."""
     patches = adjustments.get("aiPatches")
     if not isinstance(patches, list) or not patches:
         return image
@@ -81,7 +84,7 @@ def composite_patches_on_image(image: np.ndarray, adjustments: dict) -> np.ndarr
         color = _resize(color, w, h).astype(np.float32) / 255.0
 
         alpha = mask.astype(np.float32) / 255.0
-        apply = mask > 0
-        blend = color.transpose(2, 0, 1) * alpha + out * (1.0 - alpha)
-        out = np.where(apply, blend, out)
+        # plain lerp: where alpha == 0 the blend is exactly `out`, so no
+        # extra mask>0 gate is needed
+        out = color.transpose(2, 0, 1) * alpha + out * (1.0 - alpha)
     return out.astype(np.float32)

@@ -1320,3 +1320,66 @@ def test_iiq_refused_precisely():
     assert sniff_container(data, "iiq") == "iiq"
     with pytest.raises(UnsupportedRawFormat, match="iiq"):
         parse_raw(data, ext="iiq")
+
+
+def test_dng_spp_allocation_bomb_refused():
+    """SamplesPerPixel is attacker-controlled: a 65535-sample IFD must be
+    a clean DngError, not a ~35TB allocation / MemoryError."""
+    ifd = (
+        Ifd()
+        .add(256, 4, [65535]).add(257, 4, [4095]).add(258, 3, [16])
+        .add(259, 3, [1]).add(262, 3, [32803]).add(277, 3, [65535])
+        .add(273, 4, [64]).add(279, 4, [64])
+        .add(50706, 1, bytes([1, 4, 0, 0]))
+    )
+    with pytest.raises(ValueError, match="SamplesPerPixel"):
+        parse_raw(build_tiff([ifd]), ext="dng")
+
+
+def test_dng_short_asshotneutral_neutral_wb():
+    """AsShotNeutral with <3 values must not produce a 2-element wb that
+    crashes develop later."""
+    cfa = np.arange(16, dtype=np.uint16).reshape(4, 4) * 100
+    ifd = (
+        Ifd()
+        .add(256, 4, [4]).add(257, 4, [4]).add(258, 3, [16])
+        .add(259, 3, [1]).add(262, 3, [32803]).add(277, 3, [1])
+        .add(273, 4, ("blob", cfa.tobytes())).add(279, 4, [32])
+        .add(50706, 1, bytes([1, 4, 0, 0]))
+        .add(50728, 5, struct.pack("<4I", 1, 2, 1, 1))  # 2 rationals only
+    )
+    r = parse_raw(build_tiff([ifd]), ext="dng")
+    assert r.wb.shape == (3,)
+    np.testing.assert_allclose(r.wb, [1.0, 1.0, 1.0])
+
+
+def test_dng_missing_stripbytecounts_multi_strip():
+    """No StripByteCounts + multiple strips: counts are synthesized from
+    consecutive offsets instead of silently decoding only strip 0."""
+    cfa = (np.arange(64, dtype=np.uint16) * 9).reshape(8, 8)
+    top, bot = cfa[:4].tobytes(), cfa[4:].tobytes()
+    # the Ifd builder doesn't support two blob offsets in one tag: by hand
+    data_area = top + bot
+    hdr = struct.pack("<2sHI", b"II", 42, 8)
+    # IFD with 9 entries at offset 8
+    entries = []
+    def ent(tag, typ, cnt, val):
+        return struct.pack("<HHI", tag, typ, cnt) + val
+    n_entries = 9
+    ifd_size = 2 + n_entries * 12 + 4
+    strips_off = 8 + ifd_size
+    data_off = strips_off + 16
+    entries.append(ent(256, 4, 1, struct.pack("<I", 8)))
+    entries.append(ent(257, 4, 1, struct.pack("<I", 8)))
+    entries.append(ent(258, 3, 1, struct.pack("<HH", 16, 0)))
+    entries.append(ent(259, 3, 1, struct.pack("<HH", 1, 0)))
+    entries.append(ent(262, 3, 1, struct.pack("<HH", 32803, 0)))
+    entries.append(ent(273, 4, 2, struct.pack("<I", strips_off)))
+    entries.append(ent(277, 3, 1, struct.pack("<HH", 1, 0)))
+    entries.append(ent(278, 4, 1, struct.pack("<I", 4)))
+    entries.append(ent(50706, 1, 4, bytes([1, 4, 0, 0])))
+    body = struct.pack("<H", n_entries) + b"".join(entries) + struct.pack("<I", 0)
+    strip_offsets = struct.pack("<II", data_off, data_off + len(top)) + bytes(8)
+    blob = hdr + body + strip_offsets + data_area
+    r = parse_raw(blob, ext="dng")
+    np.testing.assert_array_equal(r.cfa, cfa)
