@@ -43,12 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rapidraw_tpu.geometry.params import GeometryParams
-from rapidraw_tpu.geometry.warp import (
-    apply_lens_vignette,
-    source_coords,
-    source_coords_at,
-    warp_image_geometry,
-)
+from rapidraw_tpu.geometry.warp import warp_image_geometry
 
 import os
 
@@ -79,12 +74,15 @@ class WarpStatic:
     hp: int
     wp: int
     modes: tuple  # per channel-set: (channels tuple, _PassStatic v, _PassStatic h)
+    has_post: bool = False  # arrays carry a (h, w) post multiplier
 
 
 @dataclass
 class WarpPlan:
     static: WarpStatic
-    arrays: dict  # name -> np.ndarray; pass as runtime args, NOT closures
+    # name -> array (device-resident jnp; ~100-600 MB per 24MP plan — see
+    # _cached_plan's maxsize). Pass as runtime jit args, NOT closures.
+    arrays: dict
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "hp", "wp", "lens_model", "mode"))
@@ -107,21 +105,24 @@ def _invert_stage(vals, tca_v, h, w, hp, wp, lens_model, mode):
         return sx, sy, zk
 
     X, Y, z_ok = eval_xy(cols2d)
+    in_frame = (
+        z_ok & (X >= 0.0) & (Y >= 0.0) & (X < w - 1.0) & (Y < h - 1.0)
+        & jnp.isfinite(X) & jnp.isfinite(Y)
+    )
     if mode == "clamp":
         X = jnp.clip(jnp.nan_to_num(X), 0.0, w - 1.0)
         Y = jnp.clip(jnp.nan_to_num(Y), 0.0, h - 1.0)
         valid = jnp.ones((h, w), bool)
     else:
-        valid = (
-            z_ok & (X >= 0.0) & (Y >= 0.0) & (X < w - 1.0) & (Y < h - 1.0)
-            & jnp.isfinite(X) & jnp.isfinite(Y)
-        )
+        valid = in_frame
         X = jnp.where(valid, X, 0.0)
         Y = jnp.where(valid, Y, 0.0)
-    # fold detection: count only pairs where BOTH pixels are valid — the
-    # zeroed out-of-frame band is not a fold (it made small images with a
-    # boundary band always fall back)
-    pair_ok = valid[:, 1:] & valid[:, :-1]
+    # fold detection: count only pairs where BOTH pixels land in frame on
+    # the RAW (pre-clamp) map — the zeroed out-of-frame band is not a fold
+    # (it made small images with a boundary band always fall back), and in
+    # clamp mode the border clamp plateaus (diff == 0) are edge sampling,
+    # not folds (they rejected every TCA+rotation plan)
+    pair_ok = in_frame[:, 1:] & in_frame[:, :-1]
     bad = ((jnp.diff(X, axis=1) <= 0) & pair_ok).sum()
     mono_bad = bad / jnp.maximum(pair_ok.sum(), 1)
 
@@ -149,6 +150,30 @@ def _invert_stage(vals, tca_v, h, w, hp, wp, lens_model, mode):
     x_for_h = jnp.where(valid, X, _SENTINEL) if mode == "zero" else X
     coord_h_t = padded(x_for_h, _SENTINEL).T
     return coord_v, coord_h_t, mono_bad, shear
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "lens_model", "has_vig"))
+def _post_stage(vals, vig, h, w, lens_model, has_vig):
+    """(h, w) post multiplier: z_ok gate x lens-vignette gain, both pure
+    functions of the geometry — baked into the plan so warp_with_plan does
+    not re-derive the full-res coordinate field eagerly per frame
+    (apply_lens_vignette semantics, geometry/warp.py:329-336)."""
+    from rapidraw_tpu.geometry.warp import source_coords_values
+
+    rows2d = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones((1, w), jnp.float32)
+    cols2d = jnp.arange(w, dtype=jnp.float32)[None, :] * jnp.ones((h, 1), jnp.float32)
+    src_x, src_y, z_ok = source_coords_values(vals, h, w, cols2d, rows2d, lens_model)
+    post = z_ok.astype(jnp.float32)
+    if has_vig:
+        cx, cy = w / 2.0, h / 2.0
+        half_diag2 = cx * cx + cy * cy
+        dx = src_x - cx
+        dy = src_y - cy
+        ru_norm2 = (dx * dx + dy * dy) / half_diag2
+        v = 1.0 + vig["k1"] * ru_norm2 + vig["k2"] * ru_norm2**2 + vig["k3"] * ru_norm2**3
+        gain = 1.0 + (1.0 / jnp.where(v > 1e-6, v, 1.0) - 1.0) * vig["amt"]
+        post = post * jnp.where(v > 1e-6, gain, 1.0)
+    return post
 
 
 # bases are planned at HALF-tile (TW/2-lane) granularity: two independent
@@ -307,8 +332,29 @@ def plan_warp(p: GeometryParams, h: int, w: int) -> WarpPlan | None:
         arrays[f"gh{si}"] = ng_h
         modes.append((tuple(channels), vstat, hstat))
 
+    # z_ok gate / lens-vignette gain, baked once per plan (see _post_stage)
+    lens_vig_amt = p.lens_vignette_amount * 0.8
+    has_vig = (
+        p.lens_vignette_enabled
+        and (abs(p.vig_k1) > 1e-6 or abs(p.vig_k2) > 1e-6 or abs(p.vig_k3) > 1e-6)
+        and lens_vig_amt > 0.01
+    )
+    has_persp = (
+        abs(float(gv["inv"][2, 0])) > 0.0
+        or abs(float(gv["inv"][2, 1])) > 0.0
+        or abs(float(gv["inv"][2, 2])) <= 1e-6  # z_ok false everywhere
+    )
+    has_post = has_vig or has_persp
+    if has_post:
+        vig = {
+            "k1": jnp.float32(p.vig_k1), "k2": jnp.float32(p.vig_k2),
+            "k3": jnp.float32(p.vig_k3), "amt": jnp.float32(lens_vig_amt),
+        }
+        arrays["post"] = _post_stage(vals, vig, h, w, p.lens_model, has_vig)
+
     return WarpPlan(
-        static=WarpStatic(p=p, h=h, w=w, hp=hp, wp=wp, modes=tuple(modes)),
+        static=WarpStatic(p=p, h=h, w=w, hp=hp, wp=wp, modes=tuple(modes),
+                          has_post=has_post),
         arrays=arrays,
     )
 
@@ -465,17 +511,19 @@ def warp_with_plan(image: jnp.ndarray, arrays: dict, static: WarpStatic) -> jnp.
         out = out[:, np.argsort(order)]
     out = out[:, :, :h, :w]
 
-    src_x, src_y, z_ok, meta = source_coords(jnp, p, h, w)
-    if meta["has_vig"]:
-        out = jax.vmap(
-            lambda im: apply_lens_vignette(jnp, im, src_x, src_y, p, meta)
-        )(out)
-    out = jnp.where(z_ok, out, 0.0)
+    if static.has_post:
+        # plan-baked z_ok gate x vignette gain (z_ok is exactly 0/1, so the
+        # product reproduces where(z_ok, out * gain, 0) bit-for-bit)
+        out = out * arrays["post"]
     return out if batched else out[0]
 
 
-@functools.lru_cache(maxsize=16)
+@functools.lru_cache(maxsize=4)
 def _cached_plan(p: GeometryParams, h: int, w: int):
+    # a 24MP plan holds ~200 MB (plain) to ~600 MB (TCA) of device-resident
+    # e-maps; 4 slider positions is the HBM-safe working set (the reference
+    # analog, the geometry cache, caps at 30 CPU-side entries —
+    # file_management.rs:1216-1219)
     return plan_warp(p, h, w)
 
 

@@ -297,8 +297,9 @@ def parse_dng(data: bytes) -> RawFile:
         neutral = [1.0, 1.0, 1.0]
     neutral = np.asarray(neutral[:3], np.float64)
     neutral[neutral <= 0] = 1.0
-    wb = 1.0 / neutral
-    wb = (wb / wb[1]).astype(np.float32)
+    from rapidraw_tpu.raw.color import normalize_wb
+
+    wb = normalize_wb(1.0 / neutral)
 
     cm = _first(ifds, _T["ColorMatrix2"]) or _first(ifds, _T["ColorMatrix1"])
     xyz_to_cam = np.asarray(cm, np.float32).reshape(3, 3) if cm and len(cm) >= 9 else None
@@ -329,11 +330,22 @@ def _first(ifds: list[dict], tag: int):
     return None
 
 
-def load_raw_file(path: str | Path) -> np.ndarray:
+def load_raw_file(
+    path: str | Path,
+    highlight_compression: float = 2.5,
+    linear_mode: str = "default",
+    fast: bool = False,
+) -> np.ndarray:
     """Decode + develop a RAW file to planar (3, H, W) scene-linear float32.
 
     Container decode on host, demosaic/WB/matrix/highlight-compression on
     the device (rapidraw_tpu.raw.develop).
+
+    highlight_compression / linear_mode mirror the settings the reference
+    threads into develop_raw_image (image_loader.rs:69-70,
+    raw_processing.rs:81-86). `fast` is the thumbnail path
+    (use_fast_raw_dev): speed demosaic + clamp to 1.0
+    (raw_processing.rs:113-115,130-134).
     """
     import jax.numpy as jnp
 
@@ -348,9 +360,21 @@ def load_raw_file(path: str | Path) -> np.ndarray:
     else:
         cam2srgb = np.eye(3, dtype=np.float32)
 
+    clamp_limit = 1.0 if fast else None
     if raw.is_linear:
+        apply_ungamma = linear_mode in ("gamma", "gamma_skip_calib")
+        apply_calibration = linear_mode not in ("skip_calib", "gamma_skip_calib")
         img = jnp.asarray(raw.cfa.astype(np.float32).transpose(2, 0, 1))
-        out = develop_linear_raw(img, raw.black_level, raw.white_level)
+        out = develop_linear_raw(
+            img, raw.black_level, raw.white_level,
+            apply_ungamma=apply_ungamma,
+            highlight_compression=highlight_compression,
+            cam_matrix=(
+                cam2srgb if apply_calibration and raw.xyz_to_cam is not None
+                else None
+            ),
+            clamp_limit=clamp_limit,
+        )
     elif raw.xtrans is not None:
         from rapidraw_tpu.raw.develop import develop_cfa_xtrans
 
@@ -361,6 +385,8 @@ def load_raw_file(path: str | Path) -> np.ndarray:
             raw.wb,
             cam2srgb,
             raw.xtrans,
+            highlight_compression=highlight_compression,
+            clamp_limit=clamp_limit,
         )
     else:
         out = develop_cfa(
@@ -370,7 +396,9 @@ def load_raw_file(path: str | Path) -> np.ndarray:
             raw.wb,
             cam2srgb,
             pattern=raw.pattern,
-            algorithm="malvar",
+            algorithm="speed" if fast else "malvar",
+            highlight_compression=highlight_compression,
+            clamp_limit=clamp_limit,
         )
     arr = np.asarray(out)
     # EXIF orientation on planar (3, H, W)

@@ -85,14 +85,62 @@ def load_ldr(path: str | Path) -> np.ndarray:
     )
 
 
-def load_image(path: str | Path):
-    """Load any supported file. Returns (planar_f32, is_raw: bool)."""
+_ENHANCE_CACHE: dict = {}
+
+
+def _enhance_jit(nr_amount: float, sharpening: float):
+    """Jitted enhance, cached per (nr, sharpening) — eager per-op dispatch
+    of its ~60 device ops is the expensive case on a remote device."""
+    import jax
+
+    key = (nr_amount, sharpening)
+    fn = _ENHANCE_CACHE.get(key)
+    if fn is None:
+        from rapidraw_tpu.raw.enhance import remove_raw_artifacts_and_enhance
+
+        fn = jax.jit(
+            lambda x: remove_raw_artifacts_and_enhance(x, nr_amount, sharpening)
+        )
+        _ENHANCE_CACHE[key] = fn
+    return fn
+
+
+def load_image(path: str | Path, app_settings=None, fast: bool = False):
+    """Load any supported file. Returns (planar_f32, is_raw: bool).
+
+    Mirrors load_base_image_from_bytes (image_loader.rs:62-150):
+      * RAW develop honors rawHighlightCompression / linearRawMode;
+      * RAW post-develop enhance (chroma NR + gentle sharpen,
+        raw/enhance.py) runs per the rawPreprocessing* settings — ON by
+        default (0.5 / 0.35, app_settings.rs:517-518) — and also on LDR
+        files when applyPreprocessingToNonRaws is set;
+      * `fast` is the thumbnail path (use_fast_raw_dev): speed demosaic,
+        clamp to 1.0, no enhance.
+
+    app_settings=None uses the reference's shipped defaults.
+    """
+    from rapidraw_tpu.utils.settings import DEFAULTS, AppSettings
+
+    s = app_settings if app_settings is not None else AppSettings(dict(DEFAULTS))
     real, _vc = parse_virtual_path(str(path))
+    nr_amount, sharpening = s.preprocessing_amounts()
+    run_enhance = not fast and (nr_amount > 0.0 or sharpening > 0.0)
     if is_raw_file(real):
         from rapidraw_tpu.io.dng import load_raw_file  # noqa: PLC0415
 
-        return load_raw_file(real), True
-    return load_ldr(real), False
+        img = load_raw_file(
+            real,
+            highlight_compression=s.raw_highlight_compression,
+            linear_mode=s.linear_raw_mode,
+            fast=fast,
+        )
+        if run_enhance:
+            img = np.asarray(_enhance_jit(nr_amount, sharpening)(img))
+        return img, True
+    img = load_ldr(real)
+    if run_enhance and s.apply_preprocessing_to_non_raws:
+        img = np.asarray(_enhance_jit(nr_amount, sharpening)(img))
+    return img, False
 
 
 def to_uint8_hwc(planar: np.ndarray) -> np.ndarray:

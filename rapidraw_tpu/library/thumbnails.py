@@ -89,7 +89,10 @@ def generate_thumbnail(
     from rapidraw_tpu.params.parse import is_image_edited
 
     try:
-        img, is_raw = load_image(path)
+        # fast = the reference's use_fast_raw_dev thumbnail path: speed
+        # demosaic, clamp to 1.0, no preprocessing enhance
+        # (file_management.rs:1070-1367)
+        img, is_raw = load_image(path, fast=True)
     except Exception as e:  # noqa: BLE001
         from rapidraw_tpu.io.containers import UnsupportedRawFormat
 

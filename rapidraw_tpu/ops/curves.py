@@ -52,8 +52,9 @@ def apply_all_curves(
 ) -> jnp.ndarray:
     """Luma + RGB point curves with luma preservation (shader.wgsl:1218-1237).
 
-    curve_set: {'seg': (4,S,6), 'ends': (4,4), 'enabled': (4,),
-                'rgb_active': ()} — channel order luma, red, green, blue.
+    curve_set: {'seg': (4,S,7), 'ends': (4,4), 'enabled': (4,),
+                'rgb_active': ()} — channel order luma, red, green, blue;
+    each segment row is [x0, x1, inv_dx, a, b, c, d] (params/curves.py).
 
     `rgb_maybe_active` is the *static* union flag
     (DevelopConfig.rgb_curves_maybe_active): when False (the common case —

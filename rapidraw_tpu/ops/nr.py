@@ -52,6 +52,7 @@ def apply_noise_reduction(
     is_raw: bool,
     static_luma: float | None = None,
     static_color: float | None = None,
+    tile_offset=(0, 0),
 ) -> jnp.ndarray:
     """Args:
       center_linear: (3, H, W) linearized (and CA-corrected) pixel values.
@@ -64,6 +65,11 @@ def apply_noise_reduction(
         15.6 s of gathers for 24MP on v5e). The per-pixel hash jitter is
         dropped on this path — it exists to break up grid aliasing, and
         its displacement is below the filter's own smoothing radius.
+      tile_offset: absolute (x, y) of this array's origin when it is one
+        tile of a larger image (pipeline.tiled) — the hash tap jitter is a
+        function of absolute pixel coordinates, so tile-local coordinates
+        would produce a different tap pattern per tile (and seams). The
+        static-grid paths have no coordinate dependence and ignore it.
     """
     if static_luma is not None and static_color is not None:
         import os as _os_
@@ -74,10 +80,18 @@ def apply_noise_reduction(
             # enumeration over shifted slices — no gathers, SPMD-safe,
             # ~3x the static-grid cost. Default stays the jitter-free
             # static grid (statistically identical denoising; see
-            # PERFORMANCE.md scope caveat).
+            # PERFORMANCE.md scope caveat). Requires static tile offsets
+            # (the candidate masks constant-fold the coordinate hash).
+            x_off, y_off = tile_offset
+            if not (isinstance(x_off, (int, float)) and isinstance(y_off, (int, float))):
+                raise ValueError(
+                    "RAPIDRAW_NR_EXACT_JITTER needs static tile offsets; "
+                    "the tiled dispatch passes them statically when the "
+                    "exact-jitter path is active"
+                )
             return _apply_nr_jittered_slices(
                 center_linear, input_rgb, static_luma, static_color, scale,
-                is_raw,
+                is_raw, x_abs=int(x_off), y_abs0=int(y_off),
             )
         if FORCE_XLA.get():
             # spatially-sharded path: the XLA shifted-slice formulation
@@ -113,6 +127,10 @@ def apply_noise_reduction(
     xs = jnp.arange(w, dtype=jnp.float32)[None, :] * jnp.ones((h, 1), jnp.float32)
     xi = xs.astype(jnp.int32)
     yi = ys.astype(jnp.int32)
+    # hash coordinates are ABSOLUTE (tile-local xs/ys stay the gather base)
+    x_off, y_off = tile_offset
+    xs = xs + jnp.asarray(x_off, jnp.float32)
+    ys = ys + jnp.asarray(y_off, jnp.float32)
 
     # ------------------------------------------------------------- luma pass
     l_curve = jnp.sqrt(luma_a)
@@ -394,6 +412,8 @@ def _apply_nr_jittered_slices(
     color_a: float,
     scale: float,
     is_raw: bool,
+    x_abs: int = 0,
+    y_abs0: int = 0,
 ) -> jnp.ndarray:
     """EXACT-jitter NR without gathers (RAPIDRAW_NR_EXACT_JITTER=1).
 
@@ -435,12 +455,13 @@ def _apply_nr_jittered_slices(
             hi = min(h, y1 + halo)
             sub = _nr_jittered_band(
                 center_linear[:, lo:hi], input_rgb[:, lo:hi],
-                luma_a, color_a, scale, is_raw, y_abs=lo,
+                luma_a, color_a, scale, is_raw, y_abs=y_abs0 + lo, x_abs=x_abs,
             )
             outs.append(sub[:, y0 - lo : y0 - lo + (y1 - y0)])
         return jnp.concatenate(outs, axis=1)
     return _nr_jittered_band(
-        center_linear, input_rgb, luma_a, color_a, scale, is_raw, y_abs=0
+        center_linear, input_rgb, luma_a, color_a, scale, is_raw,
+        y_abs=y_abs0, x_abs=x_abs,
     )
 
 
@@ -452,6 +473,7 @@ def _nr_jittered_band(
     scale: float,
     is_raw: bool,
     y_abs: int,
+    x_abs: int = 0,
 ) -> jnp.ndarray:
     import math
 
@@ -474,7 +496,9 @@ def _nr_jittered_band(
     ys = (
         jnp.arange(h, dtype=jnp.float32)[:, None] + float(y_abs)
     ) * jnp.ones((1, w), jnp.float32)
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :] * jnp.ones((h, 1), jnp.float32)
+    xs = (
+        jnp.arange(w, dtype=jnp.float32)[None, :] + float(x_abs)
+    ) * jnp.ones((h, 1), jnp.float32)
 
     l_curve = math.sqrt(luma_a)
     stride_f = (1.0 + _smoothstep_f(0.45, 0.95, luma_a)) * res_factor

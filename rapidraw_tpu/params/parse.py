@@ -298,7 +298,9 @@ def _parse_calibration(js: dict) -> np.ndarray:
     return out
 
 
-def _parse_global(js: dict, is_raw: bool, tonemapper_override: int | None) -> dict[str, Any]:
+def _parse_global(
+    js: dict, is_raw: bool, tonemapper_override: int | None
+) -> tuple[dict[str, Any], dict[str, Any]]:
     g = _shared_set(js)
 
     # details-section extras (image_processing.rs:2024, 2053-2064)
@@ -614,6 +616,10 @@ def is_image_edited(
     if isinstance(crop, dict) and (
         abs(float(crop.get("x", 0.0))) > 0.1 or abs(float(crop.get("y", 0.0))) > 0.1
     ):
+        # deliberately x/y-only, matching image_processing.rs:1817-1823:
+        # without the image dims a width/height check can't distinguish a
+        # real crop from the full-size crop rect the frontend writes for
+        # uncropped images — an origin-anchored crop is the accepted miss.
         return True
     if int(adjustments.get("orientationSteps", 0) or 0) != 0:
         return True

@@ -76,6 +76,7 @@ def prepare_inputs(
     tile_offset: tuple[int, int] = (0, 0),
     linearize_image: bool = True,
     blur_bands: tuple | None = None,
+    ca_indices=None,
 ):
     """Shared front half: CA, linearize, NR, blur pyramid, flare sampling.
 
@@ -101,6 +102,8 @@ def prepare_inputs(
         color_from_texture = apply_ca_correction(
             input_rgb, g["ca_rc"], g["ca_by"],
             static_rc=cfg.ca_static_rc, static_by=cfg.ca_static_by,
+            tile_offset=tile_offset, full_size=(w_full, h_full),
+            precomputed=ca_indices,
         )
     else:
         color_from_texture = input_rgb
@@ -134,6 +137,7 @@ def prepare_inputs(
         initial_linear = apply_noise_reduction(
             initial_linear, input_rgb, luma_nr, color_nr, scale, is_raw,
             static_luma=cfg.nr_static_luma, static_color=cfg.nr_static_color,
+            tile_offset=tile_offset,
         )
 
     # blur pyramid, pre-linearized once (gpu_processing.rs:1402-1405);
@@ -225,6 +229,7 @@ def develop(
     tile_offset: tuple[int, int] = (0, 0),
     full_size: tuple[int, int] | None = None,
     blur_bands: tuple | None = None,
+    ca_indices=None,
 ) -> jnp.ndarray:
     """Develop one image.
 
@@ -254,7 +259,7 @@ def develop(
 
     initial_linear, blurs, flare_rgb, gated_infl, scale = prepare_inputs(
         image, params, cfg, masks, flare, full_size=full_size,
-        tile_offset=tile_offset, blur_bands=blur_bands,
+        tile_offset=tile_offset, blur_bands=blur_bands, ca_indices=ca_indices,
     )
 
     ys = (

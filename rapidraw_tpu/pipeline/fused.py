@@ -214,6 +214,7 @@ def develop_fused(
     tile_offset: tuple[int, int] = (0, 0),
     full_size: tuple[int, int] | None = None,
     blur_bands: tuple | None = None,
+    ca_indices=None,
 ) -> jnp.ndarray:
     """Drop-in replacement for pipeline.develop.develop on TPU.
 
@@ -234,6 +235,7 @@ def develop_fused(
         image, params, cfg, masks, flare, linearize_blurs=False,
         linearize_image=not kernel_linearize_image,
         full_size=full_size, tile_offset=tile_offset, blur_bands=blur_bands,
+        ca_indices=ca_indices,
     )
 
     params_t = dict(_trim_param_curves(params, cfg.curve_segments))
@@ -357,7 +359,6 @@ def develop_fused_batch(
     b, _, h, w = images.shape
 
     from rapidraw_tpu.ops import colorspace as _cs
-    from rapidraw_tpu.ops.blur import gaussian_blur
     from rapidraw_tpu.params import scales as _scales
 
     scale = max(0.1, min(h, w) / _scales.REFERENCE_DIMENSION)
@@ -426,14 +427,9 @@ def develop_fused_batch(
         gated = jnp.where(masks > 0.001, masks, 0.0)
         tile_inputs.append(gated)
 
-    # per-image packed params: trim curves, append the (0,0) tile offset
-    def prep_one(p_i):
-        pt = dict(_trim_param_curves(p_i, cfg.curve_segments))
-        pt["tile_xy"] = (jnp.float32(0.0), jnp.float32(0.0))
-        return pt
-
-    stacked_t = prep_one(params)  # leaves keep leading B; scalars promoted
-    # tile_xy scalars must broadcast to (B,) so every leaf has a batch row
+    # per-image packed params: trim curves, append per-image (0,0) tile
+    # offsets ((B,)-shaped so every packed leaf has a batch row)
+    stacked_t = dict(_trim_param_curves(params, cfg.curve_segments))
     stacked_t["tile_xy"] = (
         jnp.zeros((b,), jnp.float32), jnp.zeros((b,), jnp.float32)
     )

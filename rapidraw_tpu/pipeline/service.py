@@ -75,7 +75,7 @@ class RenderService:
             return hit
         from rapidraw_tpu.io.loader import load_image
 
-        img, is_raw = load_image(path)
+        img, is_raw = load_image(path, app_settings=self.settings)
         self._decoded.put(path, (img, is_raw))
         return img, is_raw
 

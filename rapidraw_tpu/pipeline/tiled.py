@@ -17,6 +17,9 @@ image_processing.rs:1402-1407).
 
 from __future__ import annotations
 
+import os
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,6 +28,34 @@ from rapidraw_tpu.params.parse import DevelopConfig
 
 TILE_SIZE = 2048  # gpu_processing.rs:1279
 TILE_OVERLAP = 128  # gpu_processing.rs:1280
+
+
+@lru_cache(maxsize=64)
+def _tiled_jit(develop_fn, cfg: DevelopConfig, full_w: int, full_h: int,
+               static_off: tuple[int, int] | None):
+    """Cached per-(develop fn, cfg, full size) jitted tile develop.
+
+    jit caches on the function object, so building the lambda inside
+    develop_tiled would re-trace + re-compile the megakernel on every call.
+    `static_off=None` passes the tile offset as a traced scalar pair (all
+    interior tiles share ONE executable); the exact-jitter NR opt-in needs
+    static offsets (its candidate masks constant-fold the coordinate hash)
+    and pays one compile per tile position instead.
+    """
+    if static_off is None:
+        return jax.jit(
+            lambda img, p, mk, fl, lt, off, cai: develop_fn(
+                img, p, cfg, masks=mk, lut=lt, flare=fl,
+                tile_offset=off, full_size=(full_w, full_h), ca_indices=cai,
+            )
+        )
+    fn = jax.jit(
+        lambda img, p, mk, fl, lt, cai: develop_fn(
+            img, p, cfg, masks=mk, lut=lt, flare=fl,
+            tile_offset=static_off, full_size=(full_w, full_h), ca_indices=cai,
+        )
+    )
+    return lambda img, p, mk, fl, lt, off, cai: fn(img, p, mk, fl, lt, cai)
 
 
 def develop_tiled(
@@ -76,12 +107,11 @@ def develop_tiled(
 
     # tile offsets are traced scalars: every interior tile (same padded
     # shape) reuses ONE compiled executable — with static offsets a 16-tile
-    # image would pay 16 Mosaic compiles
-    fn = jax.jit(
-        lambda img, p, mk, fl, off: _develop(
-            img, p, cfg, masks=mk, lut=lut, flare=fl,
-            tile_offset=off, full_size=(w, h),
-        )
+    # image would pay 16 Mosaic compiles. The exact-jitter NR opt-in is the
+    # exception (static offsets required; see _tiled_jit).
+    exact_jitter_nr = (
+        cfg.nr_active and cfg.nr_static_luma is not None
+        and os.environ.get("RAPIDRAW_NR_EXACT_JITTER") == "1"
     )
 
     out = np.empty((3, h, w), np.float32)
@@ -96,7 +126,23 @@ def develop_tiled(
             xs1 = min(w, x1 + overlap)
             tile = jnp.asarray(image[:, ys0:ys1, xs0:xs1])
             mk = jnp.asarray(masks[:, ys0:ys1, xs0:xs1]) if masks is not None else None
-            res = fn(tile, params, mk, flare, (xs0, ys0))
+            ca_idx = None
+            if cfg.ca_active and cfg.ca_static_rc is not None:
+                # host-baked per-tile CA sample indices (float64 rounding
+                # matches the whole-image path; traced args keep interior
+                # tiles on one executable)
+                from rapidraw_tpu.ops.ca import ca_host_indices
+
+                ca_idx = tuple(
+                    jnp.asarray(a) for a in ca_host_indices(
+                        ys1 - ys0, xs1 - xs0, cfg.ca_static_rc,
+                        cfg.ca_static_by, (xs0, ys0), (w, h),
+                    )
+                )
+            fn = _tiled_jit(
+                _develop, cfg, w, h, (xs0, ys0) if exact_jitter_nr else None
+            )
+            res = fn(tile, params, mk, flare, lut, (xs0, ys0), ca_idx)
             res = np.asarray(res)
             out[:, y0:y1, x0:x1] = res[:, y0 - ys0 : y0 - ys0 + (y1 - y0),
                                        x0 - xs0 : x0 - xs0 + (x1 - x0)]

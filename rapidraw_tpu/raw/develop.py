@@ -35,14 +35,20 @@ _ALGOS = {
 }
 
 
-def apply_highlight_compression(rgb: jnp.ndarray, highlight_compression: float) -> jnp.ndarray:
+def apply_highlight_compression(
+    rgb: jnp.ndarray, highlight_compression: float,
+    clamp_limit: float | None = None,
+) -> jnp.ndarray:
     """Channel-coupled highlight rolloff (raw_processing.rs:160-183).
 
     Values with max channel > 1.0 are compressed toward the pixel's min
     channel (reducing chroma), then rescaled so the max channel is
-    preserved; finally everything clamps to [0, compression_limit].
+    preserved; finally everything clamps to [0, clamp_limit] —
+    the compression limit normally, 1.0 on the fast-demosaic path
+    (raw_processing.rs:130-134).
     """
     shc = max(float(highlight_compression), 1.01)
+    limit = shc if clamp_limit is None else float(clamp_limit)
     r = jnp.maximum(rgb, 0.0)
     max_c = jnp.max(r, axis=0)
     min_c = jnp.min(r, axis=0)
@@ -52,7 +58,7 @@ def apply_highlight_compression(rgb: jnp.ndarray, highlight_compression: float) 
     rescale = max_c / jnp.where(compressed_max > 1e-6, compressed_max, 1.0)
     result = jnp.where(compressed_max > 1e-6, compressed * rescale, max_c)
     out = jnp.where(max_c > 1.0, result, r)
-    return jnp.clip(out, 0.0, shc)
+    return jnp.clip(out, 0.0, limit)
 
 
 def develop_cfa(
@@ -64,6 +70,7 @@ def develop_cfa(
     pattern: str = "RGGB",
     algorithm: str = "malvar",
     highlight_compression: float = 2.5,
+    clamp_limit: float | None = None,
 ) -> jnp.ndarray:
     """CFA (H, W) uint16/float -> planar (3, H, W) float32 scene-linear sRGB.
 
@@ -80,7 +87,7 @@ def develop_cfa(
 
     rgb = _ALGOS[algorithm](x, pattern)
     rgb = mat3_apply(jnp.asarray(cam_to_srgb, jnp.float32), rgb)
-    return apply_highlight_compression(rgb, highlight_compression)
+    return apply_highlight_compression(rgb, highlight_compression, clamp_limit)
 
 
 def develop_cfa_xtrans(
@@ -91,6 +98,7 @@ def develop_cfa_xtrans(
     cam_to_srgb: np.ndarray,
     xtrans: np.ndarray,
     highlight_compression: float = 2.5,
+    clamp_limit: float | None = None,
 ) -> jnp.ndarray:
     """X-Trans CFA (H, W) -> planar (3, H, W) scene-linear sRGB.
 
@@ -114,7 +122,7 @@ def develop_cfa_xtrans(
 
     rgb = demosaic_xtrans(x, xt)
     rgb = mat3_apply(jnp.asarray(cam_to_srgb, jnp.float32), rgb)
-    return apply_highlight_compression(rgb, highlight_compression)
+    return apply_highlight_compression(rgb, highlight_compression, clamp_limit)
 
 
 def develop_linear_raw(
@@ -123,13 +131,21 @@ def develop_linear_raw(
     white_level: float,
     apply_ungamma: bool = False,
     highlight_compression: float = 2.5,
+    cam_matrix: np.ndarray | None = None,
+    clamp_limit: float | None = None,
 ) -> jnp.ndarray:
-    """Linear-DNG path (raw_processing.rs:107-112,148-188): no demosaic;
-    optional sRGB ungamma (linear_mode='gamma'), same highlight handling."""
+    """Linear-DNG path (raw_processing.rs:81-86,107-112,138-188): no
+    demosaic; optional camera-matrix calibration (skipped for the
+    'skip_calib' linear modes), optional sRGB ungamma (the 'gamma' modes),
+    same highlight handling. Order matches the reference: rawler's
+    Calibrate step runs inside develop_intermediate, THEN the rescaled
+    values are ungamma'd (raw_processing.rs:148-158)."""
     from rapidraw_tpu.ops.colorspace import srgb_to_linear
 
     x = (rgb.astype(jnp.float32) - black_level) / max(white_level - black_level, 1.0)
+    if cam_matrix is not None:
+        x = mat3_apply(jnp.asarray(cam_matrix, jnp.float32), x)
     x = jnp.maximum(x, 0.0)
     if apply_ungamma:
         x = srgb_to_linear(jnp.clip(x, 0.0, 1.0))
-    return apply_highlight_compression(x, highlight_compression)
+    return apply_highlight_compression(x, highlight_compression, clamp_limit)

@@ -36,8 +36,8 @@ DEFAULTS: dict[str, Any] = {
     "tonemapperOverrideEnabled": False,
     "defaultRawTonemapper": "agx",
     "defaultNonRawTonemapper": "basic",
-    "rawPreprocessingColorNr": 0.0,
-    "rawPreprocessingSharpening": 0.0,
+    "rawPreprocessingColorNr": 0.5,  # app_settings.rs:517
+    "rawPreprocessingSharpening": 0.35,  # app_settings.rs:518
     "applyPreprocessingToNonRaws": False,
     "language": None,
 }
@@ -116,6 +116,34 @@ class AppSettings(dict):
     @property
     def linear_raw_mode(self) -> str:
         return str(self.get("linearRawMode") or "default")
+
+    @property
+    def raw_preprocessing_color_nr(self) -> float:
+        """RAW chroma-NR strength 0..1 (app_settings.rs:426,517)."""
+        v = self.get("rawPreprocessingColorNr")
+        return 0.5 if v is None else float(v)
+
+    @property
+    def raw_preprocessing_sharpening(self) -> float:
+        """RAW post-develop sharpening (app_settings.rs:428,518)."""
+        v = self.get("rawPreprocessingSharpening")
+        return 0.35 if v is None else float(v)
+
+    @property
+    def apply_preprocessing_to_non_raws(self) -> bool:
+        return bool(self.get("applyPreprocessingToNonRaws") or False)
+
+    def preprocessing_amounts(self) -> tuple[float, float]:
+        """(color_nr_inv_sigma, sharpening) for raw.enhance — the setting's
+        0..1 slider maps to an inverse sigma via 12/x - 10
+        (image_loader.rs:71-78)."""
+        s = self.raw_preprocessing_color_nr
+        if s <= 0.0:
+            nr = 0.0
+        else:
+            x = min(max(s, 0.01), 1.0)
+            nr = max(12.0 / x - 10.0, 0.1)
+        return nr, self.raw_preprocessing_sharpening
 
     def tonemapper_override(self, is_raw: bool) -> int | None:
         """resolve_tonemapper_override (image_processing.rs:1663-1684)."""

@@ -117,3 +117,47 @@ def test_tiled_with_masks():
     whole = _develop_jit(img, p, c, masks=jnp.asarray(masks))
     tiled = develop_tiled(img, p, c, masks=masks, tile_size=64, overlap=16)
     np.testing.assert_allclose(tiled, whole, atol=1e-6)
+
+
+def test_tiled_ca_recenters_on_full_image():
+    """CA must warp toward the FULL image's optical center on every tile:
+    re-centering per tile misregisters red/blue and seams at boundaries."""
+    import dataclasses
+
+    doc = {"exposure": 0.2, "chromaticAberrationRedCyan": 500,
+           "chromaticAberrationBlueYellow": -400}
+    img = _img(96, 160, seed=5)
+    p, c = parse_adjustments(doc, is_raw=False)
+    assert c.ca_active
+    c = dataclasses.replace(c, dither_active=False)
+    whole = _develop_jit(img, p, c)
+    tiled = develop_tiled(img, p, c, tile_size=64, overlap=16)
+    np.testing.assert_allclose(tiled, whole, atol=1e-6)
+
+
+def test_tiled_masked_nr_uses_absolute_hash_coords():
+    """Mask-driven NR takes the jittered gather path (nr_static_* is None);
+    its hash tap jitter must use absolute coordinates so every tile
+    reproduces the whole-image tap pattern."""
+    import dataclasses
+
+    doc = {
+        "exposure": 0.1,
+        "masks": [{
+            "name": "m", "visible": True,
+            "adjustments": {"lumaNoiseReduction": 60, "colorNoiseReduction": 40},
+            "subMasks": [{"type": "radial", "visible": True, "mode": "additive",
+                          "parameters": {"centerX": 80, "centerY": 48, "radiusX": 70,
+                                         "radiusY": 40, "rotation": 0.0, "feather": 0.5}}],
+        }],
+    }
+    from rapidraw_tpu.masks.rasterize import rasterize_masks
+
+    img = _img(96, 160, seed=6)
+    masks = rasterize_masks(doc, 160, 96, scale=1.0)
+    p, c = parse_adjustments(doc, is_raw=False)
+    assert c.nr_active and c.nr_static_luma is None
+    c = dataclasses.replace(c, dither_active=False)
+    whole = _develop_jit(img, p, c, masks=jnp.asarray(masks))
+    tiled = develop_tiled(img, p, c, masks=masks, tile_size=64, overlap=16)
+    np.testing.assert_allclose(tiled, whole, atol=1e-5)

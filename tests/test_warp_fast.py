@@ -110,3 +110,18 @@ def test_plan_spans_are_small_for_typical_geometry():
     assert plan is not None
     for _, vstat, hstat in plan.static.modes:
         assert vstat.span <= 96 and hstat.span <= 96, (vstat.span, hstat.span)
+
+
+def test_tca_with_rotation_plans_fast():
+    # clamp-mode fold detection must not count border clamp plateaus as
+    # folds: TCA + modest rotation previously always rejected the plan and
+    # silently fell back to the ~200x slower exact path
+    img = _smooth(64, 1024, seed=4)
+    p = GeometryParams(rotate=1.5, tca_vr=1.002, tca_vb=0.998,
+                       lens_tca_amount=1.0)
+    plan = plan_warp(p, 64, 1024)
+    assert plan is not None, "TCA+rotation must plan (clamp plateaus != folds)"
+    exact = np.asarray(warp_image_geometry(img, p))
+    fast = np.asarray(warp_image_fast(img, p))
+    sl = (slice(None), slice(6, -6), slice(6, -6))
+    assert np.abs(fast[sl] - exact[sl]).max() < 5e-3
