@@ -104,7 +104,6 @@ def _block_match(guide: list[np.ndarray], is_step1: bool, p: Bm3dParams):
     ssd_shape = (max_y + 1, max_x + 1)
 
     dists = np.full((n_ref, len(offsets)), np.inf, np.float32)
-    cand_pos = np.zeros((n_ref, len(offsets), 2), np.int32)
     ref_y = refs[:, 0]
     ref_x = refs[:, 1]
 
@@ -112,8 +111,6 @@ def _block_match(guide: list[np.ndarray], is_step1: bool, p: Bm3dParams):
         cy = ref_y + dy
         cx = ref_x + dx
         valid = (cy >= 0) & (cy <= max_y) & (cx >= 0) & (cx <= max_x)
-        cand_pos[:, oi, 0] = np.clip(cy, 0, max_y)
-        cand_pos[:, oi, 1] = np.clip(cx, 0, max_x)
         if dy == 0 and dx == 0:
             dists[:, oi] = 0.0
             continue
@@ -130,8 +127,12 @@ def _block_match(guide: list[np.ndarray], is_step1: bool, p: Bm3dParams):
             total = total + _integral_box8(diff * diff) / AREA
             gate = total <= threshold
             ok = gate if ok is None else (ok & gate)
-        d = total[cand_pos[:, oi, 0], cand_pos[:, oi, 1]]
-        okv = ok[cand_pos[:, oi, 0], cand_pos[:, oi, 1]]
+        # total[y, x] is the SSD between the patch AT (y, x) and the patch
+        # at (y+dy, x+dx): the reference patch's distance to this candidate
+        # lives at the REFERENCE position (indexing at the candidate would
+        # compare the candidate against a patch one further offset away)
+        d = total[ref_y, ref_x]
+        okv = ok[ref_y, ref_x]
         strict = d < threshold
         dists[:, oi] = np.where(valid & okv & strict, d, np.inf)
 
@@ -139,7 +140,13 @@ def _block_match(guide: list[np.ndarray], is_step1: bool, p: Bm3dParams):
     sorted_d = np.take_along_axis(dists, order, axis=1)
     counts = (sorted_d < np.inf).sum(axis=1)
     sizes = np.maximum(2 ** np.floor(np.log2(np.maximum(counts, 1))).astype(np.int32), 1)
-    locs = np.take_along_axis(cand_pos, order[..., None], axis=1)
+    # candidate positions are derivable from refs + the sorted offsets —
+    # materializing the full (P, |offsets|, 2) table cost ~1.9 GB at 24MP
+    offs = np.asarray(offsets, np.int32)[order]  # (P, MAX_GROUP, 2)
+    locs = np.clip(
+        refs[:, None, :].astype(np.int32) + offs,
+        0, np.asarray([max_y, max_x], np.int32),
+    )
     return refs, locs, sizes
 
 

@@ -108,6 +108,11 @@ def decode_raw(sample: bytes, cmp1: Cmp1) -> np.ndarray:
         raise ValueError("crx multi-tile layout not supported")
     if cmp1.f_width % 2 or cmp1.f_height % 2:
         raise ValueError("crx frame dims must be even (2x2 CFA cells)")
+    if not (0 <= cmp1.mdat_hdr_size < len(sample)):
+        raise ValueError(
+            f"crx mdat header size {cmp1.mdat_hdr_size} outside the "
+            f"{len(sample)}-byte sample"
+        )
     from rapidraw_tpu.native import crx_decode
 
     pw, ph = cmp1.f_width // 2, cmp1.f_height // 2

@@ -203,9 +203,12 @@ def load_pam(data: bytes) -> np.ndarray:
         raise FloatImageError("implausible PAM header values")
     dt = ">u2" if maxval > 255 else "u1"
     count = w * h * depth
-    arr = np.frombuffer(data, dt, count=count, offset=pos)
-    if arr.size < count:
+    itemsize = 2 if maxval > 255 else 1
+    if len(data) - pos < count * itemsize:
+        # pre-check: np.frombuffer raises a generic ValueError on short
+        # buffers before any size comparison could run
         raise FloatImageError("truncated PAM raster")
+    arr = np.frombuffer(data, dt, count=count, offset=pos)
     arr = arr.reshape(h, w, depth).astype(np.float32) / float(maxval)
     if depth == 1:
         return np.repeat(arr, 3, axis=2)

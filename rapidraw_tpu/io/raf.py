@@ -24,7 +24,7 @@ import struct
 
 import numpy as np
 
-from rapidraw_tpu.io.dng import DngError, RawFile, _collect_ifds, _T
+from rapidraw_tpu.io.dng import DngError, RawFile, _collect_ifds
 
 _MAGIC = b"FUJIFILMCCD-RAW "
 
@@ -109,8 +109,25 @@ def parse_raf(data: bytes) -> RawFile:
         width = fifd[_F_WIDTH][0]
         height = fifd[_F_HEIGHT][0]
         bits = fifd.get(_F_BPS, [14])[0]
-        off = fifd[_F_STRIP_OFF][0]
-        cnt = sum(fifd.get(_F_STRIP_CNT, [len(sub) - off]))
+        if not (8 <= bits <= 16):
+            raise DngError(f"implausible RAF BitsPerSample {bits}")
+        offs = fifd[_F_STRIP_OFF]
+        off = offs[0]
+        cnts = fifd.get(_F_STRIP_CNT, [len(sub) - off])
+        cnt = sum(cnts)
+        if len(offs) > 1:
+            # multiple strips: only a contiguous layout reads correctly
+            # from the first offset; anything else must refuse, not decode
+            # garbage rows
+            contiguous = all(
+                offs[i + 1] == offs[i] + cnts[i]
+                for i in range(min(len(offs), len(cnts)) - 1)
+            ) and len(cnts) >= len(offs)
+            if not contiguous:
+                raise UnsupportedRawFormat(
+                    "raf", "non-contiguous multi-strip RAF layout is not "
+                    "supported"
+                )
         blk = fifd.get(_F_BLACK)
         if blk:
             black = float(np.mean(blk))

@@ -52,3 +52,32 @@ def test_bm3d_tiny_frame_is_identity():
 
     img = np.random.default_rng(1).random((3, 6, 6)).astype(np.float32)
     np.testing.assert_allclose(run_bm3d(img, 0.8), img, atol=1e-5)
+
+
+def test_block_match_distance_is_ref_vs_candidate():
+    """The match distance for (ref, ref+off) must be the SSD between THOSE
+    two patches — a regression test for indexing the shifted-difference
+    integral image at the candidate position (which compares the candidate
+    against a patch one further offset away)."""
+    import numpy as np
+
+    from rapidraw_tpu.compositions.bm3d import (
+        Bm3dParams,
+        _block_match,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.random((26, 26)).astype(np.float32)
+    # plant an exact duplicate of the (0,0) patch at (0,8), and a wildly
+    # different patch at (0,16): with correct indexing, ref (0,0) pairs
+    # with (0,8) at distance ~0; the buggy candidate-indexed read returns
+    # SSD((0,8), (0,16)) instead, which is huge
+    img[0:8, 8:16] = img[0:8, 0:8]
+    img[0:8, 16:24] = 50.0
+    guide = [img, img, img]
+    p = Bm3dParams.from_intensity(0.5)
+    refs, locs, sizes = _block_match(guide, True, p)
+    i = int(np.flatnonzero((refs[:, 0] == 0) & (refs[:, 1] == 0))[0])
+    group = {tuple(x) for x in locs[i][: sizes[i]]}
+    assert (0, 8) in group, f"duplicate patch must match its ref: {group}"
+    assert (0, 16) not in group, "the 50.0 patch cannot be a match"
