@@ -21,6 +21,7 @@ from rapidraw_tpu.io.dng import (
     RawFile,
     _collect_ifds,
     _read_ifd,
+    _first,
     _unpack_12le,
     _unpack_msb,
     _T,
@@ -63,11 +64,6 @@ def _shift_pattern(pattern: str, top: int, left: int) -> str:
     )
 
 
-def _first(ifds, tag):
-    for i in ifds:
-        if tag in i:
-            return i[tag]
-    return None
 
 
 # --------------------------------------------------------------- CR2 (Canon)
@@ -192,6 +188,10 @@ def parse_cr2(data: bytes) -> RawFile:
             black = float(np.mean(plane[top:, : left - 2]))
         if 0 < right <= w and 0 < bottom <= h and right > left and bottom > top:
             plane = plane[top : bottom + 1, left : right + 1]
+        else:
+            # crop did not execute: the CFA pattern must not shift either
+            # (an odd top/left would swap R/B against the uncropped plane)
+            top = left = 0
 
     # as-shot WB from ColorData
     wb = np.ones(3, np.float32)
@@ -259,9 +259,10 @@ def _nef_wb(mn: dict) -> np.ndarray:
 
 def parse_nef(data: bytes) -> RawFile:
     """Nikon NEF: RAW lives in a SubIFD (photometric CFA). Supported
-    encodings: uncompressed 16-bit, packed little-endian 12-bit, packed
-    MSB 14-bit, and Nikon-compressed (34713) via native/vendor_huff.cc
-    with the curve/vpred/split from LinearizationTable (makernote 0x96)."""
+    encodings: uncompressed 16-bit, packed MSB-first 12/14-bit (dcraw
+    packed_load_raw assembles bitbuf MSB-first; rawler decode_12be), and
+    Nikon-compressed (34713) via native/vendor_huff.cc with the
+    curve/vpred/split from LinearizationTable (makernote 0x96)."""
     endian = "<" if data[:2] == b"II" else ">"
     ifds = _collect_ifds(data, endian, struct.unpack_from(endian + "HI", data, 2)[1])
     raw_ifds = [i for i in ifds if i.get(_T["Photometric"], [0])[0] == 32803]
@@ -285,14 +286,13 @@ def parse_nef(data: bytes) -> RawFile:
             plane = np.frombuffer(
                 data, endian + "u2", count=width * height, offset=off
             ).reshape(height, width)
-        elif bits == 12:
-            plane = _unpack_12le(data[off : off + cnt], width, height)
-        elif bits == 14:
-            plane = _unpack_msb(data[off : off + cnt], 14, width, height)
+        elif bits in (12, 14):
+            plane = _unpack_msb(data[off : off + cnt], bits, width, height)
         else:
             raise DngError(f"unsupported NEF bit depth {bits}")
+        white = float((1 << bits) - 1)
     elif compression == 34713:
-        plane = _nef_decompress(
+        plane, white = _nef_decompress(
             data[off : off + cnt], width, height, bits, mn, mn_order
         )
     else:
@@ -308,7 +308,7 @@ def parse_nef(data: bytes) -> RawFile:
         cfa=plane.astype(np.uint16, copy=False),
         pattern=pattern,
         black_level=0.0,
-        white_level=float((1 << bits) - 1),
+        white_level=white,
         wb=_nef_wb(mn),
         xyz_to_cam=None,
         orientation=int((_first(ifds, _T["Orientation"]) or [1])[0]),
@@ -318,18 +318,22 @@ def parse_nef(data: bytes) -> RawFile:
 def _nef_decompress(
     stream: bytes, width: int, height: int, bits: int, mn: dict,
     order: str = "<",
-) -> np.ndarray:
-    """Nikon compression 34713 via native/vendor_huff.cc.
+) -> tuple[np.ndarray, float]:
+    """Nikon compression 34713 via native/vendor_huff.cc. Returns
+    (plane, white_level) — for the stepped lossy curve the effective white
+    is the curve's top entry (dcraw sets maximum = curve[max-1]), not the
+    nominal bit depth.
 
     LinearizationTable (makernote 0x96) layout (documented in
     dcraw/exiftool): ver0, ver1 bytes; [2110 skip bytes for ver 0x49/0x58
     (dcraw nikon_load_raw)]; 2x2 SHORT vertical predictors; SHORT curve
-    size; then either a stepped curve (lossy type 2, ver0=0x44 ver1=0x20,
-    split row at byte 562) or a direct curve (<= 0x4001 entries); lossless
-    (ver0=0x46) keeps an identity curve. All shorts are in the makernote's
-    byte order (`order` — big-endian on real Nikon files). Tree: 12-bit
-    lossy 0 / lossless 2; +3 for 14-bit; post-split trees are tree+1
-    (handled natively).
+    size; then either a stepped curve (lossy type 2, ver0=0x44 ver1 0x20 /
+    0x40 — the 0x40 variant rescales step and max by 4 into the quarter
+    domain (LibRaw), split row at byte 562) or a direct curve (<= 0x4001
+    entries); lossless (ver0=0x46) keeps an identity curve. All shorts are
+    in the makernote's byte order (`order` — big-endian on real Nikon
+    files). Tree: 12-bit lossy 0 / lossless 2; +3 for 14-bit; post-split
+    trees are tree+1 (handled natively).
     """
     lt = mn.get(0x96)
     if not lt:
@@ -350,13 +354,22 @@ def _nef_decompress(
     step = max_v // (csize - 1) if csize > 1 else 0
     lut = np.arange(max_v, dtype=np.uint16)
     split = 0
+    white = float(max_v - 1)
     if v0 == 0x44 and v1 in (0x20, 0x40) and step > 0:
+        max_eff = max_v
+        if v1 == 0x40:  # coded values occupy the quarter domain (LibRaw)
+            step //= 4
+            max_eff //= 4
         knots = np.array(
             struct.unpack_from(order + f"{csize}H", raw, pos), np.float64
         )
         xs = np.arange(csize) * step
-        lut = np.interp(np.arange(max_v), xs, knots).astype(np.uint16)
-        if v1 == 0x20 and len(raw) >= 564:
+        lut[:max_eff] = np.interp(
+            np.arange(max_eff), xs, knots
+        ).astype(np.uint16)
+        # entries >= max_eff keep identity (dcraw's curve[] starts identity)
+        white = float(lut[max_eff - 1])
+        if len(raw) >= 564:
             (split,) = struct.unpack_from(order + "H", raw, 562)
     elif v0 != 0x46 and csize <= 0x4001:
         n = min(csize, (len(raw) - pos) // 2, max_v)
@@ -366,16 +379,65 @@ def _nef_decompress(
         lut[: vals.size] = vals
         if vals.size:
             lut[vals.size :] = vals[-1]
+            white = float(vals[-1])
 
     tree = (2 if v0 == 0x46 else 0) + (3 if bits == 14 else 0)
 
     from rapidraw_tpu.native import nikon_decode
 
     vals = nikon_decode(stream, width, height, tree, split, vpred, bits)
-    return lut[np.minimum(vals, lut.size - 1)]
+    return lut[np.minimum(vals, lut.size - 1)], white
 
 
 # --------------------------------------------------------------- PEF (Pentax)
+
+
+def _pentax_huff_table(data: bytes, endian: str, ifds: list[dict]):
+    """Huffman table from Pentax makernote tag 0x220 (dcraw pentax_load_raw
+    reads it unconditionally: u16 v -> dep=(v+12)&15 entries, 12 skip
+    bytes, dep u16 left-aligned-in-12-bit code values, dep length bytes).
+    Returns (codes, lens, syms) or None (use the default table)."""
+    exif_off = _first(ifds, _TAG_EXIF_IFD)
+    if not exif_off:
+        return None
+    try:
+        (count,) = struct.unpack_from(endian + "H", data, exif_off[0])
+        pos = exif_off[0] + 2
+        mn_off = None
+        for _ in range(count):
+            tag, typ, n = struct.unpack_from(endian + "HHI", data, pos)
+            if tag == _TAG_MAKERNOTE:
+                if typ == 4 or n > 4:
+                    (mn_off,) = struct.unpack_from(endian + "I", data, pos + 8)
+                else:
+                    mn_off = pos + 8
+                break
+            pos += 12
+        if mn_off is None:
+            return None
+        # Pentax makernote: 'AOC\0' + 2-byte order marker, entries with
+        # file-absolute offsets (exiftool Pentax.pm)
+        e2 = endian
+        if data[mn_off : mn_off + 4] == b"AOC\0":
+            e2 = "<" if data[mn_off + 4 : mn_off + 6] == b"II" else ">"
+            mn_off += 6
+        entries, _ = _read_ifd(data, mn_off, e2)
+        t = entries.get(0x220)
+        if not t or len(t) < 14:
+            return None
+        raw220 = bytes(t)
+        (v,) = struct.unpack_from(e2 + "H", raw220, 0)
+        dep = (v + 12) & 15
+        if dep == 0 or len(raw220) < 14 + dep * 3:
+            return None
+        codes12 = struct.unpack_from(e2 + f"{dep}H", raw220, 14)
+        lens = raw220[14 + dep * 2 : 14 + dep * 3]
+        if any(not (1 <= ln <= 12) for ln in lens):
+            return None
+        codes = [codes12[c] >> (12 - lens[c]) for c in range(dep)]
+        return codes, list(lens), list(range(dep))
+    except (struct.error, IndexError):
+        return None
 
 
 def parse_pef(data: bytes) -> RawFile:
@@ -407,7 +469,10 @@ def parse_pef(data: bytes) -> RawFile:
     elif compression == 65535:
         from rapidraw_tpu.native import pentax_decode
 
-        plane = pentax_decode(bytes(data[off : off + cnt]), width, height, bits)
+        table = _pentax_huff_table(data, endian, ifds)
+        plane = pentax_decode(
+            bytes(data[off : off + cnt]), width, height, bits, table=table
+        )
     else:
         raise DngError(f"unsupported PEF compression {compression}")
 
@@ -459,7 +524,13 @@ def _arw2_decode(raw: bytes, width: int, height: int) -> np.ndarray:
     sony_arw2_load_raw), then the Sony tone curve."""
     row_bytes = width  # 8 bits/pixel average: width bytes per row
     buf = np.frombuffer(raw, np.uint8, count=row_bytes * height)
-    blocks = buf.reshape(-1, 16)
+    # dcraw decodes full 32-column block pairs while col < raw_width-30;
+    # a width that is not a multiple of 32 leaves the trailing columns
+    # black rather than failing the file
+    pairs = width // 32
+    if pairs == 0:
+        raise DngError(f"ARW2 width {width} below one 32-column block pair")
+    blocks = buf.reshape(height, width)[:, : pairs * 32].reshape(-1, 16)
     nb = blocks.shape[0]
 
     lo = blocks[:, :8].copy().view("<u8").reshape(nb).astype(np.uint64)
@@ -517,13 +588,12 @@ def _arw2_decode(raw: bytes, width: int, height: int) -> np.ndarray:
     # blocks tile each row: 2 blocks (32 pixels) cover 32 consecutive
     # columns of alternating CFA colors — pixels of one block land on
     # every OTHER column (dcraw: "col = x*2 + ..." interleave)
-    out = np.empty((height, width), np.uint16)
-    per_row = width // 32  # block PAIRS per row
-    dec = decoded.reshape(height, per_row, 2, 16)
-    inter = np.empty((height, per_row, 32), np.uint16)
+    out = np.zeros((height, width), np.uint16)
+    dec = decoded.reshape(height, pairs, 2, 16)
+    inter = np.empty((height, pairs, 32), np.uint16)
     inter[:, :, 0::2] = dec[:, :, 0, :]
     inter[:, :, 1::2] = dec[:, :, 1, :]
-    out[:] = inter.reshape(height, width)
+    out[:, : pairs * 32] = inter.reshape(height, pairs * 32)
     return out
 
 
@@ -561,7 +631,17 @@ def parse_arw(data: bytes) -> RawFile:
     else:
         raise DngError(f"unsupported ARW compression {compression}")
 
-    black = float(np.mean(_first(ifds, _T["BlackLevel"]) or [0]))
+    # Sony stores black in SR2SubIFD BlackLevel (0x7310) when reachable;
+    # ARW2 data otherwise retains the sensor pedestal dcraw models as
+    # 128 << (bps-12) — x4 in this module's un-shifted curve space = 512
+    # (dcraw applies >> 2 to curve values; this decoder keeps them whole)
+    blk = _first(ifds, _T["BlackLevel"]) or _first(ifds, 0x7310)
+    if blk:
+        black = float(np.mean(blk))
+    elif compression == 32767:
+        black = 512.0
+    else:
+        black = 0.0
     wb = np.ones(3, np.float32)
     neutral = _first(ifds, _T["AsShotNeutral"])
     if neutral and len(neutral) >= 3:
@@ -747,26 +827,9 @@ _MRW_PATTERNS = {0x0001: "RGGB", 0x0004: "GBRG"}
 
 
 def _unpack_12be(raw: bytes, row_samples: int, n_rows: int) -> np.ndarray:
-    """Big-endian (MSB-first) 12-bit packing: 2 samples per 3 bytes,
-    p0 = b0 << 4 | b1 >> 4, p1 = (b1 & 0xF) << 8 | b2 (rawler decode_12be)."""
-    row_bytes = (row_samples * 12 + 7) // 8
-    need = row_bytes * n_rows
-    if len(raw) < need:
-        raise DngError("truncated 12-bit big-endian plane")
-    buf = np.frombuffer(raw, np.uint8, count=need).astype(np.uint16)
-    buf = buf.reshape(n_rows, row_bytes)
-    pairs = row_samples // 2
-    b0 = buf[:, 0 : pairs * 3 : 3]
-    b1 = buf[:, 1 : pairs * 3 : 3]
-    b2 = buf[:, 2 : pairs * 3 : 3]
-    out = np.empty((n_rows, pairs * 2), np.uint16)
-    out[:, 0::2] = (b0 << 4) | (b1 >> 4)
-    out[:, 1::2] = ((b1 & 0xF) << 8) | b2
-    if row_samples % 2:
-        t0 = buf[:, pairs * 3]
-        t1 = buf[:, pairs * 3 + 1]
-        out = np.concatenate([out, ((t0 << 4) | (t1 >> 4))[:, None]], axis=1)
-    return out
+    """Big-endian (MSB-first) 12-bit packing (rawler decode_12be) — for the
+    even sensor widths MRW uses this is exactly dng._unpack_msb."""
+    return _unpack_msb(raw, 12, row_samples, n_rows)
 
 
 def parse_mrw(data: bytes) -> RawFile:

@@ -41,13 +41,19 @@ def _build(name: str) -> Path:
     out = _cache_dir() / f"_{name}_{tag}.so"
     if out.exists():
         return out
-    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", str(src), "-o", str(out)]
+    # compile to a process-unique temp name and publish atomically: a
+    # concurrent worker seeing out.exists() mid-write would CDLL a
+    # half-written ELF (and two g++ runs must not interleave on one path)
+    tmp = out.with_name(f"{out.name}.{os.getpid()}.tmp")
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", str(src), "-o", str(tmp)]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
     except (OSError, subprocess.TimeoutExpired) as e:
         raise NativeBuildError(f"failed to run g++: {e}") from e
     if proc.returncode != 0:
+        tmp.unlink(missing_ok=True)
         raise NativeBuildError(f"g++ failed:\n{proc.stderr[:2000]}")
+    os.replace(tmp, out)
     return out
 
 
@@ -87,23 +93,46 @@ def nikon_decode(stream: bytes, width: int, height: int, tree: int,
     return out
 
 
-def pentax_decode(stream: bytes, width: int, height: int, bits: int = 16):
-    """Pentax PEF compression 65535 (default Huffman table) -> (H, W) u16."""
+def pentax_decode(stream: bytes, width: int, height: int, bits: int = 16,
+                  table=None):
+    """Pentax PEF compression 65535 -> (H, W) u16.
+
+    table: optional (codes, lens, syms) sequences from makernote 0x220
+    (dcraw builds its Huffman table from that tag unconditionally); None
+    uses the format's default table.
+    """
     import numpy as np
 
     lib = load("vendor_huff")
-    fn = lib.pentax_decode
-    fn.restype = ctypes.c_int
-    fn.argtypes = [
-        ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_uint16),
-        ctypes.c_int, ctypes.c_int, ctypes.c_int,
-    ]
     out = np.empty((height, width), np.uint16)
-    rc = fn(
-        stream, len(stream),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
-        width, height, bits,
-    )
+    out_p = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+    if table is None:
+        fn = lib.pentax_decode
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        rc = fn(stream, len(stream), out_p, width, height, bits)
+    else:
+        codes, lens, syms = table
+        n = len(codes)
+        if not (0 < n <= 32 and len(lens) == n and len(syms) == n):
+            raise ValueError("pentax table must be <=32 (codes, lens, syms)")
+        fn = lib.pentax_decode_table
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int,
+        ]
+        codes_a = np.ascontiguousarray(codes, np.uint16)
+        rc = fn(
+            stream, len(stream), out_p, width, height, bits,
+            codes_a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            bytes(bytearray(lens)), bytes(bytearray(syms)), n,
+        )
     if rc != 0:
         raise ValueError(f"pentax decode failed (code {rc})")
     return out

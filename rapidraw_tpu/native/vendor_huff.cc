@@ -74,6 +74,22 @@ struct Huff {
     return k > 0;
   }
 
+  // Explicit (code, length, symbol) triples — PEF makernote 0x220 carries
+  // the code table verbatim and it need not be canonical.
+  bool build_explicit(const uint16_t* codes, const uint8_t* lens,
+                      const uint8_t* vals, int nvals) {
+    if (nvals <= 0 || nvals > 32) return false;
+    for (int k = 0; k < nvals; ++k) {
+      if (lens[k] < 1 || lens[k] > 16) return false;
+      if (codes[k] >= (1u << lens[k])) return false;
+      code[k] = codes[k];
+      clen[k] = lens[k];
+      value[k] = vals[k];
+    }
+    n = nvals;
+    return true;
+  }
+
   inline int decode(BitReader& br) const {
     uint32_t c = 0;
     int l = 0;
@@ -184,12 +200,9 @@ static const uint8_t kPentaxCounts[16] = {0, 2, 3, 1, 1, 1, 1, 1,
                                           1, 2, 0, 0, 0, 0, 0, 0};
 static const uint8_t kPentaxVals[13] = {3, 4, 2, 5, 1, 6, 0, 7, 8, 9, 10, 11, 12};
 
-extern "C" int pentax_decode(const uint8_t* stream, long stream_len,
-                             uint16_t* out, int width, int height, int bits) {
-  if (width <= 0 || height <= 0) return -1;
-  Huff huff;
-  if (!huff.build(kPentaxCounts, kPentaxVals, 13)) return -2;
-
+static int pentax_run(const Huff& huff, const uint8_t* stream,
+                      long stream_len, uint16_t* out, int width, int height,
+                      int bits) {
   BitReader br(stream, stream_len);
   int32_t vpred[2][2] = {{0, 0}, {0, 0}};
   int32_t hpred[2] = {0, 0};
@@ -205,9 +218,34 @@ extern "C" int pentax_decode(const uint8_t* stream, long stream_len,
       else
         hpred[col & 1] += diff;
       int32_t v = hpred[col & 1];
-      if (v < 0 || v > maxv) return -5;  // dcraw derror(): corrupt stream
+      // deliberate deviation from dcraw: dcraw's derror() stores the
+      // wrapped value and warns; this codebase's fuzz contract is that a
+      // stream driving predictors out of range fails loudly (ValueError)
+      if (v < 0 || v > maxv) return -5;
       out[(long)row * width + col] = (uint16_t)v;
     }
   }
   return br.overrun ? -4 : 0;
+}
+
+extern "C" int pentax_decode(const uint8_t* stream, long stream_len,
+                             uint16_t* out, int width, int height, int bits) {
+  if (width <= 0 || height <= 0) return -1;
+  Huff huff;
+  if (!huff.build(kPentaxCounts, kPentaxVals, 13)) return -2;
+  return pentax_run(huff, stream, stream_len, out, width, height, bits);
+}
+
+// Table-driven variant: codes/lens/syms from makernote 0x220 (dcraw builds
+// its table from that tag unconditionally; the default above is only the
+// fallback when the tag is absent).
+extern "C" int pentax_decode_table(const uint8_t* stream, long stream_len,
+                                   uint16_t* out, int width, int height,
+                                   int bits, const uint16_t* codes,
+                                   const uint8_t* lens, const uint8_t* syms,
+                                   int nvals) {
+  if (width <= 0 || height <= 0) return -1;
+  Huff huff;
+  if (!huff.build_explicit(codes, lens, syms, nvals)) return -2;
+  return pentax_run(huff, stream, stream_len, out, width, height, bits);
 }

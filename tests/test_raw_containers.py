@@ -366,7 +366,9 @@ def test_nef_packed12_roundtrip():
     cfa = rng.integers(0, 1 << 12, size=(h, w), dtype=np.uint16)
     mn = _nikon_makernote_blob(Ifd([(0x0C, 4, [2, 1, 1, 1])]))  # dummy WB longs
     exif = Ifd([(37500, 7, mn)])
-    sub = _cfa_ifd(w, h, 12, 1, _pack_12le(cfa))
+    # Nikon packs uncompressed 12-bit MSB-first (dcraw packed_load_raw,
+    # rawler decode_12be)
+    sub = _cfa_ifd(w, h, 12, 1, _pack_msb(cfa, 12))
     ifd0 = Ifd([(271, 2, "NIKON CORPORATION"), (330, 4, ("ifd", sub)),
                 (34665, 4, ("ifd", exif))])
     data = build_tiff([ifd0])
@@ -397,9 +399,11 @@ def test_nef_compressed_lossless12_roundtrip():
 
 
 # -------------------------------------------------------------------- PEF
-def _encode_pentax(cfa: np.ndarray) -> bytes:
+def _pentax_codemap(values=None) -> dict:
+    """symbol -> (code, length) for the default counts with an optional
+    symbol permutation (the makernote-0x220 override case)."""
     counts = [0, 2, 3, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0]
-    values = [3, 4, 2, 5, 1, 6, 0, 7, 8, 9, 10, 11, 12]
+    values = values or [3, 4, 2, 5, 1, 6, 0, 7, 8, 9, 10, 11, 12]
     codes = {}
     code = 0
     k = 0
@@ -409,7 +413,11 @@ def _encode_pentax(cfa: np.ndarray) -> bytes:
             code += 1
             k += 1
         code <<= 1
+    return codes
 
+
+def _encode_pentax(cfa: np.ndarray, codes: dict | None = None) -> bytes:
+    codes = codes or _pentax_codemap()
     h, w = cfa.shape
     bits = []
 
@@ -455,6 +463,62 @@ def test_pef_huffman_roundtrip():
     data = build_tiff([Ifd([(271, 2, "PENTAX Corporation")]), ifd])
     r = parse_raw(data, ext="pef")
     np.testing.assert_array_equal(r.cfa, cfa)
+
+
+def test_pef_custom_huffman_table_0x220():
+    """Makernote 0x220 overrides the Huffman table (dcraw builds from it
+    unconditionally): a stream encoded with a permuted symbol assignment
+    must decode correctly only when the tag is honored."""
+    _skip_if_no_native()
+    rng = np.random.default_rng(8)
+    h, w = 8, 12
+    cfa = rng.integers(0, 1 << 12, size=(h, w), dtype=np.uint16)
+    # permute the class->code assignment vs the default table
+    values = [4, 3, 2, 5, 1, 6, 0, 7, 8, 9, 10, 12, 11]
+    codes = _pentax_codemap(values)
+    stream = _encode_pentax(cfa, codes)
+
+    # tag 0x220 payload (big-endian, like real 'AOC\0MM' makernotes):
+    # u16 v with (v+12)&15 == 13, 12 filler bytes, 13 u16 codes
+    # left-aligned in 12 bits, 13 length bytes
+    payload = struct.pack(">H", 1) + b"\0" * 12
+    payload += b"".join(
+        struct.pack(">H", codes[c][0] << (12 - codes[c][1])) for c in range(13)
+    )
+    payload += bytes(codes[c][1] for c in range(13))
+
+    # makernote blob: 'AOC\0' + order + one-entry IFD whose 0x220 offset is
+    # FILE-absolute — build once, then patch the offset in place
+    inner = struct.pack(">H", 1)
+    inner += struct.pack(">HHI", 0x220, 7, len(payload)) + struct.pack(">I", 0)
+    inner += struct.pack(">I", 0)
+    mn_blob = b"AOC\0MM" + inner + payload
+
+    exif = Ifd([(37500, 7, mn_blob)])
+    ifd = _cfa_ifd(w, h, 12, 65535, stream)
+    data = build_tiff([
+        Ifd([(271, 2, "PENTAX Corporation"), (34665, 4, ("ifd", exif))]), ifd
+    ])
+    mn_pos = data.find(b"AOC\0")
+    assert mn_pos > 0
+    payload_abs = mn_pos + 6 + len(inner)
+    entry_off_pos = mn_pos + 6 + 2 + 8  # IFD count + entry tag/type/count
+    data = (
+        data[:entry_off_pos]
+        + struct.pack(">I", payload_abs)
+        + data[entry_off_pos + 4 :]
+    )
+    r = parse_raw(data, ext="pef")
+    np.testing.assert_array_equal(r.cfa, cfa)
+
+    # sanity: the default table must NOT reproduce this stream
+    no_mn = build_tiff([Ifd([(271, 2, "PENTAX Corporation")]),
+                        _cfa_ifd(w, h, 12, 65535, stream)])
+    try:
+        r2 = parse_raw(no_mn, ext="pef")
+        assert not np.array_equal(r2.cfa, cfa)
+    except ValueError:
+        pass  # default table may also fail to decode the stream at all
 
 
 # -------------------------------------------------------------------- ARW
@@ -510,6 +574,32 @@ def test_arw2_roundtrip_quantized():
     curve = _arw2_curve()
     decoded_coded = np.searchsorted(curve, r.cfa.astype(np.uint32), side="left") >> 1
     assert np.abs(decoded_coded.astype(int) - plane.astype(int)).max() <= (1 << 4)
+
+
+def test_arw2_partial_width_decodes_full_blocks():
+    """A width that is not a multiple of 32 must decode the covered block
+    pairs and leave the trailing columns black (dcraw's col < raw_width-30
+    guard), not fail the reshape."""
+    rng = np.random.default_rng(9)
+    h = 4
+    plane32 = rng.integers(0, 0x800, size=(h, 32), dtype=np.uint16)
+    stream32 = _encode_arw2(plane32)
+    # row stride is `width` bytes: pad each 32-byte row to 48
+    w = 48
+    rows = [stream32[r * 32 : (r + 1) * 32] + b"\0" * 16 for r in range(h)]
+    ifd = _cfa_ifd(w, h, 8, 32767, b"".join(rows))
+    data = build_tiff([Ifd([(271, 2, "SONY")]), ifd])
+    r = parse_raw(data, ext="arw")
+    assert r.cfa.shape == (h, w)
+    assert (r.cfa[:, 32:] == 0).all()
+
+    from rapidraw_tpu.io.makers import _arw2_curve
+
+    curve = _arw2_curve()
+    coded = np.searchsorted(curve, r.cfa[:, :32].astype(np.uint32), "left") >> 1
+    assert np.abs(coded.astype(int) - plane32.astype(int)).max() <= (1 << 4)
+    # Sony pedestal default applies when no BlackLevel tag is present
+    assert r.black_level == 512.0
 
 
 def test_arw_packed14_roundtrip():
