@@ -39,6 +39,8 @@ def _cmd_develop(args) -> int:
     from rapidraw_tpu.pipeline.develop import develop
 
     _require_file(args.image)
+    if args.adjustments:  # validate before the (device-touching) load
+        _require_file(args.adjustments)
     img, is_raw = load_image(args.image)
     if args.adjustments:
         adj = json.loads(Path(args.adjustments).read_text())
@@ -270,10 +272,12 @@ def _cmd_lut_export(args) -> int:
     from rapidraw_tpu.pipeline.watermark import export_adjustments_as_lut
 
     if args.adjustments:
+        _require_file(args.adjustments)
         adj = json.loads(P(args.adjustments).read_text())
     elif args.image:
         from rapidraw_tpu.io.sidecar import load_adjustments
 
+        _require_file(args.image)  # a typo'd path would emit an identity LUT
         adj = load_adjustments(args.image)
     else:
         raise SystemExit("error: provide --adjustments or --image")
@@ -329,8 +333,6 @@ def _cmd_tag(args) -> int:
 
 def _cmd_lib(args) -> int:
     """Library/file-management verbs (COMMANDS.md host-side surface)."""
-    import json as _json
-
     from rapidraw_tpu.library import catalog
 
     op = args.op
@@ -356,7 +358,7 @@ def _cmd_lib(args) -> int:
     elif op == "clear-sidecars":
         print(catalog.clear_all_sidecars(args.path))
     elif op == "types":
-        print(_json.dumps(catalog.get_supported_file_types()))
+        print(json.dumps(catalog.get_supported_file_types()))
     elif op == "dims":
         for p in args.paths:
             w, h = catalog.get_image_dimensions(p)
@@ -365,8 +367,6 @@ def _cmd_lib(args) -> int:
 
 
 def _cmd_exif(args) -> int:
-    import json as _json
-
     from rapidraw_tpu.io.exif import read_exif_tags, update_exif_fields
 
     if args.set:
@@ -378,13 +378,11 @@ def _cmd_exif(args) -> int:
         updates = dict(kv.split("=", 1) for kv in args.set)
         update_exif_fields(args.paths, updates)
     for p in args.paths:
-        print(_json.dumps({p: read_exif_tags(p)}, ensure_ascii=False))
+        print(json.dumps({p: read_exif_tags(p)}, ensure_ascii=False))
     return 0
 
 
 def _cmd_preset(args) -> int:
-    import json as _json
-
     from rapidraw_tpu.library.presets import (
         PresetStore,
         apply_adjustments_to_paths,
@@ -413,7 +411,7 @@ def _cmd_preset(args) -> int:
         preset = store.get(args.name)
         if preset is None:
             return 1
-        print(_json.dumps(preset["adjustments"], indent=2, ensure_ascii=False))
+        print(json.dumps(preset["adjustments"], indent=2, ensure_ascii=False))
     return 0
 
 

@@ -141,10 +141,18 @@ def _unpack_msb(raw: bytes, bits: int, row_samples: int, n_rows: int) -> np.ndar
     """
     row_bytes = (row_samples * bits + 7) // 8
     buf = np.frombuffer(raw, np.uint8, count=row_bytes * n_rows)
-    bit_rows = np.unpackbits(buf.reshape(n_rows, row_bytes), axis=1)
-    bit_rows = bit_rows[:, : row_samples * bits].reshape(n_rows, row_samples, bits)
-    weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint32)
-    return (bit_rows.astype(np.uint32) * weights).sum(axis=2).astype(np.uint16)
+    # each sample reads a 32-bit big-endian window at its start byte and
+    # shifts its field out — O(output) memory (an unpackbits expansion to
+    # (rows, samples, bits) u32 cost ~25x the packed size per strip)
+    p = np.pad(buf.reshape(n_rows, row_bytes), ((0, 0), (0, 3)))
+    bitpos = np.arange(row_samples, dtype=np.int64) * bits
+    starts = (bitpos >> 3).astype(np.intp)
+    sh = (32 - bits - (bitpos & 7)).astype(np.uint32)
+    w = p[:, starts].astype(np.uint32)
+    for k in (1, 2, 3):
+        w <<= np.uint32(8)
+        w |= p[:, starts + k]
+    return ((w >> sh) & np.uint32((1 << bits) - 1)).astype(np.uint16)
 
 
 def _unpack_12le(raw: bytes, row_samples: int, n_rows: int) -> np.ndarray:
@@ -242,8 +250,18 @@ def parse_dng(data: bytes) -> RawFile:
         if tw <= 0 or tl <= 0:
             raise DngError(f"implausible tile dimensions {tw}x{tl}")
         offsets = ifd[_T["TileOffsets"]]
-        counts = ifd.get(_T["TileByteCounts"], [0] * len(offsets))
+        counts = ifd.get(_T["TileByteCounts"])
+        if not counts or len(counts) < len(offsets):
+            # short/absent counts: same synthesis as the strip path (a
+            # short list would IndexError below)
+            counts = [0] * len(offsets)
         tiles_x = -(-width // tw)
+        tiles_y = -(-height // tl)
+        if len(offsets) > tiles_x * tiles_y:
+            raise DngError(
+                f"{len(offsets)} tile offsets exceed the "
+                f"{tiles_x}x{tiles_y} tile grid"
+            )
         for idx, off in enumerate(offsets):
             if compression == 7:
                 tile = _ljpeg(off, counts[idx] or (len(data) - off))
@@ -308,6 +326,10 @@ def parse_dng(data: bytes) -> RawFile:
     is_linear = photometric == 34892
     if is_linear and spp >= 3:
         cfa = plane.reshape(height, width, spp)[:, :, :3]
+    elif is_linear:
+        # monochrome LinearRaw (spp 1, e.g. Leica M Monochrom): replicate
+        # to 3 channels so the linear develop path gets its (H, W, 3)
+        cfa = np.repeat(plane[:, :width, None], 3, axis=2)
     else:
         cfa = plane[:, :width]
 

@@ -66,7 +66,13 @@ def save_sidecar(image_path: str | Path, metadata: dict[str, Any]) -> None:
     sp = sidecar_path(image_path)
     meta = dict(metadata)
     meta.setdefault("version", CURRENT_VERSION)
-    sp.write_text(json.dumps(meta, indent=2))
+    # atomic replace: a crash mid-write must not leave truncated JSON that
+    # load_sidecar would silently replace with defaults (losing all edits)
+    import os
+
+    tmp = sp.with_name(f"{sp.name}.{os.getpid()}.tmp")
+    tmp.write_text(json.dumps(meta, indent=2))
+    os.replace(tmp, sp)
 
 
 def load_adjustments(image_path: str | Path) -> dict:

@@ -19,7 +19,12 @@ from pathlib import Path
 
 
 def _flag_path() -> Path:
-    d = Path(os.environ.get("RAPIDRAW_CACHE_DIR") or Path.home() / ".cache" / "rapidraw_tpu")
+    env = os.environ.get("RAPIDRAW_CACHE_DIR")
+    if env and env.lower() == "none":
+        # the documented disable-the-jit-cache sentinel (cli.py) is not a
+        # literal path; the crash flag falls back to the home cache dir
+        env = None
+    d = Path(env) if env else Path.home() / ".cache" / "rapidraw_tpu"
     d.mkdir(parents=True, exist_ok=True)
     return d / "backend_crash_flag"
 

@@ -25,6 +25,7 @@ def setup_logging(
     (settings key 'logLevel', file 'logFile')."""
     lvl = getattr(logging, str(level).upper(), logging.INFO)
     log.setLevel(lvl)
+    log.propagate = False  # records would also print via a configured root
     log.handlers.clear()
     fmt = logging.Formatter("%(asctime)s %(levelname)-5s %(name)s: %(message)s")
     sh = logging.StreamHandler()
