@@ -161,3 +161,19 @@ def test_tiled_masked_nr_uses_absolute_hash_coords():
     whole = _develop_jit(img, p, c, masks=jnp.asarray(masks))
     tiled = develop_tiled(img, p, c, masks=masks, tile_size=64, overlap=16)
     np.testing.assert_allclose(tiled, whole, atol=1e-5)
+
+
+def test_tiled_exact_jitter_nr_matches_whole(monkeypatch):
+    """RAPIDRAW_NR_EXACT_JITTER=1 on the tiled path: per-tile static
+    offsets must reproduce the whole-image jittered tap pattern exactly."""
+    import dataclasses
+
+    monkeypatch.setenv("RAPIDRAW_NR_EXACT_JITTER", "1")
+    doc = {"lumaNoiseReduction": 50, "colorNoiseReduction": 30}
+    img = _img(96, 160, seed=7)
+    p, c = parse_adjustments(doc, is_raw=False)
+    assert c.nr_active and c.nr_static_luma is not None
+    c = dataclasses.replace(c, dither_active=False)
+    whole = _develop_jit(img, p, c)
+    tiled = develop_tiled(img, p, c, tile_size=64, overlap=16)
+    np.testing.assert_allclose(tiled, whole, atol=1e-5)
