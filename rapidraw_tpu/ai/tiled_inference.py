@@ -59,16 +59,17 @@ def run_tiled(
     cs, ucs, ol, pad = params.cs, params.ucs, params.overlap, params.pad
     step = ucs - ol if ucs > ol else ucs
 
-    # mirror-pad once; every tile is then a plain slice
+    # mirror-pad once; every tile is then a plain slice. The high-side pad
+    # is exactly what the furthest tile reads (over-padding by +cs copied
+    # ~20-25% extra mirrored pixels per call for nothing).
+    ys = list(range(0, max(h - ol, 1), step))
+    xs = list(range(0, max(w - ol, 1), step))
     pad_lo = pad
-    pad_hi_y = pad + (step - (max(h - ol, 1) % step)) % step + cs
-    pad_hi_x = pad + (step - (max(w - ol, 1) % step)) % step + cs
+    pad_hi_y = max(0, ys[-1] + cs - pad_lo - h)
+    pad_hi_x = max(0, xs[-1] + cs - pad_lo - w)
     src = np.pad(
         image, ((0, 0), (pad_lo, pad_hi_y), (pad_lo, pad_hi_x)), mode="reflect"
     )
-
-    ys = list(range(0, max(h - ol, 1), step))
-    xs = list(range(0, max(w - ol, 1), step))
     tiles = []
     coords = []
     for y0 in ys:
@@ -89,9 +90,15 @@ def run_tiled(
         tw[:, -ol:] *= 0.5
 
     for start in range(0, len(tiles), batch_size):
-        batch = np.stack(tiles[start : start + batch_size])
+        chunk = tiles[start : start + batch_size]
+        n_valid = len(chunk)
+        if n_valid < batch_size and len(tiles) > batch_size:
+            # pad the remainder to the full batch shape: a jitted model_fn
+            # would otherwise pay a second XLA compile for the odd shape
+            chunk = chunk + [chunk[-1]] * (batch_size - n_valid)
+        batch = np.stack(chunk)
         res = np.asarray(model_fn(batch))
-        for b, (y0, x0) in enumerate(coords[start : start + batch_size]):
+        for b, (y0, x0) in enumerate(coords[start : start + n_valid]):
             useful = res[b][:, pad : pad + ucs, pad : pad + ucs]
             y1 = min(y0 + ucs, h)
             x1 = min(x0 + ucs, w)

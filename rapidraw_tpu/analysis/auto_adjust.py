@@ -98,7 +98,11 @@ def perform_auto_analysis(image: np.ndarray) -> dict[str, float]:
         if diff > 0.05:
             centre = min(diff * 100.0, 60.0)
 
-    # second pass: simulate exposure+contrast and re-derive the endpoints
+    # second pass: simulate exposure+contrast and re-derive the endpoints.
+    # NOTE the UNCLAMPED contrast here is reference-faithful: the reference
+    # simulates with the raw value (image_processing.rs:3194) and clamps
+    # only the emitted adjustment (:3208), so near-flat images derive their
+    # blacks/whites from a steeper curve than will be applied.
     luma2 = _LUMA[0] * r.astype(np.float64) + _LUMA[1] * g.astype(np.float64) + _LUMA[2] * b.astype(np.float64)
     luma2 = luma2 + exposure
     luma2 = (luma2 - 128.0) * (1.0 + contrast / 100.0) + 128.0

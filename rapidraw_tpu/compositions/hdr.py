@@ -10,7 +10,6 @@ lib.rs:1450-1473). Runs on-device as a pure weighted reduction.
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 
 class HdrError(ValueError):
@@ -63,9 +62,13 @@ def merge_hdr(
         den = den + w
     merged = num / jnp.maximum(den, 1e-9)
 
-    # normalize: map the mid-exposure frame's radiance scale back to ~[0,1]
-    mid = len(images) // 2
-    scale = float(exposures_secs[mid]) * (float(gains_iso[mid]) / 100.0)
+    # normalize: map the mid-exposure frame's radiance scale back to ~[0,1];
+    # "mid" is by effective exposure (t * gain), not argv order
+    factors = [
+        float(t) * (float(g) / 100.0)
+        for t, g in zip(exposures_secs, gains_iso)
+    ]
+    scale = sorted(factors)[len(factors) // 2]
     return merged * scale
 
 
@@ -82,12 +85,22 @@ def read_exif_exposure(path: str) -> tuple[float | None, float | None]:
         except Exception:
             pass
         exp = merged.get(Tag.ExposureTime)
-        iso = merged.get(Tag.ISOSpeedRatings) or merged.get(Tag.PhotographicSensitivity)
-        exp_f = float(exp) if exp else None
+        # 0x8827 is ISOSpeedRatings in older Pillow / PhotographicSensitivity
+        # in EXIF 2.3 naming; look the raw tag up directly so a missing enum
+        # member can't raise inside this try and discard a valid exposure
+        iso = merged.get(Tag.ISOSpeedRatings) or merged.get(0x8833)
+
+        def _rational(v):
+            # Pillow yields IFDRational OR a plain (num, den) tuple
+            # depending on version/path; float() on the tuple raises
+            if isinstance(v, tuple) and len(v) == 2:
+                return float(v[0]) / float(v[1]) if v[1] else None
+            return float(v)
+
+        exp_f = _rational(exp) if exp else None
         if isinstance(iso, (list, tuple)):
             iso = iso[0] if iso else None
         iso_f = float(iso) if iso else None
         return exp_f, iso_f
     except Exception:
         return None, None
-    _ = np

@@ -89,17 +89,22 @@ def apply_crop(image: jnp.ndarray, crop: dict | None) -> jnp.ndarray:
 
 
 def apply_all_transformations(
-    image: jnp.ndarray, adjustments: dict
+    image: jnp.ndarray, adjustments: dict, patch_scale: float = 1.0
 ) -> tuple[jnp.ndarray, tuple[float, float]]:
     """AI patches -> warp -> coarse rotate -> flip -> fine rotate -> crop
     (lib.rs:198-217 + adjustment_utils.rs:93-120).
-    Returns (image, unscaled_crop_offset)."""
+    Returns (image, unscaled_crop_offset). patch_scale: image resolution
+    relative to full-res subMask coordinates (downscaled-preview callers)."""
     if adjustments.get("aiPatches"):
         import numpy as _np
 
         from rapidraw_tpu.masks.patches import composite_patches_on_image
 
-        image = jnp.asarray(composite_patches_on_image(_np.asarray(image), adjustments))
+        image = jnp.asarray(
+            composite_patches_on_image(
+                _np.asarray(image), adjustments, scale=patch_scale
+            )
+        )
 
     p = geometry_params_from_json(adjustments)
     if not is_geometry_identity(p):

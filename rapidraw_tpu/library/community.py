@@ -138,14 +138,27 @@ def generate_community_previews(
             if isinstance(crop, dict):
                 adj["crop"] = {k: float(v) * scale for k, v in crop.items()}
             adj["showClipping"] = False
-            timg, crop_offset = apply_all_transformations(jnp.asarray(base), adj)
+            timg, crop_offset = apply_all_transformations(
+                jnp.asarray(base), adj, patch_scale=scale
+            )
             _, th, tw = timg.shape
             masks = rasterize_masks(adj, tw, th, scale=scale, crop_offset=crop_offset)
             params, cfg = parse_adjustments(adj, is_raw=is_raw)
+            lut = None
+            if cfg.has_lut and isinstance(adj.get("lutPath"), str):
+                from rapidraw_tpu.io.lut import parse_lut_file
+
+                try:
+                    lut = jnp.asarray(parse_lut_file(adj["lutPath"]))
+                except Exception:
+                    import dataclasses
+
+                    cfg = dataclasses.replace(cfg, has_lut=False)
             out = np.asarray(
                 develop(
                     timg, params, cfg,
                     masks=jnp.asarray(masks) if masks is not None else None,
+                    lut=lut,
                 )
             )
             # square center tile
@@ -173,7 +186,8 @@ def save_community_preset(
     """Install one community preset under the 'Community' folder of a
     PresetStore, replacing any same-named entry there
     (file_management.rs:2703-2757)."""
-    store.delete(name, folder=COMMUNITY_FOLDER)
+    # add() already replaces any same (name, folder) entry; one final save
+    # persists the extra fields (three rewrites per install otherwise)
     entry = store.add(name, adjustments, folder=COMMUNITY_FOLDER)
     entry["includeMasks"] = include_masks
     entry["includeCropTransform"] = include_crop_transform

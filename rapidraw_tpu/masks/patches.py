@@ -36,10 +36,18 @@ def _resize(arr: np.ndarray, w: int, h: int) -> np.ndarray:
     return np.asarray(Image.fromarray(arr).resize((w, h), Image.LANCZOS))
 
 
-def composite_patches_on_image(image: np.ndarray, adjustments: dict) -> np.ndarray:
+def composite_patches_on_image(
+    image: np.ndarray, adjustments: dict, scale: float = 1.0
+) -> np.ndarray:
     """image: planar (3, H, W) float; returns a composited copy when any
     visible patch applies, else the INPUT array unchanged (don't mutate
-    the return value in place)."""
+    the return value in place).
+
+    scale: image resolution relative to the full-res coordinates the
+    subMask parameters are expressed in (baked base64 masks resize to the
+    canvas regardless; only the subMask-rasterized fallback needs it —
+    the reference always composites at full res, image_loader.rs:214-332,
+    so scale=1.0 is the reference-faithful default)."""
     patches = adjustments.get("aiPatches")
     if not isinstance(patches, list) or not patches:
         return image
@@ -74,7 +82,7 @@ def composite_patches_on_image(image: np.ndarray, adjustments: dict) -> np.ndarr
                     "opacity": 100.0,
                     "subMasks": patch.get("subMasks") or [],
                 },
-                w, h,
+                w, h, scale=scale,
             )
             if mask is None:
                 continue

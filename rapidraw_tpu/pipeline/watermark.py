@@ -82,6 +82,10 @@ def export_adjustments_as_lut(adjustments: dict, lut_size: int = 33) -> str:
     from rapidraw_tpu.pipeline.develop import develop
 
     adj = dict(adjustments)
+    # masks are spatial (meaningless for a LUT) — and leaving them in would
+    # set cfg.mask_count > 0 and trip develop()'s mask-bitmap assert
+    adj.pop("masks", None)
+    adj.pop("aiPatches", None)
     for key in (
         "showClipping",
     ):

@@ -291,3 +291,23 @@ def test_nr_exact_jitter_matches_gather_spec():
     finally:
         del os.environ["RAPIDRAW_NR_EXACT_JITTER"]
     assert float(jnp.abs(gathered - routed).max()) < 2e-6
+
+
+def test_read_exif_exposure_tuple_rational(tmp_path):
+    """Pillow may hand ExposureTime back as a plain (num, den) tuple;
+    float() on it raised inside the blanket except and reported valid
+    EXIF as missing."""
+    from PIL import Image
+
+    from rapidraw_tpu.compositions.hdr import read_exif_exposure
+
+    p = tmp_path / "e.jpg"
+    im = Image.fromarray(np.zeros((8, 8, 3), np.uint8))
+    ex = Image.Exif()
+    ifd = ex.get_ifd(0x8769)
+    ifd[0x829A] = (1, 100)  # ExposureTime 1/100
+    ifd[0x8827] = 200  # ISOSpeedRatings
+    im.save(p, exif=ex)
+    exp, iso = read_exif_exposure(str(p))
+    assert exp is not None and abs(exp - 0.01) < 1e-9
+    assert iso == 200.0

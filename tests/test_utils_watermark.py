@@ -145,3 +145,33 @@ def test_guarded_backend_init(tmp_path, monkeypatch):
     platform2 = recovery.guarded_backend_init()
     assert "cpu" in platform2
     assert not (tmp_path / "backend_crash_flag").exists()
+
+
+def test_lut_export_with_masks_bakes_global_grade():
+    """Documents with visible masks must still export their GLOBAL grade as
+    a LUT (masks are spatial and meaningless for a LUT; leaving them in
+    tripped develop()'s mask-bitmap assert)."""
+    from rapidraw_tpu.pipeline.watermark import export_adjustments_as_lut
+
+    adj = {
+        "exposure": 0.5,
+        "masks": [{
+            "name": "m", "visible": True,
+            "adjustments": {"exposure": 1.0},
+            "subMasks": [{"type": "radial", "visible": True, "mode": "additive",
+                          "parameters": {"centerX": 10, "centerY": 10,
+                                         "radiusX": 5, "radiusY": 5,
+                                         "rotation": 0.0, "feather": 0.5}}],
+        }],
+    }
+    cube = export_adjustments_as_lut(adj, lut_size=8)
+    assert "LUT_3D_SIZE 8" in cube
+    # the global exposure must be baked: brighter than the identity export
+    import numpy as np
+
+    def _vals(text):
+        rows = [ln for ln in text.splitlines() if ln and ln[0].isdigit()]
+        return np.array([[float(x) for x in r.split()] for r in rows])
+
+    base = export_adjustments_as_lut({}, lut_size=8)
+    assert _vals(cube).mean() > _vals(base).mean() + 0.02
