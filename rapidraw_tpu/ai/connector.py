@@ -133,9 +133,14 @@ def process_inpainting(
     except urllib.error.HTTPError as e:
         if e.code != 404:
             raise RuntimeError(f"AI generation failed: {e.read()[:500]}") from e
-        _upload_source(base_url, source_id, full_source_image, token, timeout)
-        res = _post_json(url, payload, token, timeout)
-        data = json.loads(res.read())
+        # unknown source: upload it and retry once — both steps keep the
+        # RuntimeError contract (the retry is where generation errors land)
+        try:
+            _upload_source(base_url, source_id, full_source_image, token, timeout)
+            res = _post_json(url, payload, token, timeout)
+            data = json.loads(res.read())
+        except urllib.error.HTTPError as e2:
+            raise RuntimeError(f"AI generation failed: {e2.read()[:500]}") from e2
 
     crop = Image.open(io.BytesIO(base64.b64decode(data["color"]))).convert("RGBA")
     canvas = Image.new("RGBA", (w, h), (0, 0, 0, 0))

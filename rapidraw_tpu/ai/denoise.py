@@ -14,12 +14,8 @@ transpose-conv up path with skip concatenation, LeakyReLU activations.
 
 from __future__ import annotations
 
-import os
-from pathlib import Path
-
 import numpy as np
 
-from rapidraw_tpu.ai.models import ModelUnavailable
 from rapidraw_tpu.ai.tiled_inference import run_tiled, select_tile_params
 
 

@@ -128,7 +128,7 @@ def generate_depth_map(image_planar: np.ndarray) -> np.ndarray:
     import jax
     import jax.numpy as jnp
 
-    variables = _load_variables("depth_anything_v2_vits.npz")
+    variables = _load_variables("depth_anything_v2_vits.npz", model_name="Depth-Anything-v2-ViT-S")
     if "depth" not in _jit_cache:
         model = _depth_model()()
 

@@ -205,7 +205,7 @@ def run_lama_inpainting(planar: np.ndarray, mask: np.ndarray) -> np.ndarray:
     import jax
     import jax.numpy as jnp
 
-    variables = _load_variables("lama.npz")
+    variables = _load_variables("lama.npz", model_name="LaMa")
     _, h, w = planar.shape
     ys, xs = np.nonzero(mask > 0)
     if ys.size == 0:
@@ -298,7 +298,7 @@ def generate_replace_patch(
 
         rgba = process_inpainting(
             connector_url, source_path, image_planar,
-            np.repeat(mask[None], 3, axis=0),
+            mask,  # (H, W) gray — the connector encodes it as an 'L' PNG
             str(patch_definition.get("prompt") or ""),
         )
         a = rgba[3].astype(np.float32) / 255.0

@@ -160,8 +160,17 @@ def _models_dir() -> Path:
     )
 
 
+_weights_cache: dict = {}
+
+
 def _load_variables(filename: str, model_name: str = "U2-Net"):
-    """Flat npz {'params/...': arr, 'batch_stats/...': arr} -> nested tree."""
+    """Flat npz {'params/...': arr, 'batch_stats/...': arr} -> nested tree.
+
+    Cached per (path, mtime): interactive masking calls inference per
+    click, and re-reading a ~170 MB npz each time dwarfs the forward pass
+    (the jitted executables are already cached in _jit_cache — the AiState
+    session cache analog, ai_processing.rs:88-95).
+    """
     import jax.numpy as jnp
 
     p = _models_dir() / filename
@@ -171,6 +180,10 @@ def _load_variables(filename: str, model_name: str = "U2-Net"):
             "network egress; convert the published checkpoint to a flat npz "
             "and place it there, or set RAPIDRAW_MODELS_DIR."
         )
+    key = (str(p), p.stat().st_mtime_ns)
+    hit = _weights_cache.get(key)
+    if hit is not None:
+        return hit
     flat = dict(np.load(p))
     tree: dict = {}
     for k, v in flat.items():
@@ -179,6 +192,9 @@ def _load_variables(filename: str, model_name: str = "U2-Net"):
         for part in parts[:-1]:
             node = node.setdefault(part, {})
         node[parts[-1]] = jnp.asarray(v)
+    if len(_weights_cache) >= 4:  # bound device memory (SAM needs enc+dec)
+        _weights_cache.pop(next(iter(_weights_cache)))
+    _weights_cache[key] = tree
     return tree
 
 
@@ -276,6 +292,7 @@ def precompute_ai_submasks(adjustments: dict, image_planar: np.ndarray) -> dict:
     NEW adjustments dict.
     """
     sam_embeddings = None  # lazy; shared by every ai-subject sub-mask
+    memo: dict = {}  # fg/sky/depth are prompt-free: one inference per image
     out = dict(adjustments)
     masks_json = [dict(m) if isinstance(m, dict) else m for m in (out.get("masks") or [])]
     for m in masks_json:
@@ -290,13 +307,19 @@ def precompute_ai_submasks(adjustments: dict, image_planar: np.ndarray) -> dict:
                 continue
             t = s.get("type")
             if t in ("ai-foreground", "quick-eraser"):
-                mask = generate_foreground_mask(image_planar)
+                if "fg" not in memo:
+                    memo["fg"] = generate_foreground_mask(image_planar)
+                mask = memo["fg"]
             elif t == "ai-sky":
-                mask = generate_sky_mask(image_planar)
+                if "sky" not in memo:
+                    memo["sky"] = generate_sky_mask(image_planar)
+                mask = memo["sky"]
             elif t == "ai-depth":
                 from rapidraw_tpu.ai.depth import generate_depth_map
 
-                mask = generate_depth_map(image_planar)
+                if "depth" not in memo:
+                    memo["depth"] = generate_depth_map(image_planar)
+                mask = memo["depth"]
             elif t == "ai-subject":
                 from rapidraw_tpu.ai import sam
 

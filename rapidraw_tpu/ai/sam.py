@@ -382,7 +382,7 @@ def generate_image_embeddings(image_planar: np.ndarray) -> ImageEmbeddings:
     import jax
     import jax.numpy as jnp
 
-    variables = _load_variables("sam_vit_b_encoder.npz")
+    variables = _load_variables("sam_vit_b_encoder.npz", model_name="SAM ViT-B encoder")
     _, h, w = image_planar.shape
     scale = SAM_INPUT / max(h, w)
     nh, nw = round(h * scale), round(w * scale)
@@ -414,7 +414,7 @@ def run_sam_decoder(
     import jax
     import jax.numpy as jnp
 
-    variables = _load_variables("sam_vit_b_decoder.npz")
+    variables = _load_variables("sam_vit_b_decoder.npz", model_name="SAM ViT-B decoder")
     w, h = emb.original_size
     scale = SAM_INPUT / max(h, w)
 
