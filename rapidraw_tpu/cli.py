@@ -119,7 +119,14 @@ def _cmd_export(args) -> int:
         if p:
             print(f"[{i + 1}/{n}] {p}", file=sys.stderr)
 
-    results = export_images(args.images, args.output, settings, progress)
+    # app-level settings (RAW develop knobs + tonemapper override) so the
+    # export matches the preview the user tuned (export_processing.rs:637+)
+    from rapidraw_tpu.utils.settings import AppSettings, app_data_dir
+
+    app_settings = AppSettings.load(app_data_dir() / "settings.json")
+    results = export_images(
+        args.images, args.output, settings, progress, app_settings=app_settings
+    )
     failed = [r for r in results if not r.ok]
     for r in results:
         if r.ok:

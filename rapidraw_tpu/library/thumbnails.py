@@ -87,12 +87,16 @@ def generate_thumbnail(
             return cache_file.read_bytes()
 
     from rapidraw_tpu.params.parse import is_image_edited
+    from rapidraw_tpu.masks.rasterize import requires_warped_image
 
+    # fast = the reference's use_fast_raw_dev thumbnail path: speed demosaic
+    # (HALF resolution), clamp to 1.0, no preprocessing enhance
+    # (file_management.rs:1070-1367). Color/luminance range masks sample
+    # the FULL-res warped image (targetX/Y are full-res pixels), so those
+    # documents take the full-res load.
+    fast = not requires_warped_image(adjustments)
     try:
-        # fast = the reference's use_fast_raw_dev thumbnail path: speed
-        # demosaic, clamp to 1.0, no preprocessing enhance
-        # (file_management.rs:1070-1367)
-        img, is_raw = load_image(path, fast=True)
+        img, is_raw = load_image(path, fast=fast)
     except Exception as e:  # noqa: BLE001
         from rapidraw_tpu.io.containers import UnsupportedRawFormat
 
@@ -120,18 +124,44 @@ def generate_thumbnail(
             cache_file.write_bytes(data)
         return data
 
-    # transform at full res, then downscale (matches the reference's
+    # the fast RAW decode is 2x2-binned: measure the actual size ratio and
+    # bucket it like the reference probe (raw_processing.rs:233-254), then
+    # scale every full-res pixel coordinate (crop rect, AI patches, mask
+    # scale) into the loaded space — the reference multiplies the same
+    # raw_scale_factor into total_scale (file_management.rs:1184-1215)
+    load_scale = 1.0
+    if is_raw and fast:
+        try:
+            from rapidraw_tpu.library.catalog import get_image_dimensions
+
+            fw, fh = get_image_dimensions(path)
+            full_max = max(fw, fh)
+            ratio = max(img.shape[2], img.shape[1]) / full_max if full_max else 1.0
+            if 0.1 < ratio < 0.35:
+                load_scale = 0.25
+            elif 0.35 <= ratio < 0.75:
+                load_scale = 0.5
+        except Exception:  # dims unavailable: reload full-res (coords exact)
+            img, is_raw = load_image(path)
+            x = jnp.asarray(img)
+
+    adj_t = adjustments
+    if load_scale != 1.0:
+        adj_t = dict(adjustments)
+        crop = adjustments.get("crop")
+        if isinstance(crop, dict):
+            adj_t["crop"] = {k: float(v) * load_scale for k, v in crop.items()}
+
+    # transform at loaded res, then downscale (matches the reference's
     # warp -> downscale -> flip/rotate/crop ordering closely enough for
     # thumbnails; the geometry cache trick of :1216-1219 is the jit cache)
-    x, crop_offset = apply_all_transformations(x, adjustments)
+    x, crop_offset = apply_all_transformations(x, adj_t, patch_scale=load_scale)
     full_h = int(x.shape[1])  # POST-transform height — mask coordinates
     # live in the transformed frame (same convention as service.py)
     x = downscale_to_long_edge(x, resolution)
     _, h, w = x.shape
-    scale = h / full_h if full_h else 1.0
-    from rapidraw_tpu.masks.rasterize import (
-        requires_warped_image, resolve_warped_image,
-    )
+    ds = h / full_h if full_h else 1.0
+    from rapidraw_tpu.masks.rasterize import resolve_warped_image
 
     warped = (
         resolve_warped_image(img, adjustments, is_raw)
@@ -139,8 +169,8 @@ def generate_thumbnail(
         else None
     )
     masks = rasterize_masks(
-        adjustments, w, h, scale=scale,
-        crop_offset=(crop_offset[0] * scale, crop_offset[1] * scale),
+        adjustments, w, h, scale=ds * load_scale,
+        crop_offset=(crop_offset[0] * ds, crop_offset[1] * ds),
         warped_image=warped,
     )
     params, cfg = parse_adjustments(adjustments, is_raw=is_raw)
@@ -164,7 +194,9 @@ def generate_thumbnails(
 
     Cancellation and progress mirror the reference's thumbnail queue
     (file_management.rs:1440-1568): the walk stops at the next item when
-    the token fires, returning whatever completed.
+    the token fires, returning whatever completed. Failures are isolated
+    per image (a corrupt file must not discard the completed batch), like
+    the reference's worker pool and export_images.
     """
     out: dict[str, bytes] = {}
     for i, p in enumerate(paths):
@@ -172,7 +204,12 @@ def generate_thumbnails(
             break
         if progress:
             progress(i, len(paths), p)
-        out[p] = generate_thumbnail(p, resolution, cache_dir)
+        try:
+            out[p] = generate_thumbnail(p, resolution, cache_dir)
+        except Exception as e:  # noqa: BLE001
+            from rapidraw_tpu.utils.trace import log
+
+            log.warning("thumbnail failed for %s: %s", p, e)
     return out
 
 

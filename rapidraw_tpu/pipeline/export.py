@@ -56,8 +56,9 @@ def settings_from_preset(preset: dict) -> ExportSettings:
     if preset.get("enable_resize") and preset.get("resize_value"):
         long_edge = int(preset["resize_value"])
     return ExportSettings(
-        format=preset.get("file_format", "jpeg").lower(),
-        quality=int(preset.get("jpeg_quality", 90)),
+        # presets saved by the frontend carry explicit nulls for unset keys
+        format=str(preset.get("file_format") or "jpeg").lower(),
+        quality=int(preset.get("jpeg_quality") or 90),
         long_edge=long_edge,
         filename_template=preset.get("filename_template") or "{original_filename}_edited",
         watermark=watermark,
@@ -147,15 +148,20 @@ def _render_chunk(imgs, params, masks, lut, cfg, blur_bands=None) -> np.ndarray:
     )
 
 
-def _prepare_one(path: str, settings: ExportSettings):
-    """Load + transform one image; returns per-image develop inputs."""
+def _prepare_one(path: str, settings: ExportSettings, app_settings=None):
+    """Load + transform one image; returns per-image develop inputs.
+
+    app_settings: the app-level AppSettings (RAW develop knobs + tonemapper
+    override) — the reference's export renders with the same settings the
+    preview honored (export_processing.rs:637-1004), so exports match what
+    the user tuned."""
     from rapidraw_tpu.geometry.transforms import apply_all_transformations
     from rapidraw_tpu.io.loader import load_image
     from rapidraw_tpu.io.sidecar import load_adjustments
     from rapidraw_tpu.masks.rasterize import rasterize_masks
     from rapidraw_tpu.params.parse import parse_adjustments
 
-    img, is_raw = load_image(path)
+    img, is_raw = load_image(path, app_settings=app_settings)
     adj = load_adjustments(path)
     # show_clipping is forced off for export (export_processing.rs:250)
     adj = dict(adj)
@@ -168,7 +174,13 @@ def _prepare_one(path: str, settings: ExportSettings):
     warped = resolve_warped_image(img, adj, is_raw)
     masks = rasterize_masks(adj, w, h, scale=1.0, crop_offset=crop_offset,
                             warped_image=warped)
-    params, cfg = parse_adjustments(adj, is_raw=is_raw)
+    tonemapper_override = (
+        app_settings.tonemapper_override(is_raw) if app_settings is not None
+        else None
+    )
+    params, cfg = parse_adjustments(
+        adj, is_raw=is_raw, tonemapper_override=tonemapper_override
+    )
 
     lut = None
     if cfg.has_lut:
@@ -324,6 +336,7 @@ def export_images(
     settings: ExportSettings | None = None,
     progress: Callable[[int, int, str], None] | None = None,
     cancel=None,  # utils.recovery.CancellationToken (export_processing.rs:1006-1018)
+    app_settings=None,  # AppSettings: RAW develop knobs + tonemapper override
 ) -> list[ExportResult]:
     """Export a list of image paths using their sidecar adjustments.
 
@@ -332,8 +345,10 @@ def export_images(
     (decode + transform + masks) through a BOUNDED window, the render loop
     groups them into structural buckets and develops whole chunks on the
     device, and an encode pool drains rendered frames (encode + EXIF +
-    timestamps) while the next chunk renders. Peak live prepared images
-    never exceeds prepare_window() — the whole job is never materialized.
+    timestamps) while the next chunk renders. Live prepared frames are
+    bounded by prepare_window() in the prep stage plus the accumulating
+    chunk and the encode queue (≈ 2*window + 2*n_enc worst case — the test
+    asserts the exact bound); the whole job is never materialized.
     """
     import collections
     import threading
@@ -369,7 +384,7 @@ def export_images(
     def prep_safe(idx: int, p: str):
         t0 = time.perf_counter()
         try:
-            prep = _prepare_one(p, settings)
+            prep = _prepare_one(p, settings, app_settings=app_settings)
             _track_prepared(+1)
             return idx, p, prep, time.perf_counter() - t0, None
         except Exception as e:  # noqa: BLE001 — per-image isolation
@@ -430,7 +445,7 @@ def export_images(
                 if settings.preserve_timestamps:
                     _restore_timestamps(real, dst, created=created)
                 if settings.export_masks:
-                    _export_masks_for_image(p, dst, settings)
+                    _export_masks_for_image(p, dst, settings, app_settings)
                 r = ExportResult(p, str(dst), True, seconds=dt / n_in_chunk)
             except Exception as e:  # noqa: BLE001
                 r = ExportResult(p, None, False, f"encode failed: {e}")
@@ -610,7 +625,8 @@ def export_images(
     return [results[i] for i in sorted(results)]
 
 
-def _export_masks_for_image(path: str, main_output: Path, settings: ExportSettings) -> None:
+def _export_masks_for_image(path: str, main_output: Path, settings: ExportSettings,
+                            app_settings=None) -> None:
     """Per-mask image+alpha export (export_processing.rs:471-585).
 
     For each visible mask: render the image with ONLY that mask's
@@ -628,10 +644,12 @@ def _export_masks_for_image(path: str, main_output: Path, settings: ExportSettin
     from rapidraw_tpu.io.loader import load_image
     from rapidraw_tpu.io.sidecar import load_adjustments
     from rapidraw_tpu.masks.rasterize import rasterize_masks
+    from rapidraw_tpu.io.loader import parse_virtual_path
     from rapidraw_tpu.params.parse import parse_adjustments
-    from rapidraw_tpu.pipeline.batch import develop_batch, stack_params
+    from rapidraw_tpu.pipeline.batch import stack_params
 
-    img, is_raw = load_image(path)
+    real, _vc = parse_virtual_path(path)
+    img, is_raw = load_image(path, app_settings=app_settings)
     adj = dict(load_adjustments(path))
     adj["showClipping"] = False
     masks_json = [
@@ -660,10 +678,18 @@ def _export_masks_for_image(path: str, main_output: Path, settings: ExportSettin
     for i, mdef in enumerate(masks_json[: bitmaps.shape[0]]):
         single = dict(adj)
         single["masks"] = [mdef]
-        params, cfg = parse_adjustments(single, is_raw=is_raw)
+        tm = (
+            app_settings.tonemapper_override(is_raw)
+            if app_settings is not None else None
+        )
+        params, cfg = parse_adjustments(
+            single, is_raw=is_raw, tonemapper_override=tm
+        )
         sp, scfg = stack_params([params], [cfg])
+        # the jitted develop cache (a 24MP eager op-by-op dispatch is
+        # orders of magnitude slower than the compiled path)
         out = np.asarray(
-            develop_batch(timg[None], sp, scfg, masks=jnp.asarray(white)[None])
+            _jitted_develop(scfg)(timg[None], sp, jnp.asarray(white)[None], None)
         )[0]
         if settings.long_edge:
             out = _resize_long_edge_host(out, settings.long_edge)
@@ -676,9 +702,10 @@ def _export_masks_for_image(path: str, main_output: Path, settings: ExportSettin
         if settings.copy_exif:
             from rapidraw_tpu.io.exif import copy_exif
 
-            copy_exif(path, img_path, strip_gps_data=settings.strip_gps)
+            # the REAL file path — a virtual '?vc=N' path reads no EXIF
+            copy_exif(real, img_path, strip_gps_data=settings.strip_gps)
         if settings.preserve_timestamps:
-            _restore_timestamps(path, img_path)
+            _restore_timestamps(real, img_path)
 
         _, oh, ow = np.asarray(out).shape
         alpha = (np.clip(bitmaps[i], 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
@@ -731,9 +758,19 @@ def estimate_export_sizes(
     else:
         ph, pw = fh, fw
         preview = timg
+    from rapidraw_tpu.masks.rasterize import (
+        requires_warped_image, resolve_warped_image,
+    )
+
     masks = rasterize_masks(
         adj, pw, ph, scale=scale,
         crop_offset=(crop_offset[0] * scale, crop_offset[1] * scale),
+        # color/luminance range masks need the warped source — without it
+        # they rasterize all-zero and the estimate renders unedited pixels
+        warped_image=(
+            resolve_warped_image(img, adj, is_raw)
+            if requires_warped_image(adj) else None
+        ),
     )
     params, cfg = parse_adjustments(adj, is_raw=is_raw)
     out = np.asarray(

@@ -222,14 +222,9 @@ class RenderService:
 
         tonemapper_override = self.settings.tonemapper_override(is_raw)
         params, cfg = parse_adjustments(adjustments, is_raw, tonemapper_override)
-        lut = None
-        if cfg.has_lut and isinstance(adjustments.get("lutPath"), str):
-            from rapidraw_tpu.io.lut import parse_lut_file
-
-            try:
-                lut = jnp.asarray(parse_lut_file(adjustments["lutPath"]))
-            except Exception:
-                cfg = dataclasses.replace(cfg, has_lut=False)
+        lut = self._load_lut(adjustments, cfg)
+        if lut is None and cfg.has_lut:
+            cfg = dataclasses.replace(cfg, has_lut=False)
 
         fn = self._develop_fn(cfg)
         out = np.asarray(

@@ -298,3 +298,33 @@ def test_thumbnail_cache_key_includes_resolution(tmp_path):
     import io as _io
     assert max(_I.open(_io.BytesIO(small)).size) == 16
     assert max(_I.open(_io.BytesIO(big)).size) == 32
+
+
+def test_raw_thumbnail_crop_uses_loaded_scale(tmp_path):
+    """The fast RAW decode is 2x2-binned (half resolution); the sidecar's
+    full-res crop rect must be scaled into the loaded space or the
+    thumbnail frames the wrong half of the image
+    (file_management.rs:1184-1215 raw_scale_factor)."""
+    import io as _io
+
+    import numpy as np
+    from PIL import Image
+
+    from tests.test_raw_containers import Ifd, _cfa_ifd, _pack_msb, build_tiff
+    from rapidraw_tpu.io.sidecar import save_sidecar
+    from rapidraw_tpu.library.thumbnails import generate_thumbnail
+
+    # left half dark, right half bright (full-res 32x64)
+    cfa = np.full((32, 64), 200, np.uint16)
+    cfa[:, 32:] = 3800
+    p = tmp_path / "t.dng"
+    p.write_bytes(build_tiff([_cfa_ifd(64, 32, 12, 1, _pack_msb(cfa, 12))]))
+
+    save_sidecar(p, {"adjustments": {
+        "crop": {"x": 32, "y": 0, "width": 32, "height": 32},
+        "exposure": 0.01,  # force the edited (develop) path
+    }})
+    data = generate_thumbnail(str(p), resolution=64)
+    thumb = np.asarray(Image.open(_io.BytesIO(data)), np.float32) / 255.0
+    # the right (bright) half was cropped: the thumb must be bright overall
+    assert thumb.mean() > 0.5, f"thumb mean {thumb.mean():.3f} — wrong crop half"
