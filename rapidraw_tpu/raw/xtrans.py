@@ -1,13 +1,16 @@
-"""X-Trans (Fujifilm 6x6 CFA) demosaic — periodic-mask interpolation.
+"""X-Trans (Fujifilm 6x6 CFA) demosaic — directional green + color-diff R/B.
 
 The reference decodes RAF through rawler and demosaics with its X-Trans
 path (raw_processing.rs:15-30 via Cargo.toml:27). TPU-first design: the
 6x6 pattern is static at trace time, so demosaic lowers to edge-clamped
 SHIFTED ADDS with per-color distance-weighted kernels — no gathers, no
 data-dependent control flow; XLA fuses the ~150 shifted FMAs into a few
-passes. Interpolation quality is bilinear-class (distance-weighted
-averaging of the nearest same-color sites), not Markesteijn; the
-green-site density of X-Trans (20/36) keeps luma detail high.
+passes. Quality is Markesteijn-direction (see demosaic_xtrans): green is
+reconstructed by blending horizontal/vertical neighbor means with local
+inverse-gradient weights, then R/B interpolate as color differences
+against the green plane (removing the chroma fringing of raw-value
+interpolation); the green-site density of X-Trans (20/36) keeps luma
+detail high.
 
 Weight maps are 6x6-periodic, so the normalizing denominators are
 computed once per pattern on the host and tiled; edges reuse the same
