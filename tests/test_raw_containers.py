@@ -1473,3 +1473,85 @@ def test_dng_missing_stripbytecounts_multi_strip():
     blob = hdr + body + strip_offsets + data_area
     r = parse_raw(blob, ext="dng")
     np.testing.assert_array_equal(r.cfa, cfa)
+
+
+def _encode_nikon_lossy14(cfa: np.ndarray) -> bytes:
+    """Test-only encoder for NEF 34713 lossy type 2, 14-bit (tree 3),
+    vpred = 0, no tree switch (split beyond the last row)."""
+    counts = [0, 1, 4, 3, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0]
+    values = [5, 6, 4, 7, 8, 3, 9, 2, 1, 0, 10, 11, 12, 13, 14]
+    codes = {}
+    code = 0
+    k = 0
+    for l in range(1, 17):
+        for _ in range(counts[l - 1]):
+            codes[values[k]] = (code, l)
+            code += 1
+            k += 1
+        code <<= 1
+
+    h, w = cfa.shape
+    bits = []
+
+    def put(v, n):
+        for i in range(n - 1, -1, -1):
+            bits.append((v >> i) & 1)
+
+    vpred = [[0, 0], [0, 0]]
+    hpred = [0, 0]
+    for row in range(h):
+        for col in range(w):
+            target = int(cfa[row, col])
+            if col < 2:
+                diff = target - vpred[row & 1][col]
+                vpred[row & 1][col] = target
+                hpred[col] = target
+            else:
+                diff = target - hpred[col & 1]
+                hpred[col & 1] = target
+            ssss = abs(diff).bit_length()
+            put(codes[ssss][0], codes[ssss][1])
+            if ssss:
+                v = diff if diff >= 0 else diff + (1 << ssss) - 1
+                put(v, ssss)
+    while len(bits) % 8:
+        bits.append(1)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        for j in range(8):
+            b = (b << 1) | bits[i + j]
+        out.append(b)
+    return bytes(out)
+
+
+def test_nef_lossy_type2_ver40_curve_and_white():
+    """ver 0x44/0x40 stepped curve: step and max rescale into the quarter
+    domain (LibRaw) and the effective white level is the curve's top entry
+    (dcraw maximum = curve[max-1]), not 16383."""
+    _skip_if_no_native()
+    rng = np.random.default_rng(11)
+    h, w = 8, 12
+    coded = rng.integers(0, 4096, size=(h, w), dtype=np.uint16)  # quarter domain
+    stream = _encode_nikon_lossy14(coded)
+
+    # LinearizationTable ver 0x44 0x40: 257 knots at 64*i -> after the /4
+    # rescale step=16, max_eff=4096, lut[v] = 4v exactly; split at byte 562
+    # set beyond the last row (no post-split tree switch in this fixture)
+    csize = 257
+    knots = (np.arange(csize, dtype=np.uint16) * 64).astype("<u2").tobytes()
+    lt = bytes([0x44, 0x40]) + struct.pack("<4H", 0, 0, 0, 0)
+    lt += struct.pack("<H", csize) + knots
+    lt += b"\0" * (562 - len(lt)) + struct.pack("<H", h)
+
+    mn = _nikon_makernote_blob(Ifd([(0x96, 7, lt), (0x0C, 4, [2, 1, 1, 1])]))
+    exif = Ifd([(37500, 7, mn)])
+    sub = Ifd()
+    sub.add(256, 4, [w]).add(257, 4, [h]).add(258, 3, [14])
+    sub.add(259, 3, [34713]).add(262, 3, [32803]).add(277, 3, [1])
+    sub.add(273, 4, ("blob", stream)).add(279, 4, [len(stream)])
+    ifd0 = Ifd([(271, 2, "NIKON CORPORATION"), (330, 4, ("ifd", sub)),
+                (34665, 4, ("ifd", exif))])
+    r = parse_raw(build_tiff([ifd0]), ext="nef")
+    np.testing.assert_array_equal(r.cfa, coded.astype(np.uint32) * 4)
+    assert r.white_level == float(4 * 4095)
