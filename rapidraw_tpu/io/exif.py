@@ -121,6 +121,31 @@ def strip_gps(exif_payload: bytes) -> bytes:
         return exif_payload
 
 
+def _reset_orientation(exif_payload: bytes) -> bytes:
+    """Patch IFD0's Orientation (0x0112) to 1 IN PLACE (byte-level, no
+    re-serialization): exported pixels already have the orientation baked
+    in (io/loader apply-orientation), so carrying the source value makes
+    EXIF-aware viewers rotate a second time. The reference does the same
+    (exif_processing.rs:1064 sets Orientation = 1 on every export)."""
+    try:
+        endian = {"II": "<", "MM": ">"}.get(exif_payload[:2].decode("ascii", "ignore"))
+        if endian is None:
+            return exif_payload
+        (ifd0,) = struct.unpack_from(endian + "I", exif_payload, 4)
+        (count,) = struct.unpack_from(endian + "H", exif_payload, ifd0)
+        buf = bytearray(exif_payload)
+        pos = ifd0 + 2
+        for _ in range(count):
+            tag, typ, n = struct.unpack_from(endian + "HHI", buf, pos)
+            if tag == 0x0112 and typ == 3 and n == 1:
+                struct.pack_into(endian + "H", buf, pos + 8, 1)
+                return bytes(buf)
+            pos += 12
+        return exif_payload
+    except (struct.error, IndexError):
+        return exif_payload
+
+
 def splice_exif_into_jpeg(jpeg_path: str | Path, exif_payload: bytes) -> None:
     """Insert/replace the APP1 Exif segment of an encoded JPEG in place —
     lossless metadata write-through."""
@@ -220,9 +245,14 @@ def splice_exif_into_webp(webp_path: str | Path, exif_payload: bytes) -> None:
 
         with Image.open(p) as im:
             w, h = im.size
+            has_alpha = im.mode in ("RGBA", "LA", "PA")
         vp8x = bytearray(10)
         vp8x[4:7] = struct.pack("<I", w - 1)[:3]
         vp8x[7:10] = struct.pack("<I", h - 1)[:3]
+        if has_alpha or any(t == b"ALPH" for t, _ in rest):
+            # preserve transparency visibility when synthesizing the
+            # header (readers trust the VP8X alpha bit)
+            vp8x[0] |= 0x10
     vp8x[0] |= 0x08  # EXIF flag
     ordered = [(b"VP8X", bytes(vp8x))] + rest + [(b"EXIF", exif_payload)]
 
@@ -263,6 +293,7 @@ def merge_exif_into_tiff(tiff_path: str | Path, exif_payload: bytes) -> None:
                 ifd[tag] = value
             except Exception:
                 continue
+        ifd[0x0112] = 1  # pixels are upright (exif_processing.rs:1064)
         out = im.copy()
         out.save(p, "TIFF", tiffinfo=ifd)
 
@@ -271,10 +302,12 @@ def copy_exif(
     src: str | Path, dst: str | Path, strip_gps_data: bool = True, software: str | None = None
 ) -> bool:
     """Copy EXIF from src onto an exported dst: lossless segment/chunk
-    splice for JPEG/PNG/WebP, merged-IFD re-save for TIFF.
+    splice for JPEG/PNG/WebP, merged-IFD re-save for TIFF; Orientation is
+    reset to 1 (the pixels are upright — exif_processing.rs:1064).
 
-    Mirrors export_processing.rs:297-303 + :669-1073 (little_exif writes
-    metadata onto every encode format).
+    Mirrors export_processing.rs:297-303 + :669-1073. AVIF/JXL return
+    False (no metadata writer; the .rrexif sidecar still preserves the
+    source EXIF for derived files).
     """
     payload = read_exif_bytes(src)
     if payload is None:
@@ -283,6 +316,7 @@ def copy_exif(
         payload = payload[6:]
     if strip_gps_data:
         payload = strip_gps(payload)
+    payload = _reset_orientation(payload)
     if software:
         from PIL import Image
 

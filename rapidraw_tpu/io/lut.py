@@ -54,6 +54,7 @@ def parse_cube(text: str) -> np.ndarray:
 
 def parse_3dl(text: str) -> np.ndarray:
     vals: list[float] = []
+    mesh: list[float] | None = None
     for line in text.splitlines():
         t = line.strip()
         if not t or t.startswith("#"):
@@ -64,6 +65,13 @@ def parse_3dl(text: str) -> np.ndarray:
                 vals.extend(float(p) for p in parts)
             except ValueError:
                 continue
+        elif len(parts) > 3 and mesh is None:
+            # the input-mesh header line (e.g. 17 values "0 64 ... 1023"):
+            # its last value is the format's true full scale
+            try:
+                mesh = [float(p) for p in parts]
+            except ValueError:
+                continue
     if not vals:
         raise LutError("No data found in 3DL file")
     n = len(vals) // 3
@@ -72,14 +80,22 @@ def parse_3dl(text: str) -> np.ndarray:
         raise LutError(f"Invalid 3DL LUT: {n} entries is not a perfect cube")
     data = np.asarray(vals, np.float32)
     # .3dl stores INTEGER code values (Autodesk/Lustre: 10/12/16-bit);
-    # normalize by the format's full-scale peak. Documented divergence from
-    # the reference, whose parse_3dl (lut_processing.rs:120-155) feeds the
-    # raw integers to the sampler and blows out every real-world .3dl.
-    peak = float(data.max())
-    if peak > 2.0:
-        bits = max(int(np.ceil(np.log2(peak + 1.0))), 2)
-        data = data / float((1 << bits) - 1)
-    return _data_to_cube(data, size)
+    # normalize by the input mesh's full scale when present, else by the
+    # peak's implied bit depth. Documented divergence from the reference,
+    # whose parse_3dl (lut_processing.rs:120-155) feeds the raw integers to
+    # the sampler and blows out every real-world .3dl.
+    if mesh and mesh[-1] > 2.0:
+        data = data / float(mesh[-1])
+    else:
+        peak = float(data.max())
+        if peak > 2.0:
+            bits = max(int(np.ceil(np.log2(peak + 1.0))), 2)
+            data = data / float((1 << bits) - 1)
+    # .3dl entry order is BLUE fastest / red slowest (OCIO FileFormat3DL),
+    # so the reshape is already [r][g][b] — no .cube-style transpose.
+    # (Second documented divergence: the reference uploads the raw order
+    # and renders .3dl with red/blue lattice axes exchanged.)
+    return data.reshape(size, size, size, 3).copy()
 
 
 def parse_hald(image: np.ndarray) -> np.ndarray:

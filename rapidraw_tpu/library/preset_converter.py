@@ -141,12 +141,13 @@ def convert_xmp_to_preset(xmp_content: str) -> dict:
         color_grading["blending"] = num
 
     if (v := _attr_f64(attrs, "Shadows2012")) is not None:
-        adjustments["shadows"] = min(v * 1.5, 100.0)
+        adjustments["shadows"] = min(max(v * 1.5, -100.0), 100.0)
     if (v := _attr_f64(attrs, "Sharpness")) is not None:
         adjustments["sharpness"] = min(max(v / 150.0 * 100.0, 0.0), 100.0)
-    if (v := _attr_f64(attrs, "Temperature")) is not None:
+    if (v := _attr_f64(attrs, "Temperature")) is not None and v > 0:
+        # v == 0 appears in non-raw presets (slider semantics, not Kelvin)
         as_shot = _attr_f64(attrs, "AsShotTemperature") or 5500.0
-        mired_delta = 1e6 / v - 1e6 / as_shot
+        mired_delta = 1e6 / v - 1e6 / max(as_shot, 1.0)
         adjustments["temperature"] = min(max(-mired_delta / 150.0 * 100.0, -100.0), 100.0)
     if (v := _attr_f64(attrs, "Tint")) is not None:
         adjustments["tint"] = min(max(v / 150.0 * 100.0, -100.0), 100.0)

@@ -106,6 +106,10 @@ class PresetStore:
             p = convert_xmp_to_preset(Path(path).read_text())
             return [self.add(p["name"], p["adjustments"])]
         data = json.loads(Path(path).read_text())
+        if isinstance(data, dict) and isinstance(data.get("presets"), list):
+            # the wrapper export_presets_to_file writes — unwrap so the
+            # export/import round-trip works
+            data = data["presets"]
         items = data if isinstance(data, list) else [data]
         imported = []
         for item in items:
@@ -213,8 +217,13 @@ def _resolve_lens_in_adjustments(adjustments: dict, exif: dict | None,
     if not (model and maker and focal):
         return
     try:
-        focal_v = float(str(focal).split()[0].split("/")[0])
-    except ValueError:
+        tok = str(focal).split()[0]
+        if "/" in tok:  # rational "467/10" = 46.7mm — divide, don't truncate
+            num, den = tok.split("/", 1)
+            focal_v = float(num) / float(den)
+        else:
+            focal_v = float(tok)
+    except (ValueError, ZeroDivisionError):
         return
     from rapidraw_tpu.lens.db import resolve_lens_params
 

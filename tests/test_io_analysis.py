@@ -40,11 +40,19 @@ def test_cube_errors():
 
 def test_3dl_and_hald():
     lut = identity_lut(4)
-    text = "\n".join(
-        f"{r} {g} {b}" for r, g, b in lut.transpose(2, 1, 0, 3).reshape(-1, 3)
-    )
+    # .3dl entry order is BLUE fastest / red slowest (OCIO FileFormat3DL)
+    # = lut[r][g][b] flattened directly
+    text = "\n".join(f"{r} {g} {b}" for r, g, b in lut.reshape(-1, 3))
     back = parse_3dl(text)
     np.testing.assert_allclose(back, lut, atol=1e-6)
+
+    # integer 10-bit .3dl with the input-mesh header: normalized by the
+    # mesh's full scale, axes NOT transposed
+    mesh = " ".join(str(v) for v in range(0, 1024, 64)) + " 1023"
+    ints = np.round(lut.reshape(-1, 3) * 1023).astype(int)
+    text10 = mesh + "\n" + "\n".join(f"{r} {g} {b}" for r, g, b in ints)
+    back10 = parse_3dl(text10)
+    np.testing.assert_allclose(back10, lut, atol=1 / 1023 + 1e-6)
 
     # HALD: 8px cube -> image 64x64... use size 4 -> total 64 pixels -> 8x8
     data = (lut.transpose(2, 1, 0, 3).reshape(-1, 3) * 255).astype(np.uint8)
@@ -189,3 +197,26 @@ def test_parse_3dl_normalizes_integer_code_values():
     lut = parse_3dl("\n".join(lines))
     assert lut.shape == (2, 2, 2, 3)
     assert float(lut.max()) == 1.0 and float(lut.min()) == 0.0
+
+
+def test_copy_exif_resets_orientation(tmp_path):
+    """Exported pixels are upright; carrying the source Orientation makes
+    viewers rotate twice. The reference writes Orientation=1 on every
+    export (exif_processing.rs:1064)."""
+    from PIL import Image
+
+    from rapidraw_tpu.io.exif import copy_exif
+
+    src = tmp_path / "src.jpg"
+    im = Image.fromarray(np.zeros((8, 12, 3), np.uint8))
+    ex = Image.Exif()
+    ex[0x0112] = 6  # rotate-90 source
+    ex[0x010F] = "CamCo"
+    im.save(src, exif=ex)
+
+    dst = tmp_path / "out.jpg"
+    Image.fromarray(np.zeros((12, 8, 3), np.uint8)).save(dst)
+    assert copy_exif(src, dst)
+    out = Image.open(dst).getexif()
+    assert out.get(0x0112) == 1, "orientation must be reset to 1"
+    assert out.get(0x010F) == "CamCo", "other tags carried over"

@@ -328,3 +328,20 @@ def test_raw_thumbnail_crop_uses_loaded_scale(tmp_path):
     thumb = np.asarray(Image.open(_io.BytesIO(data)), np.float32) / 255.0
     # the right (bright) half was cropped: the thumb must be bright overall
     assert thumb.mean() > 0.5, f"thumb mean {thumb.mean():.3f} — wrong crop half"
+
+
+def test_preset_export_import_roundtrip(tmp_path):
+    """import_file must unwrap the {"creator", "presets": [...]} document
+    export_presets_to_file writes (a round-trip silently imported zero
+    presets before)."""
+    from rapidraw_tpu.library.presets import PresetStore, export_presets_to_file
+
+    store = PresetStore(tmp_path / "a.json")
+    store.add("warm", {"temperature": 20, "exposure": 0.3})
+    store.add("cool", {"temperature": -15})
+    out = tmp_path / "shared.json"
+    export_presets_to_file(store.list(), out)
+
+    store2 = PresetStore(tmp_path / "b.json")
+    imported = store2.import_file(out)
+    assert sorted(p["name"] for p in imported) == ["cool", "warm"]
