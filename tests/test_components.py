@@ -311,3 +311,98 @@ def test_read_exif_exposure_tuple_rational(tmp_path):
     exp, iso = read_exif_exposure(str(p))
     assert exp is not None and abs(exp - 0.01) < 1e-9
     assert iso == 200.0
+
+
+def test_raw_enhance_matches_scalar_oracle():
+    """Independent scalar transcription of remove_raw_artifacts_and_enhance
+    (image_processing.rs:2347-2551) vs the vectorized jnp port: catches
+    shift/masking/normalization errors in the stencil formulation."""
+    rng = np.random.default_rng(3)
+    h, w = 12, 17
+    img = rng.random((3, h, w)).astype(np.float32)
+    nr_sigma, sharp = 10.0, 0.35
+
+    def rgb_to_yc(r, g, b):
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        return y, cb, cr
+
+    def yc_to_rgb(y, cb, cr):
+        return (y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb)
+
+    ycc = np.zeros((h, w, 3), np.float64)
+    for yy in range(h):
+        for xx in range(w):
+            ycc[yy, xx] = rgb_to_yc(*img[:, yy, xx])
+
+    offsets = (-5, -1, 3)
+    offsq = {-5: 25.0, -1: 1.0, 3: 9.0}
+    out = np.zeros((h, w, 3), np.float64)
+    for yy in range(h):
+        for xx in range(w):
+            cy, ccb, ccr = ycc[yy, xx]
+            cb_sum = cr_sum = w_sum = 0.0
+            for ky in offsets:
+                sy = yy + ky
+                if sy < 0 or sy >= h:
+                    continue
+                for kx in offsets:
+                    sx = xx + kx
+                    if sx < 0 or sx >= w:
+                        continue
+                    ny, ncb, ncr = ycc[sy, sx]
+                    val = abs(cy - ny) * nr_sigma
+                    pen = offsq[kx] * 0.02 + offsq[ky] * 0.02
+                    wgt = 1.0 / (1.0 + val * val + pen)
+                    cb_sum += ncb * wgt
+                    cr_sum += ncr * wgt
+                    w_sum += wgt
+            if w_sum > 1e-4:
+                fcb, fcr = cb_sum / w_sum, cr_sum / w_sum
+                om = ccb * ccb + ccr * ccr
+                fm = fcb * fcb + fcr * fcr
+                if fm > om and om > 1e-12:
+                    s = (om / fm) ** 0.5
+                    fcb, fcr = fcb * s, fcr * s
+            else:
+                fcb, fcr = ccb, ccr
+            r, g, b = yc_to_rgb(cy, fcb, fcr)
+            out[yy, xx] = (min(max(r, 0), 1), min(max(g, 0), 1), min(max(b, 0), 1))
+
+    # gentle detail enhance: 5x5 clamped box USM on the PRE-NR luma
+    blur_h = np.zeros((h, w), np.float64)
+    for yy in range(h):
+        for xx in range(w):
+            blur_h[yy, xx] = np.mean(
+                [ycc[yy, min(max(xx + k, 0), w - 1), 0] for k in range(-2, 3)]
+            )
+    for yy in range(h):
+        for xx in range(w):
+            blurred = np.mean(
+                [blur_h[min(max(yy + k, 0), h - 1), xx] for k in range(-2, 3)]
+            )
+            detail = ycc[yy, xx, 0] - blurred
+            amt = sharp * 0.3 if abs(detail) > 0.1 else sharp
+            boost = detail * amt
+            r, g, b = out[yy, xx]
+            nr_, ng_, nb_ = r + boost, g + boost, b + boost
+            mx, mn = max(nr_, ng_, nb_), min(nr_, ng_, nb_)
+            if mx > 1.0 and mn < 0.0:
+                s = 0.0
+            elif mx > 1.0:
+                s = (1.0 - max(r, g, b)) / max(boost, 0.001)
+            elif mn < 0.0:
+                s = min(r, g, b) / max(-boost, 0.001)
+            else:
+                s = 1.0
+            sb = boost * min(max(s, 0.0), 1.0)
+            out[yy, xx] = (min(max(r + sb, 0), 1), min(max(g + sb, 0), 1),
+                           min(max(b + sb, 0), 1))
+
+    got = np.asarray(
+        remove_raw_artifacts_and_enhance(jnp.asarray(img), nr_sigma, sharp)
+    )
+    np.testing.assert_allclose(got, out.transpose(2, 0, 1), atol=2e-5)
