@@ -345,6 +345,31 @@ def copy_exif(
         return False
 
 
+def persist_exif_if_missing(image_path: str | Path) -> None:
+    """Store the source's EXIF tag dict into its .rrdata sidecar on first
+    load (exif_processing.rs:1151-1200 / image_loader.rs:81): EXIF then
+    survives even if another tool later strips the source. Migrates a
+    legacy .rrexif sidecar when present; no-op when the sidecar already
+    carries exif or the source has none. Never raises (read-only dirs,
+    malformed files)."""
+    try:
+        from rapidraw_tpu.io.sidecar import load_sidecar, save_sidecar
+
+        meta = load_sidecar(image_path)
+        if meta.get("exif"):
+            return
+        legacy = load_rrexif_sidecar(image_path)
+        tags = (legacy or {}).get("exif") or read_exif_tags(image_path)
+        if not tags:
+            return
+        meta["exif"] = tags
+        save_sidecar(image_path, meta)
+        if legacy is not None:
+            Path(str(image_path) + RREXIF_EXT).unlink(missing_ok=True)
+    except Exception:  # noqa: BLE001 — preservation is best-effort
+        return
+
+
 def write_rrexif_sidecar(src_image: str | Path, derived_file: str | Path) -> None:
     """Preserve source EXIF next to a derived file (exif_processing.rs:
     1080-1200): '<derived>.rrexif' with the tag dict + raw payload ref."""

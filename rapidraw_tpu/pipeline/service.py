@@ -75,6 +75,11 @@ class RenderService:
             return hit
         from rapidraw_tpu.io.loader import load_image
 
+        from rapidraw_tpu.io.exif import persist_exif_if_missing
+
+        # preserve the source EXIF into the sidecar on first load
+        # (image_loader.rs:81 persist_exif_if_missing)
+        persist_exif_if_missing(path)
         img, is_raw = load_image(path, app_settings=self.settings)
         self._decoded.put(path, (img, is_raw))
         return img, is_raw

@@ -220,3 +220,28 @@ def test_copy_exif_resets_orientation(tmp_path):
     out = Image.open(dst).getexif()
     assert out.get(0x0112) == 1, "orientation must be reset to 1"
     assert out.get(0x010F) == "CamCo", "other tags carried over"
+
+
+def test_persist_exif_if_missing(tmp_path):
+    """First load stores the source EXIF into the .rrdata sidecar so it
+    survives later stripping (exif_processing.rs:1151-1200); an existing
+    exif field is left untouched."""
+    from PIL import Image
+
+    from rapidraw_tpu.io.exif import persist_exif_if_missing
+    from rapidraw_tpu.io.sidecar import load_sidecar, save_sidecar
+
+    p = tmp_path / "x.jpg"
+    im = Image.fromarray(np.zeros((8, 8, 3), np.uint8))
+    ex = Image.Exif()
+    ex[0x010F] = "CamCo"
+    im.save(p, exif=ex)
+
+    persist_exif_if_missing(p)
+    meta = load_sidecar(p)
+    assert meta["exif"] and meta["exif"].get("Make") == "CamCo"
+
+    # an already-persisted exif dict is not overwritten
+    save_sidecar(p, {**meta, "exif": {"Make": "Other"}})
+    persist_exif_if_missing(p)
+    assert load_sidecar(p)["exif"]["Make"] == "Other"
