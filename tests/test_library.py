@@ -345,3 +345,57 @@ def test_preset_export_import_roundtrip(tmp_path):
     store2 = PresetStore(tmp_path / "b.json")
     imported = store2.import_file(out)
     assert sorted(p["name"] for p in imported) == ["cool", "warm"]
+
+
+def test_copy_image_carries_sidecars(tmp_path):
+    """copy_files/duplicate_file counterpart (COMMANDS.md): copying brings
+    the .rrdata sidecar along."""
+    from PIL import Image
+
+    from rapidraw_tpu.io.sidecar import load_adjustments, save_sidecar
+    from rapidraw_tpu.library.catalog import copy_image
+
+    src = tmp_path / "a" / "pic.jpg"
+    src.parent.mkdir()
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(src)
+    save_sidecar(src, {"adjustments": {"exposure": 0.7}})
+
+    from pathlib import Path
+
+    dst_dir = tmp_path / "b"
+    out = copy_image(str(src), dst_dir)
+    assert Path(out).exists()
+    assert load_adjustments(out) == {"exposure": 0.7}
+    assert src.exists()  # copy, not move
+
+
+def test_generate_thumbnails_batch_isolation_and_cancel(tmp_path):
+    """Batch thumbnails: per-image failure isolation (a corrupt file keeps
+    the completed results) and cancellation between items."""
+    from PIL import Image
+
+    from rapidraw_tpu.library.thumbnails import generate_thumbnails
+    from rapidraw_tpu.utils.recovery import CancellationToken
+
+    good1 = tmp_path / "g1.jpg"
+    good2 = tmp_path / "g2.jpg"
+    bad = tmp_path / "bad.jpg"
+    for p in (good1, good2):
+        Image.fromarray(np.full((16, 24, 3), 128, np.uint8)).save(p)
+    bad.write_bytes(b"not a jpeg at all")
+
+    out = generate_thumbnails([str(good1), str(bad), str(good2)], resolution=16)
+    assert set(out) == {str(good1), str(good2)}
+    assert all(isinstance(v, bytes) and v for v in out.values())
+
+    tok = CancellationToken()
+    seen = []
+
+    def progress(i, n, p):
+        seen.append(p)
+        if i == 0:
+            tok.cancel()
+
+    out2 = generate_thumbnails([str(good1), str(good2)], resolution=16,
+                               cancel=tok, progress=progress)
+    assert len(out2) <= 1 and len(seen) == 1
