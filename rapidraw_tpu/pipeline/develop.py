@@ -94,7 +94,7 @@ def prepare_inputs(
     m = params["mask"]
     _, h, w = image.shape
     w_full, h_full = full_size if full_size is not None else (w, h)
-    scale = max(0.1, min(h_full, w_full) / scales.REFERENCE_DIMENSION)
+    scale = scales.resolution_scale(w_full, h_full)
     is_raw = cfg.is_raw
     input_rgb = image
 

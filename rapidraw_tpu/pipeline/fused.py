@@ -361,7 +361,7 @@ def develop_fused_batch(
     from rapidraw_tpu.ops import colorspace as _cs
     from rapidraw_tpu.params import scales as _scales
 
-    scale = max(0.1, min(h, w) / _scales.REFERENCE_DIMENSION)
+    scale = _scales.resolution_scale(w, h)
     kernel_linearize_image = KERNEL_LINEARIZE_IMAGE and not cfg.is_raw
 
     imgs_in = images
