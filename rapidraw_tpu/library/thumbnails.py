@@ -19,7 +19,11 @@ import numpy as np
 def thumbnail_cache_key(path: str, adjustments: dict, resolution: int = 720) -> str:
     import json
 
-    p = Path(path)
+    from rapidraw_tpu.io.loader import parse_virtual_path
+
+    # the REAL file's mtime: a virtual '?vc=N' path would stat-fail and pin
+    # mtime to 0, so the cache would never invalidate on re-edit
+    p = Path(parse_virtual_path(str(path))[0])
     try:
         mtime = p.stat().st_mtime_ns
     except OSError:
@@ -32,6 +36,24 @@ def thumbnail_cache_key(path: str, adjustments: dict, resolution: int = 720) -> 
     h.update(str(int(resolution)).encode())
     h.update(json.dumps(adjustments, sort_keys=True, default=str).encode())
     return h.hexdigest()
+
+
+_jit_cache: dict = {}
+
+
+def _jitted_develop(cfg):
+    """cfg-keyed jitted develop (the service/export precedent): an eager
+    per-op dispatch of the ~60-op chain per thumbnail is the expensive
+    case on a remote device."""
+    import jax
+
+    if cfg not in _jit_cache:
+        from rapidraw_tpu.pipeline.develop import develop
+
+        _jit_cache[cfg] = jax.jit(
+            lambda x, p, masks, lut: develop(x, p, cfg, masks=masks, lut=lut)
+        )
+    return _jit_cache[cfg]
 
 
 def _cr3_preview_thumbnail(path: str, resolution: int) -> bytes | None:
@@ -76,7 +98,6 @@ def generate_thumbnail(
     from rapidraw_tpu.io.sidecar import load_adjustments
     from rapidraw_tpu.masks.rasterize import rasterize_masks
     from rapidraw_tpu.params.parse import parse_adjustments
-    from rapidraw_tpu.pipeline.develop import develop
 
     adjustments = load_adjustments(path)
     key = thumbnail_cache_key(path, adjustments, resolution)
@@ -100,11 +121,14 @@ def generate_thumbnail(
     except Exception as e:  # noqa: BLE001
         from rapidraw_tpu.io.containers import UnsupportedRawFormat
 
-        if isinstance(e, UnsupportedRawFormat) and str(path).lower().endswith(".cr3"):
+        from rapidraw_tpu.io.loader import parse_virtual_path
+
+        real_path = parse_virtual_path(str(path))[0]
+        if isinstance(e, UnsupportedRawFormat) and real_path.lower().endswith(".cr3"):
             # CR3: the crx payload can't be decoded, but the container
             # carries a full-size PRVW JPEG — browse with that (the
             # develop chain stays unavailable, matching the refusal)
-            data = _cr3_preview_thumbnail(path, resolution)
+            data = _cr3_preview_thumbnail(real_path, resolution)
             if data is not None:
                 if cache_file is not None:
                     cache_file.parent.mkdir(parents=True, exist_ok=True)
@@ -174,7 +198,22 @@ def generate_thumbnail(
         warped_image=warped,
     )
     params, cfg = parse_adjustments(adjustments, is_raw=is_raw)
-    out = develop(x, params, cfg, masks=jnp.asarray(masks) if masks is not None else None)
+    lut = None
+    if cfg.has_lut and isinstance(adjustments.get("lutPath"), str):
+        # thumbnails must show the document's LUT like every other render
+        # path (the wrong render would cache under a key that includes the
+        # LUT adjustments and never self-correct)
+        from rapidraw_tpu.io.lut import parse_lut_file
+
+        try:
+            lut = jnp.asarray(parse_lut_file(adjustments["lutPath"]))
+        except Exception:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, has_lut=False)
+    out = _jitted_develop(cfg)(
+        x, params, jnp.asarray(masks) if masks is not None else None, lut
+    )
     data = encode_jpeg_bytes(np.asarray(out), quality=85)
 
     if cache_file is not None:
@@ -210,6 +249,9 @@ def generate_thumbnails(
             from rapidraw_tpu.utils.trace import log
 
             log.warning("thumbnail failed for %s: %s", p, e)
+    else:
+        if progress and paths:
+            progress(len(paths), len(paths), "")  # terminal signal
     return out
 
 

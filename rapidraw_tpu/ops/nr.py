@@ -668,6 +668,12 @@ import os as _os
 _NR_TH = int(_os.environ.get("RAPIDRAW_NR_TH", "16"))  # rows per tile (swept: 16 won)
 _NR_CH = 16   # rows per chunk (= halo, = sublane alignment unit)
 _NR_HALO = 16
+if _NR_TH < _NR_CH or _NR_TH % _NR_CH:
+    # a tile height that is not a positive multiple of the 16-row chunk
+    # leaves output rows unwritten and mis-indexes the halo BlockSpecs
+    raise ValueError(
+        f"RAPIDRAW_NR_TH={_NR_TH} must be a positive multiple of {_NR_CH}"
+    )
 _NR_CW = int(_os.environ.get("RAPIDRAW_NR_CW", "3072"))  # max block width (swept: 3072 = 26.9 ms, 2048 = 31.2,
                # 512 = 49.4, full-width 6144 = 37.7 for 24MP on v5e)
 
@@ -751,7 +757,10 @@ def _apply_nr_static_pallas(
     # (cw=4096 at w=6144 pads 2048 dead columns and measured 1.8x slower
     # than the zero-pad cw=3072)
     w128 = -(-w // 128) * 128
-    cands = [c for c in (3072, 2560, 2048, 1536, 1024, 512) if c <= max(w128, 512)]
+    cands = [
+        c for c in (3072, 2560, 2048, 1536, 1024, 512)
+        if c <= max(w128, 512) and c <= max(_NR_CW, 512)
+    ]
     cw = min(cands, key=lambda c: ((-w128) % c, -c)) if cands else w128
     cw = min(cw, w128)
     h16 = h + (-h % th)

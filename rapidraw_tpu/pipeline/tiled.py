@@ -110,7 +110,9 @@ def develop_tiled(
     # image would pay 16 Mosaic compiles. The exact-jitter NR opt-in is the
     # exception (static offsets required; see _tiled_jit).
     exact_jitter_nr = (
-        cfg.nr_active and cfg.nr_static_luma is not None
+        cfg.nr_active
+        and cfg.nr_static_luma is not None
+        and cfg.nr_static_color is not None  # the NR gate needs BOTH
         and os.environ.get("RAPIDRAW_NR_EXACT_JITTER") == "1"
     )
 
