@@ -298,6 +298,34 @@ def merge_exif_into_tiff(tiff_path: str | Path, exif_payload: bytes) -> None:
         out.save(p, "TIFF", tiffinfo=ifd)
 
 
+def _payload_from_tag_dict(tags: dict) -> bytes | None:
+    """Serialize a human-readable tag dict (the sidecar's exif block) into
+    a binary EXIF payload via PIL — the export write-through for
+    user-EDITED metadata (the reference prefers the sidecar map over the
+    file's own EXIF, exif_processing.rs:708)."""
+    from PIL import Image
+    from PIL.ExifTags import TAGS
+
+    name_to_id = {v: k for k, v in TAGS.items()}
+    exif = Image.Exif()
+    wrote = False
+    for name, value in tags.items():
+        tag_id = name_to_id.get(str(name))
+        if tag_id is None:
+            continue
+        try:
+            exif[tag_id] = value
+            wrote = True
+        except Exception:  # noqa: BLE001 — untypable value for this tag
+            continue
+    if not wrote:
+        return None
+    try:
+        return _tobytes_raw(exif)
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def copy_exif(
     src: str | Path, dst: str | Path, strip_gps_data: bool = True, software: str | None = None
 ) -> bool:
@@ -310,6 +338,20 @@ def copy_exif(
     source EXIF for derived files).
     """
     payload = read_exif_bytes(src)
+    # user-EDITED metadata lives in the sidecar's exif dict (update_exif_
+    # fields); when it differs from the file's own tags, the edited values
+    # win on export (exif_processing.rs:708 prefers the sidecar map). The
+    # lossless verbatim splice remains the path for unedited sources.
+    try:
+        from rapidraw_tpu.io.sidecar import load_sidecar
+
+        side = load_sidecar(src).get("exif")
+        if isinstance(side, dict) and side and side != read_exif_tags(src):
+            built = _payload_from_tag_dict(side)
+            if built is not None:
+                payload = built
+    except Exception:  # noqa: BLE001 — sidecar issues never fail the copy
+        pass
     if payload is None:
         return False
     if payload.startswith(b"Exif\x00\x00"):

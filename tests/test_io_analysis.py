@@ -245,3 +245,27 @@ def test_persist_exif_if_missing(tmp_path):
     save_sidecar(p, {**meta, "exif": {"Make": "Other"}})
     persist_exif_if_missing(p)
     assert load_sidecar(p)["exif"]["Make"] == "Other"
+
+
+def test_copy_exif_prefers_edited_sidecar_tags(tmp_path):
+    """EXIF edits stored in the sidecar (exif --set) must reach exports —
+    the reference prefers the sidecar map over the file's own EXIF
+    (exif_processing.rs:708)."""
+    from PIL import Image
+
+    from rapidraw_tpu.io.exif import copy_exif, update_exif_fields
+
+    src = tmp_path / "s.jpg"
+    im = Image.fromarray(np.zeros((8, 8, 3), np.uint8))
+    ex = Image.Exif()
+    ex[0x010F] = "OldMake"
+    im.save(src, exif=ex)
+
+    update_exif_fields([str(src)], {"Make": "NewMake", "Artist": "Me"})
+
+    dst = tmp_path / "o.jpg"
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(dst)
+    assert copy_exif(src, dst)
+    out = Image.open(dst).getexif()
+    assert out.get(0x010F) == "NewMake"
+    assert out.get(0x013B) == "Me"  # Artist
