@@ -64,3 +64,40 @@ def test_orf_xmp_preset_cli_export(tmp_path):
     corners = (rendered[:4, :4].mean() + rendered[-4:, -4:].mean()) / 2
     center = rendered[h // 2 - 4 : h // 2 + 4, w // 2 - 4 : w // 2 + 4].mean()
     assert corners < center
+
+
+def test_export_honors_app_settings_tonemapper(tmp_path):
+    """The export must render with the same app-level settings the preview
+    honored: a tonemapper override (basic instead of AgX for RAW) must
+    change the exported pixels (export_processing.rs:637+ renders through
+    the same settings-aware parse as the preview)."""
+    from PIL import Image
+
+    from rapidraw_tpu.pipeline.export import ExportSettings, export_images
+    from rapidraw_tpu.io.sidecar import save_sidecar
+    from rapidraw_tpu.utils.settings import DEFAULTS, AppSettings
+
+    raw = tmp_path / "shot.orf"
+    _make_orf(raw)
+    save_sidecar(raw, {"adjustments": {"exposure": 0.4}})
+
+    base_settings = AppSettings(dict(DEFAULTS))
+    override = AppSettings({
+        **DEFAULTS,
+        # the doc carries no toneMapper (parse default: basic) — override
+        # RAW documents to AgX, which must change the exported pixels
+        "tonemapperOverrideEnabled": True,
+        "defaultRawTonemapper": "agx",
+    })
+
+    out_a = tmp_path / "a"
+    out_b = tmp_path / "b"
+    ra = export_images([str(raw)], out_a, ExportSettings(format="png"),
+                       app_settings=base_settings)
+    rb = export_images([str(raw)], out_b, ExportSettings(format="png"),
+                       app_settings=override)
+    assert ra[0].ok and rb[0].ok, (ra[0].error, rb[0].error)
+    a = np.asarray(Image.open(ra[0].output), np.float32)
+    b = np.asarray(Image.open(rb[0].output), np.float32)
+    assert a.shape == b.shape
+    assert np.abs(a - b).max() > 2.0, "tonemapper override must reach export"
