@@ -96,6 +96,11 @@ def _inverse_transform_coords(
     x_unrot = xc * cos_a + yc * sin_a + cx
     y_unrot = -xc * sin_a + yc * cos_a + cy
 
+    # NOTE `scrw - x` (not scrw-1-x) is the reference's own convention
+    # (mask_generation.rs:819-845): coordinates are treated as pixel EDGES
+    # and truncated at sample time, which shifts pure flips by up to 1px —
+    # reproduced verbatim so masks land exactly where the reference puts
+    # them (sam.unproject_prompt_rect mirrors the same math).
     x_unf = scrw - x_unrot if flip_horizontal else x_unrot
     y_unf = scrh - y_unrot if flip_vertical else y_unrot
 
@@ -121,14 +126,15 @@ def _range_mask(params: dict, width, height, scale, crop_offset, warped_u8, mode
     if warped_u8 is None:
         return None
     full_h, full_w = warped_u8.shape[:2]
-    tx = int(round(float(params.get("targetX", 0.0))))
-    ty = int(round(float(params.get("targetY", 0.0))))
+    tx = int(round(float(params.get("targetX") or 0.0)))
+    ty = int(round(float(params.get("targetY") or 0.0)))
     if tx < 0 or ty < 0 or tx >= full_w or ty >= full_h:
         return None
-    tolerance = float(params.get("tolerance", 20.0))
+    t_raw = params.get("tolerance")
+    tolerance = float(20.0 if t_raw is None else t_raw)
     xi, yi, valid = _inverse_transform_coords(
         width, height, full_w, full_h, scale, crop_offset,
-        float(params.get("rotation", 0.0)),
+        float(params.get("rotation") or 0.0),
         bool(params.get("flipHorizontal", False)),
         bool(params.get("flipVertical", False)),
         int(params.get("orientationSteps", 0) or 0),
@@ -155,7 +161,7 @@ def _range_mask(params: dict, width, height, scale, crop_offset, warped_u8, mode
     # mask_generation.rs:199-200); the 35.0 in impl Default is never
     # reached on the :1048/:1149 parse paths
     return apply_grow_and_feather(
-        mask, float(params.get("grow", 0.0)), float(params.get("feather", 0.0))
+        mask, float(params.get("grow") or 0.0), float(params.get("feather") or 0.0)
     )
 
 
@@ -212,10 +218,11 @@ def generate_ai_depth(params: dict, width, height, scale, crop_offset) -> np.nda
         return t * t * (3.0 - 2.0 * t)
 
     val_pct = depth.astype(np.float32) / 255.0 * 100.0
-    min_depth = float(params.get("minDepth", 0.0))
-    max_depth = float(params.get("maxDepth", 100.0))
-    min_fade = float(params.get("minFade", 0.0))
-    max_fade = float(params.get("maxFade", 0.0))
+    min_depth = float(params.get("minDepth") or 0.0)
+    md = params.get("maxDepth")
+    max_depth = float(100.0 if md is None else md)
+    min_fade = float(params.get("minFade") or 0.0)
+    max_fade = float(params.get("maxFade") or 0.0)
     lower = smoothstep(min_depth - min_fade, min_depth, val_pct)
     upper = 1.0 - smoothstep(max_depth, max_depth + max_fade, val_pct)
     intensity = lower * upper * (val_pct / 100.0)

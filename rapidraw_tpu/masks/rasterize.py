@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import numpy as np
 
-_U8 = lambda f: np.clip(f * 255.0, 0.0, 255.0).astype(np.uint8)
 
 
 def _smoothstep(t: np.ndarray) -> np.ndarray:
@@ -79,9 +78,13 @@ def generate_linear(params: dict, width: int, height: int, scale: float, crop_of
 
 
 def _stroke_distance_sq(
-    points: np.ndarray, radius: float, bb: tuple[int, int, int, int]
+    points: np.ndarray, bb: tuple[int, int, int, int]
 ) -> np.ndarray:
-    """Min squared distance from each bbox pixel to the polyline (:465-534)."""
+    """Min squared distance from each bbox pixel to the polyline (:465-534).
+
+    The segment axis is CHUNKED with a running min: materializing all
+    (h, w, segments) temporaries at once costs ~multi-GB for a long stroke
+    over a full-res frame (the reference iterates per pixel)."""
     x0, y0, x1, y1 = bb
     h, w = y1 - y0 + 1, x1 - x0 + 1
     ys = np.arange(y0, y1 + 1, dtype=np.float32)[:, None, None]
@@ -89,16 +92,23 @@ def _stroke_distance_sq(
     if len(points) == 1:
         p = points[0]
         return ((xs[..., 0] - p[0]) ** 2 + (ys[..., 0] - p[1]) ** 2).reshape(h, w)
-    a = points[:-1]  # (S, 2)
-    d = points[1:] - a  # (S, 2)
-    len_sq = (d * d).sum(-1)  # (S,)
-    safe = np.where(len_sq < 1e-4, 1.0, len_sq)
-    t = ((xs - a[:, 0]) * d[:, 0] + (ys - a[:, 1]) * d[:, 1]) / safe
-    t = np.clip(np.where(len_sq < 1e-4, 0.0, t), 0.0, 1.0)
-    projx = a[:, 0] + t * d[:, 0]
-    projy = a[:, 1] + t * d[:, 1]
-    dist_sq = (xs - projx) ** 2 + (ys - projy) ** 2
-    return dist_sq.min(-1)
+    a_all = points[:-1]  # (S, 2)
+    d_all = points[1:] - a_all  # (S, 2)
+    # cap live temporaries at ~4 * h*w*chunk floats (~128 MB at 24MP)
+    chunk = max(1, int(8e6 // max(h * w, 1)) or 1)
+    best = np.full((h, w), np.inf, np.float32)
+    for s0 in range(0, len(a_all), chunk):
+        a = a_all[s0 : s0 + chunk]
+        d = d_all[s0 : s0 + chunk]
+        len_sq = (d * d).sum(-1)
+        safe = np.where(len_sq < 1e-4, 1.0, len_sq)
+        t = ((xs - a[:, 0]) * d[:, 0] + (ys - a[:, 1]) * d[:, 1]) / safe
+        t = np.clip(np.where(len_sq < 1e-4, 0.0, t), 0.0, 1.0)
+        projx = a[:, 0] + t * d[:, 0]
+        projy = a[:, 1] + t * d[:, 1]
+        dist_sq = (xs - projx) ** 2 + (ys - projy) ** 2
+        np.minimum(best, dist_sq.min(-1), out=best)
+    return best
 
 
 def _render_stroke(points, radius, feather, width, height, scale, crop_offset):
@@ -117,7 +127,7 @@ def _render_stroke(points, radius, feather, width, height, scale, crop_offset):
     if x0 > x1 or y0 > y1:
         return None
 
-    dist_sq = _stroke_distance_sq(pts, radius, (x0, y0, x1, y1))
+    dist_sq = _stroke_distance_sq(pts, (x0, y0, x1, y1))
     feather = min(max(feather, 0.0), 1.0)
     inner = radius * (1.0 - feather)
     feather_range = max(radius - inner, 0.01)
@@ -317,13 +327,15 @@ def requires_warped_image(adjustments: dict) -> bool:
 
 
 def resolve_warped_image(
-    image, adjustments: dict, is_raw: bool = False
+    image, adjustments: dict, is_raw: bool = False, force: bool = False
 ) -> np.ndarray | None:
     """The geometry-warped (pre-crop, pre-rotation) full image as (H, W, 3)
     u8 for color/luminance range masks (lib.rs get_cached_full_warped_image
     :260-288: warp only; RAW gets the default gamma/contrast look first).
-    Returns None when no mask needs it."""
-    if not requires_warped_image(adjustments):
+    Returns None when no mask in `adjustments` needs it — pass force=True
+    when rendering a mask_def NOT present in the document (the overlay of
+    a newly drawn/unsaved range mask)."""
+    if not force and not requires_warped_image(adjustments):
         return None
     import jax.numpy as jnp
 
@@ -365,7 +377,9 @@ def generate_mask_overlay(
     warped = None
     if adjustments is not None and image is not None:
         if any(_sub_needs_warp(s) for s in mask_def.get("subMasks") or []):
-            warped = resolve_warped_image(image, adjustments, is_raw)
+            # force: the mask_def being overlaid may not (yet) exist in the
+            # adjustments document, whose gate would return None
+            warped = resolve_warped_image(image, adjustments, is_raw, force=True)
 
     scaled_offset = (crop_offset[0] * scale, crop_offset[1] * scale)
     gray = generate_mask_bitmap(mask_def, width, height, scale, scaled_offset, warped)
