@@ -99,3 +99,20 @@ def test_rasterize_masks_aligns_with_parse():
 
     _, cfg = parse_adjustments(doc)
     assert cfg.mask_count == out.shape[0]
+
+
+def test_stroke_distance_chunking_equivalent():
+    """The chunked segment-axis SDF must equal the per-segment running
+    min (the memory-bounded path is pure restructuring)."""
+    import numpy as np
+
+    import rapidraw_tpu.masks.rasterize as rz
+
+    rng = np.random.default_rng(0)
+    pts = (rng.random((40, 2)) * 60).astype(np.float32)
+    bb = (0, 0, 63, 47)
+    full = rz._stroke_distance_sq(pts, bb)
+    best = np.full(full.shape, np.inf, np.float32)
+    for i in range(len(pts) - 1):
+        np.minimum(best, rz._stroke_distance_sq(pts[i : i + 2], bb), out=best)
+    np.testing.assert_allclose(full, best, rtol=1e-5, atol=1e-4)
