@@ -143,3 +143,55 @@ def test_tonemappers(tm):
     params, cfg = parse_adjustments({"toneMapper": tm}, is_raw=False)
     out = np.asarray(develop(img, params, cfg))
     assert np.isfinite(out).all()
+
+
+def test_random_document_fuzz_finite_and_bounded():
+    """30 random adjustment documents (random subsets of every slider,
+    values across and beyond the UI ranges) must parse and develop to
+    finite [0, 1] output — no combination may crash or produce NaN."""
+    from rapidraw_tpu.ops import blur as _blur
+    from rapidraw_tpu.ops import nr as _nr
+
+    # XLA-native blur/NR paths (numerically pinned elsewhere): interpreted
+    # Pallas on the CPU test platform costs ~15 s per blur-active document
+    tok_b = _blur.FORCE_CONV.set(True)
+    tok_n = _nr.FORCE_XLA.set(True)
+    try:
+        _run_doc_fuzz()
+    finally:
+        _blur.FORCE_CONV.reset(tok_b)
+        _nr.FORCE_XLA.reset(tok_n)
+
+
+def _run_doc_fuzz():
+    import numpy as np
+
+    # NR keys excluded: the static-grid NR runs interpreted Pallas on the
+    # CPU test platform (~40 s per hit) and has dedicated tests at every
+    # level (test_components / test_tiled / test_oracle_match)
+    keys_100 = [
+        "contrast", "highlights", "shadows", "whites", "blacks", "saturation",
+        "temperature", "tint", "vibrance", "sharpness",
+        "clarity", "dehaze", "structure", "centré",
+        "vignetteAmount", "grainAmount", "glowAmount", "halationAmount",
+        "flareAmount", "hueShift",
+    ]
+    rng = np.random.default_rng(42)
+    img = jnp.asarray(rng.random((3, 40, 64), dtype=np.float32))
+    for trial in range(30):
+        doc = {}
+        for k in keys_100:
+            if rng.random() < 0.35:
+                doc[k] = float(rng.uniform(-150, 150))  # beyond UI range too
+        if rng.random() < 0.5:
+            doc["exposure"] = float(rng.uniform(-6, 6))
+        if rng.random() < 0.3:
+            doc["toneMapper"] = rng.choice(["agx", "basic"]).item()
+        if rng.random() < 0.3:
+            doc["sectionVisibility"] = {"effects": bool(rng.random() < 0.5)}
+        params, cfg = parse_adjustments(doc, is_raw=bool(rng.random() < 0.3))
+        out = np.asarray(develop(img, params, cfg))
+        assert np.isfinite(out).all(), f"trial {trial}: NaN/Inf for {doc}"
+        assert out.min() >= -1e-5 and out.max() <= 1.0 + 1e-5, (
+            f"trial {trial}: out of range [{out.min()}, {out.max()}] for {doc}"
+        )
