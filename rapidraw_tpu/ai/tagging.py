@@ -214,10 +214,12 @@ def index_folder_tags(
             from rapidraw_tpu.io.loader import load_image
 
             try:
-                planar, _ = load_image(p)
+                # fast (thumbnail) load: the reference scores CACHED
+                # THUMBNAILS (tagging.rs:345-350), and CLIP resizes to 224
+                # anyway — a full-quality RAW develop here is pure waste
+                planar, _ = load_image(p, fast=True)
                 # thumbnail-scale the scoring input like the reference's
-                # cached thumbnail path (tagging.rs:345-350); CLIP resizes
-                # to 224 anyway, so downscale once on the long edge
+                # cached thumbnail path; downscale once on the long edge
                 if max(planar.shape[1:]) > 720:
                     import jax.numpy as jnp
 
