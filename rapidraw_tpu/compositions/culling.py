@@ -147,7 +147,9 @@ def cull_images(
     failed: list[str] = []
     for p in paths:
         try:
-            img, _ = load_image(p)
+            # fast load: every metric is computed on an ANALYSIS_DIM
+            # thumbnail anyway (culling.rs:136-160)
+            img, _ = load_image(p, fast=True)
             analyses.append(analyze_image_array(p, img))
         except Exception as e:  # noqa: BLE001 — per-image isolation
             del e
