@@ -15,6 +15,8 @@ Containers:
   CR3 (ISO BMFF): io/cr3.py + io/crx.py decode the lossless crx dialect
   (native/crx.cc); payloads that don't match the implemented structure
   refuse precisely with container metadata + preview still served.
+  IIQ (Phase One): io/iiq.py + native/phase_one.cc (plain/XOR planes and
+  the compressed row bitstream).
   Detected-but-unsupported: X3F (Foveon), CRW (Canon CIFF) — clear
   UnsupportedRawFormat.
 """
@@ -27,7 +29,7 @@ from rapidraw_tpu.io.dng import DngError, RawFile, parse_dng
 
 SUPPORTED_FORMATS = (
     "dng", "tiff", "cr2", "cr3", "nef", "nrw", "pef", "arw", "srf", "sr2",
-    "orf", "rw2", "rwl", "raf", "mrw",
+    "orf", "rw2", "rwl", "raf", "mrw", "iiq",
     # generic vendor TIFF-CFA path (io/makers.py parse_tiff_cfa)
     "erf", "mef", "mos", "fff", "3fr", "kdc", "dcr", "dcs", "srw",
 )
@@ -127,7 +129,7 @@ def sniff_container(data: bytes, ext: str = "") -> str:
         if make.startswith(_TIFF_CFA_MAKES) or ext in _TIFF_CFA_EXTS:
             return "tiffcfa"
         if make.startswith("PHASE ONE") or ext == "iiq":
-            return "iiq"  # Phase One bitstream — detect-and-refuse
+            return "iiq"
         if ext in ("nef", "nrw"):
             return "nef"
         if ext in ("arw", "srf", "sr2"):
@@ -181,6 +183,10 @@ def _dispatch(kind: str, data: bytes) -> RawFile | None:
         from rapidraw_tpu.io.makers import parse_tiff_cfa
 
         return parse_tiff_cfa(data)
+    if kind == "iiq":
+        from rapidraw_tpu.io.iiq import parse_iiq
+
+        return parse_iiq(data)
     return None
 
 
@@ -202,7 +208,7 @@ def parse_raw(data: bytes, ext: str = "") -> RawFile:
             ) from e
         if raw is not None:
             return raw
-    if kind in ("x3f", "bmff", "crw", "iiq"):
+    if kind in ("x3f", "bmff", "crw"):
         raise UnsupportedRawFormat(kind)
     raise DngError(
         f"unrecognized RAW container (extension {ext or '?'}); "
@@ -217,9 +223,13 @@ def raw_dimensions(data: bytes, ext: str = "") -> tuple[int, int]:
     bitstream decode takes seconds per 24MP file, and CR3 dims live in the
     stsd box even though the crx payload may be refused."""
     kind = sniff_container(data, ext)
-    if kind in ("x3f", "bmff", "crw", "iiq"):
+    if kind in ("x3f", "bmff", "crw"):
         raise UnsupportedRawFormat(kind)
     try:
+        if kind == "iiq":
+            from rapidraw_tpu.io.iiq import iiq_dimensions
+
+            return iiq_dimensions(data)
         if kind == "cr3":
             from rapidraw_tpu.io.cr3 import parse_cr3_info
 

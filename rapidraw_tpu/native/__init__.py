@@ -221,6 +221,38 @@ def ljpeg_decode(stream: bytes):
     raise ValueError("ljpeg stream too large")
 
 
+def phase_one_decode(data: bytes, row_offsets, raw_width: int,
+                     raw_height: int, fmt: int, big_endian: bool):
+    """Phase One IIQ compressed rows -> (H, W) uint16 pixel values
+    (post-prediction, format-5 curve applied, PRE black subtraction).
+
+    row_offsets: per-row byte offsets into `data` (the region starting at
+    the container's data_offset)."""
+    import numpy as np
+
+    lib = load("phase_one")
+    fn = lib.phase_one_decode
+    fn.restype = ctypes.c_int
+    fn.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    offs = np.ascontiguousarray(row_offsets, np.uint32)
+    if offs.shape != (raw_height,):
+        raise ValueError("row_offsets must have raw_height entries")
+    out = np.empty((raw_height, raw_width), np.uint16)
+    rc = fn(
+        data, len(data),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        raw_width, raw_height, fmt, 1 if big_endian else 0,
+    )
+    if rc != 0:
+        raise ValueError(f"phase one decode failed (code {rc})")
+    return out
+
+
 def crx_decode(sample: bytes, planes: int, pw: int, ph: int):
     """Decode one crx-class tile sample -> uint16 (planes, ph, pw).
 

@@ -3,7 +3,7 @@
 Deep campaigns run via ``tools/fuzz_native.py`` (5000+ mutations per
 decoder per seed, subprocess-isolated); this in-suite version pins the
 contract on a small budget so a memory-safety regression in
-native/{ljpeg,vendor_huff,pana_oly,crx}.cc is caught by CI: every
+native/{ljpeg,vendor_huff,pana_oly,crx,phase_one}.cc is caught by CI: every
 mutation either decodes or raises ValueError, and a child-process crash
 (signal) fails loudly here instead of killing the pytest process.
 """
@@ -29,7 +29,8 @@ def _toolchain_available() -> bool:
 
 
 @pytest.mark.parametrize(
-    "decoder", ["ljpeg", "nikon", "pentax", "panasonic", "olympus", "crx"]
+    "decoder", ["ljpeg", "nikon", "pentax", "panasonic", "olympus", "crx",
+                "phase_one"]
 )
 def test_native_decoder_survives_mutations(decoder):
     if not _toolchain_available():

@@ -1404,11 +1404,13 @@ def test_tiffcfa_truncated_strip_refused():
         parse_raw(data, ext="mos")
 
 
-def test_iiq_refused_precisely():
+def test_iiq_without_phase_one_directory_is_malformed():
+    """IIQ decodes now (io/iiq.py, tests/test_iiq.py); a Phase One TIFF
+    missing the IIII raw directory is a clean malformed-file error."""
     ifd0 = Ifd().add(271, 2, "Phase One A/S").add(256, 3, [100]).add(257, 3, [80])
     data = build_tiff([ifd0])
     assert sniff_container(data, "iiq") == "iiq"
-    with pytest.raises(UnsupportedRawFormat, match="iiq"):
+    with pytest.raises(DngError, match="IIQ"):
         parse_raw(data, ext="iiq")
 
 

@@ -51,6 +51,14 @@ def _structured_tiffcfa() -> bytes:
     return build_tiff([ifd])
 
 
+def _structured_iiq() -> bytes:
+    from tests.test_iiq import _build_iiq
+
+    rng = np.random.default_rng(9)
+    pred = rng.integers(0, 4000, (6, 16)).astype(np.uint16)
+    return _build_iiq(pred, fmt=5, black=32)
+
+
 def _seeds() -> list[bytes]:
     """Magic prefixes that route into each parser + one deep DNG."""
     tiff_le = b"II*\0" + struct.pack("<I", 8) + struct.pack("<H", 3) + b"\x01\x02" * 20
@@ -68,6 +76,7 @@ def _seeds() -> list[bytes]:
         b"FOVb" + b"\x01\0\0\0" + b"\x99" * 56,                # X3F (refusal)
         _structured_mrw(),
         _structured_tiffcfa(),
+        _structured_iiq(),
         b"II\x1a\0\0\0HEAPCCDR" + b"\x11" * 48,                # CRW (refusal)
         b"\0\0\0\x14ftypisom\0\0\0\x01" + b"\x44" * 44,        # generic BMFF
     ]

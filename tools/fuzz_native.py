@@ -27,7 +27,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-DECODERS = ["ljpeg", "nikon", "pentax", "panasonic", "olympus", "crx"]
+DECODERS = ["ljpeg", "nikon", "pentax", "panasonic", "olympus", "crx", "phase_one"]
 
 
 def _build_seeds(decoder: str) -> list[bytes]:
@@ -69,6 +69,16 @@ def _build_seeds(decoder: str) -> list[bytes]:
 
         planes = rng.integers(0, 16383, (4, 16, 24), dtype=np.uint16)
         return [crx_encode(planes)]
+    if decoder == "phase_one":
+        from tests.test_iiq import _BitWriter, _encode_row
+
+        pred = rng.integers(0, 8000, (16, 24)).astype(np.uint16)
+        rows, lens = [], [0, 0]
+        for r in range(16):
+            bw = _BitWriter(False)
+            _encode_row(bw, pred[r], lens)
+            rows.append(bw.tobytes())
+        return [b"".join(rows)]
     raise SystemExit(f"unknown decoder {decoder}")
 
 
@@ -87,6 +97,11 @@ def _decode_one(decoder: str, buf: bytes) -> None:
         native.olympus_decode(buf, 32, 32, 16)
     elif decoder == "crx":
         native.crx_decode(buf, 4, 24, 16)
+    elif decoder == "phase_one":
+        import numpy as np
+
+        offs = np.linspace(0, max(len(buf) - 8, 0), 16).astype(np.uint32)
+        native.phase_one_decode(buf, offs, 24, 16, 5, False)
 
 
 def _mutate(seed: bytes, rng) -> bytes:
