@@ -183,6 +183,10 @@ def _load_variables(filename: str, model_name: str = "U2-Net"):
     key = (str(p), p.stat().st_mtime_ns)
     hit = _weights_cache.get(key)
     if hit is not None:
+        # LRU, not FIFO: a batch cycling through SAM enc+dec plus
+        # fg/sky/depth (5 weight sets) must not evict the still-hot
+        # entry it is about to reuse on the next image
+        _weights_cache[key] = _weights_cache.pop(key)
         return hit
     flat = dict(np.load(p))
     tree: dict = {}
@@ -192,7 +196,7 @@ def _load_variables(filename: str, model_name: str = "U2-Net"):
         for part in parts[:-1]:
             node = node.setdefault(part, {})
         node[parts[-1]] = jnp.asarray(v)
-    if len(_weights_cache) >= 4:  # bound device memory (SAM needs enc+dec)
+    if len(_weights_cache) >= 5:  # bound device memory (all five mask nets)
         _weights_cache.pop(next(iter(_weights_cache)))
     _weights_cache[key] = tree
     return tree

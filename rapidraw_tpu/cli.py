@@ -111,8 +111,10 @@ def _cmd_export(args) -> int:
     )
     if args.estimate_size:
         from rapidraw_tpu.pipeline.export import estimate_export_sizes
+        from rapidraw_tpu.utils.settings import AppSettings, app_data_dir
 
-        print(estimate_export_sizes(args.images, settings))
+        app_settings = AppSettings.load(app_data_dir() / "settings.json")
+        print(estimate_export_sizes(args.images, settings, app_settings))
         return 0
 
     def progress(i, n, p):

@@ -298,11 +298,49 @@ def merge_exif_into_tiff(tiff_path: str | Path, exif_payload: bytes) -> None:
         out.save(p, "TIFF", tiffinfo=ifd)
 
 
+def _coerce_tag_value(tag_id: int, value):
+    """Convert a sidecar-stringified value back to the tag's declared TIFF
+    type so PIL can serialize it (read_exif_tags stores everything through
+    _stringify: ints as "6", rationals as "1/100", tuples as "a, b")."""
+    if not isinstance(value, str):
+        return value
+    from PIL.TiffTags import TAGS_V2
+
+    info = TAGS_V2.get(tag_id)
+    if info is None or info.type == 2:  # ASCII / unknown: keep the string
+        return value
+    s = value.strip()
+    parts = [p.strip() for p in s.split(",")] if "," in s else [s]
+    t = info.type
+    if t in (1, 3, 4, 6, 8, 9):  # BYTE/SHORT/LONG/SBYTE/SSHORT/SLONG
+        vals = tuple(int(float(p)) for p in parts)
+    elif t in (5, 10):  # RATIONAL / SRATIONAL
+        from PIL.TiffImagePlugin import IFDRational
+
+        def rat(p: str):
+            if "/" in p:
+                num, den = p.split("/", 1)
+                return IFDRational(int(num), int(den))
+            return IFDRational(float(p))
+
+        vals = tuple(rat(p) for p in parts)
+    elif t in (11, 12):  # FLOAT / DOUBLE
+        vals = tuple(float(p) for p in parts)
+    elif t == 7:  # UNDEFINED
+        return s.encode("utf-8", "replace")
+    else:
+        return value
+    return vals[0] if len(vals) == 1 else vals
+
+
 def _payload_from_tag_dict(tags: dict) -> bytes | None:
     """Serialize a human-readable tag dict (the sidecar's exif block) into
     a binary EXIF payload via PIL — the export write-through for
     user-EDITED metadata (the reference prefers the sidecar map over the
-    file's own EXIF, exif_processing.rs:708)."""
+    file's own EXIF, exif_processing.rs:708). Values are coerced back to
+    their declared TIFF types and probed per-tag, so one untypable value
+    (a stringified numeric PIL refuses) drops THAT tag, not the whole
+    edited payload."""
     from PIL import Image
     from PIL.ExifTags import TAGS
 
@@ -314,10 +352,17 @@ def _payload_from_tag_dict(tags: dict) -> bytes | None:
         if tag_id is None:
             continue
         try:
-            exif[tag_id] = value
-            wrote = True
+            coerced = _coerce_tag_value(tag_id, value)
+        except (ValueError, TypeError, ZeroDivisionError):
+            coerced = value
+        probe = Image.Exif()
+        try:
+            probe[tag_id] = coerced
+            probe.tobytes()
         except Exception:  # noqa: BLE001 — untypable value for this tag
             continue
+        exif[tag_id] = coerced
+        wrote = True
     if not wrote:
         return None
     try:

@@ -16,7 +16,9 @@ from pathlib import Path
 import numpy as np
 
 
-def thumbnail_cache_key(path: str, adjustments: dict, resolution: int = 720) -> str:
+def thumbnail_cache_key(
+    path: str, adjustments: dict, resolution: int = 720, app_settings=None
+) -> str:
     import json
 
     from rapidraw_tpu.io.loader import parse_virtual_path
@@ -35,6 +37,25 @@ def thumbnail_cache_key(path: str, adjustments: dict, resolution: int = 720) -> 
     # satisfy a 1440px request
     h.update(str(int(resolution)).encode())
     h.update(json.dumps(adjustments, sort_keys=True, default=str).encode())
+    if app_settings is not None:
+        # develop-relevant app settings are part of the identity too: a
+        # thumbnail rendered under old RAW-preprocessing/tonemapper
+        # settings must not be served after settings.json changes
+        h.update(
+            json.dumps(
+                [
+                    app_settings.preprocessing_amounts(),
+                    app_settings.raw_highlight_compression,
+                    app_settings.linear_raw_mode,
+                    app_settings.apply_preprocessing_to_non_raws,
+                    app_settings.tonemapper_override(True),
+                    app_settings.tonemapper_override(False),
+                    str(app_settings.get("defaultRawTonemapper") or "agx"),
+                    str(app_settings.get("defaultNonRawTonemapper") or "basic"),
+                ],
+                default=str,
+            ).encode()
+        )
     return h.hexdigest()
 
 
@@ -81,13 +102,16 @@ def generate_thumbnail(
     path: str,
     resolution: int = 720,
     cache_dir: str | Path | None = None,
+    app_settings=None,
 ) -> bytes:
     """Render one thumbnail JPEG (bytes), using the disk cache when valid.
 
     Mirrors generate_thumbnail_data (file_management.rs:1070-1367): edited
     images run the real develop chain at thumbnail scale; unedited LDRs are
     plain downscales; unedited RAWs get the default RAW tonemap via the
-    develop path (is_raw basic emulation).
+    develop path. Like the reference (:1092, :1317 load_settings per call),
+    the app settings govern the RAW develop knobs and the tonemapper;
+    app_settings=None loads settings.json from the app data dir.
     """
     import jax.numpy as jnp
 
@@ -99,8 +123,13 @@ def generate_thumbnail(
     from rapidraw_tpu.masks.rasterize import rasterize_masks
     from rapidraw_tpu.params.parse import parse_adjustments
 
+    if app_settings is None:
+        from rapidraw_tpu.utils.settings import AppSettings, app_data_dir
+
+        app_settings = AppSettings.load(app_data_dir() / "settings.json")
+
     adjustments = load_adjustments(path)
-    key = thumbnail_cache_key(path, adjustments, resolution)
+    key = thumbnail_cache_key(path, adjustments, resolution, app_settings)
     cache_file = None
     if cache_dir is not None:
         cache_file = Path(cache_dir) / f"{key}.jpg"
@@ -117,7 +146,7 @@ def generate_thumbnail(
     # documents take the full-res load.
     fast = not requires_warped_image(adjustments)
     try:
-        img, is_raw = load_image(path, fast=fast)
+        img, is_raw = load_image(path, app_settings=app_settings, fast=fast)
     except Exception as e:  # noqa: BLE001
         from rapidraw_tpu.io.containers import UnsupportedRawFormat
 
@@ -166,7 +195,7 @@ def generate_thumbnail(
             elif 0.35 <= ratio < 0.75:
                 load_scale = 0.5
         except Exception:  # dims unavailable: reload full-res (coords exact)
-            img, is_raw = load_image(path)
+            img, is_raw = load_image(path, app_settings=app_settings)
             x = jnp.asarray(img)
 
     adj_t = adjustments
@@ -197,7 +226,18 @@ def generate_thumbnail(
         crop_offset=(crop_offset[0] * ds, crop_offset[1] * ds),
         warped_image=warped,
     )
-    params, cfg = parse_adjustments(adjustments, is_raw=is_raw)
+    # tonemapper: edited docs follow the override (None when disabled);
+    # unedited ones force the settings default, mirroring the reference's
+    # adjustments.is_null() branch (file_management.rs:1346-1363)
+    if adjustments:
+        tm_override = app_settings.tonemapper_override(is_raw)
+    else:
+        tm_key = "defaultRawTonemapper" if is_raw else "defaultNonRawTonemapper"
+        tm_default = "agx" if is_raw else "basic"
+        tm_override = 1 if (app_settings.get(tm_key) or tm_default) == "agx" else 0
+    params, cfg = parse_adjustments(
+        adjustments, is_raw=is_raw, tonemapper_override=tm_override
+    )
     lut = None
     if cfg.has_lut and isinstance(adjustments.get("lutPath"), str):
         # thumbnails must show the document's LUT like every other render
@@ -228,6 +268,7 @@ def generate_thumbnails(
     cache_dir: str | Path | None = None,
     cancel=None,  # utils.recovery.CancellationToken (lib.rs:239-258)
     progress=None,  # callable(done, total, path)
+    app_settings=None,
 ) -> dict[str, bytes]:
     """Batch thumbnail generation (the worker-pool equivalent).
 
@@ -237,6 +278,10 @@ def generate_thumbnails(
     per image (a corrupt file must not discard the completed batch), like
     the reference's worker pool and export_images.
     """
+    if app_settings is None:
+        from rapidraw_tpu.utils.settings import AppSettings, app_data_dir
+
+        app_settings = AppSettings.load(app_data_dir() / "settings.json")
     out: dict[str, bytes] = {}
     for i, p in enumerate(paths):
         if cancel is not None and cancel.cancelled:
@@ -244,7 +289,7 @@ def generate_thumbnails(
         if progress:
             progress(i, len(paths), p)
         try:
-            out[p] = generate_thumbnail(p, resolution, cache_dir)
+            out[p] = generate_thumbnail(p, resolution, cache_dir, app_settings)
         except Exception as e:  # noqa: BLE001
             from rapidraw_tpu.utils.trace import log
 

@@ -717,13 +717,16 @@ _ESTIMATE_DIM = 1280  # export_processing.rs:1118
 
 
 def estimate_export_sizes(
-    paths: list[str], settings: ExportSettings | None = None
+    paths: list[str], settings: ExportSettings | None = None, app_settings=None
 ) -> int:
     """Estimated total output bytes (export_processing.rs:1020-1210).
 
     Renders the FIRST image at <=1280px, encodes it with the requested
     format/quality, and extrapolates by the output-pixel ratio x len(paths).
-    `.cube` exports are a flat ~1.05 MB each.
+    `.cube` exports are a flat ~1.05 MB each. The estimate renders under
+    the same app settings (RAW knobs + tonemapper override,
+    export_processing.rs:1113) as export_images, so the probe pixels match
+    what the export will actually encode.
     """
     settings = settings or ExportSettings()
     if settings.format.lower() == "cube":
@@ -743,7 +746,7 @@ def estimate_export_sizes(
     from rapidraw_tpu.params.parse import parse_adjustments
     from rapidraw_tpu.pipeline.develop import develop
 
-    img, is_raw = load_image(paths[0])
+    img, is_raw = load_image(paths[0], app_settings=app_settings)
     adj = dict(load_adjustments(paths[0]))
     adj["showClipping"] = False
     timg, crop_offset = apply_all_transformations(jnp.asarray(img), adj)
@@ -772,7 +775,13 @@ def estimate_export_sizes(
             if requires_warped_image(adj) else None
         ),
     )
-    params, cfg = parse_adjustments(adj, is_raw=is_raw)
+    tm_override = (
+        app_settings.tonemapper_override(is_raw)
+        if app_settings is not None else None
+    )
+    params, cfg = parse_adjustments(
+        adj, is_raw=is_raw, tonemapper_override=tm_override
+    )
     out = np.asarray(
         develop(
             preview, params, cfg,

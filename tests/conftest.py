@@ -19,3 +19,12 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 assert jax.devices()[0].platform == "cpu"
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _isolated_app_data_dir(tmp_path, monkeypatch):
+    """Point the app-data dir (settings.json, presets) at a per-test tmp
+    dir so tests never read or write the developer's real settings."""
+    monkeypatch.setenv("RAPIDRAW_DATA_DIR", str(tmp_path / "_appdata"))

@@ -122,3 +122,29 @@ def test_precompute_subject_raises(models_dir):
         {"type": "ai-subject", "visible": True, "parameters": {}}]}]}
     with pytest.raises(ModelUnavailable):
         am.precompute_ai_submasks(adj, _rand_image())
+
+
+def test_weights_cache_is_lru_with_five_slots(tmp_path, monkeypatch):
+    """The weight-tree cache must hold all five mask nets (SAM enc+dec,
+    fg, sky, depth) and refresh recency on hit, so a batch cycling through
+    four AI mask types does not reload a ~170 MB npz per image."""
+    import numpy as np
+
+    monkeypatch.setenv("RAPIDRAW_MODELS", str(tmp_path))
+    am._weights_cache.clear()
+    names = [f"m{i}.npz" for i in range(5)]
+    for n in names:
+        np.savez(tmp_path / n, **{"params/w": np.zeros(2, np.float32)})
+
+    trees = [am._load_variables(n) for n in names]
+    # all five stay resident
+    for n, t in zip(names, trees):
+        assert am._load_variables(n) is t
+
+    # recency: touch m0, then add a sixth -> m1 (the LRU) is evicted, m0 kept
+    assert am._load_variables(names[0]) is trees[0]
+    np.savez(tmp_path / "m5.npz", **{"params/w": np.zeros(2, np.float32)})
+    am._load_variables("m5.npz")
+    assert am._load_variables(names[0]) is trees[0]
+    assert am._load_variables(names[1]) is not trees[1]
+    am._weights_cache.clear()

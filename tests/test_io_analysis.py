@@ -269,3 +269,33 @@ def test_copy_exif_prefers_edited_sidecar_tags(tmp_path):
     out = Image.open(dst).getexif()
     assert out.get(0x010F) == "NewMake"
     assert out.get(0x013B) == "Me"  # Artist
+
+
+def test_copy_exif_sidecar_edit_with_numeric_tags(tmp_path):
+    """A sidecar edit must survive when the source EXIF carries ordinary
+    numeric tags (Orientation/XResolution/ExposureTime): the serialized
+    payload is built per-tag with TIFF-type coercion, so stringified
+    numerics don't silently drop the whole edited payload."""
+    from PIL import Image
+
+    from rapidraw_tpu.io.exif import copy_exif, read_exif_tags, update_exif_fields
+
+    src = tmp_path / "s.jpg"
+    im = Image.fromarray(np.zeros((8, 8, 3), np.uint8))
+    ex = Image.Exif()
+    ex[0x010F] = "OldMake"
+    ex[0x0112] = 6  # Orientation (SHORT)
+    ex[0x011A] = 72  # XResolution (RATIONAL)
+    im.save(src, exif=ex)
+
+    update_exif_fields([str(src)], {"Make": "NewMake"})
+
+    dst = tmp_path / "o.jpg"
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(dst)
+    assert copy_exif(src, dst)
+    tags = read_exif_tags(dst)
+    assert tags.get("Make") == "NewMake"
+    # numeric tags round-trip through the coercion (orientation is reset
+    # to 1 by design — the exported pixels are upright)
+    assert tags.get("Orientation") == "1"
+    assert tags.get("XResolution", "").startswith("72")

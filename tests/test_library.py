@@ -399,3 +399,32 @@ def test_generate_thumbnails_batch_isolation_and_cancel(tmp_path):
     out2 = generate_thumbnails([str(good1), str(good2)], resolution=16,
                                cancel=tok, progress=progress)
     assert len(out2) <= 1 and len(seen) == 1
+
+
+def test_thumbnail_honors_app_settings(tmp_path):
+    """Thumbnails render under the user's app settings like the reference
+    (file_management.rs:1092,:1317 load settings per call): flipping the
+    tonemapper override changes the rendered bytes, and the cache key
+    includes the settings so the old render is not served back."""
+    import json as _json
+    import os
+
+    p = _jpg(tmp_path / "a.jpg", h=64, w=96)
+    save_sidecar(p, {"adjustments": {"exposure": 0.8, "contrast": 30}})
+    cache = tmp_path / "cache"
+
+    default = generate_thumbnail(str(p), resolution=48, cache_dir=cache)
+
+    data_dir = tmp_path / "_appdata"  # conftest points RAPIDRAW_DATA_DIR here
+    assert os.environ["RAPIDRAW_DATA_DIR"] == str(data_dir)
+    data_dir.mkdir(parents=True, exist_ok=True)
+    (data_dir / "settings.json").write_text(_json.dumps({
+        "tonemapperOverrideEnabled": True,
+        "defaultNonRawTonemapper": "agx",
+    }))
+    overridden = generate_thumbnail(str(p), resolution=48, cache_dir=cache)
+    assert overridden != default  # AgX vs basic changes the pixels
+
+    # same settings again: cache hit returns identical bytes
+    again = generate_thumbnail(str(p), resolution=48, cache_dir=cache)
+    assert again == overridden
