@@ -17,8 +17,11 @@ Containers:
   refuse precisely with container metadata + preview still served.
   IIQ (Phase One): io/iiq.py + native/phase_one.cc (plain/XOR planes and
   the compressed row bitstream).
-  Detected-but-unsupported: X3F (Foveon), CRW (Canon CIFF) — clear
-  UnsupportedRawFormat.
+  Detected-but-not-developed: X3F (Foveon, io/x3f.py) and CRW (Canon
+  CIFF, io/ciff.py) — container metadata (dimensions, make/model) and the
+  embedded JPEG previews are parsed for library/thumbnail use; the RAW
+  develop refuses with a clear UnsupportedRawFormat (the reference's
+  rawler fork decodes neither — formats.rs only lists the extensions).
 """
 
 from __future__ import annotations
@@ -208,7 +211,20 @@ def parse_raw(data: bytes, ext: str = "") -> RawFile:
             ) from e
         if raw is not None:
             return raw
-    if kind in ("x3f", "bmff", "crw"):
+    if kind == "x3f":
+        raise UnsupportedRawFormat(
+            "x3f",
+            "Foveon develop needs the camera-encoded CAMF calibration "
+            "sections; the embedded full-size JPEG preview is served for "
+            "browse/thumbnails (io/x3f.py)",
+        )
+    if kind == "crw":
+        raise UnsupportedRawFormat(
+            "crw",
+            "CIFF compressed bitstream not decoded; the embedded JPEG "
+            "preview is served for browse/thumbnails (io/ciff.py)",
+        )
+    if kind == "bmff":
         raise UnsupportedRawFormat(kind)
     raise DngError(
         f"unrecognized RAW container (extension {ext or '?'}); "
@@ -223,9 +239,17 @@ def raw_dimensions(data: bytes, ext: str = "") -> tuple[int, int]:
     bitstream decode takes seconds per 24MP file, and CR3 dims live in the
     stsd box even though the crx payload may be refused."""
     kind = sniff_container(data, ext)
-    if kind in ("x3f", "bmff", "crw"):
+    if kind == "bmff":
         raise UnsupportedRawFormat(kind)
     try:
+        if kind == "x3f":
+            from rapidraw_tpu.io.x3f import x3f_dimensions
+
+            return x3f_dimensions(data)
+        if kind == "crw":
+            from rapidraw_tpu.io.ciff import crw_dimensions
+
+            return crw_dimensions(data)
         if kind == "iiq":
             from rapidraw_tpu.io.iiq import iiq_dimensions
 

@@ -25,13 +25,30 @@ def read_exif_tags(path: str | Path) -> dict:
     from PIL import Image
     from PIL.ExifTags import TAGS, GPSTAGS
 
-    if str(path).lower().endswith(".cr3"):
+    low = str(path).lower()
+    if low.endswith(".cr3"):
         # PIL can't open CR3; the container parser extracts CMT metadata
         try:
             from rapidraw_tpu.io.cr3 import parse_cr3_info
 
             info = parse_cr3_info(Path(path).read_bytes())
             return {k: str(v)[:_MAX_VALUE_LEN] for k, v in info.exif.items()}
+        except Exception:
+            return {}
+    if low.endswith(".x3f"):
+        # PIL can't open X3F; camera metadata lives in the PROP section
+        try:
+            from rapidraw_tpu.io.x3f import x3f_exif_tags
+
+            return x3f_exif_tags(Path(path).read_bytes())
+        except Exception:
+            return {}
+    if low.endswith(".crw"):
+        # PIL can't open CIFF; make/model live in the heap records
+        try:
+            from rapidraw_tpu.io.ciff import crw_exif_tags
+
+            return crw_exif_tags(Path(path).read_bytes())
         except Exception:
             return {}
 

@@ -77,21 +77,41 @@ def _jitted_develop(cfg):
     return _jit_cache[cfg]
 
 
-def _cr3_preview_thumbnail(path: str, resolution: int) -> bytes | None:
-    """Downscaled JPEG from a CR3's embedded PRVW box (io/cr3.py)."""
+def _container_preview_jpeg(path: str) -> bytes | None:
+    """Embedded preview JPEG from a container whose RAW payload refuses:
+    CR3 PRVW box (io/cr3.py), X3F IMAG section (io/x3f.py), CRW CIFF
+    JpgFromRaw record (io/ciff.py)."""
+    low = path.lower()
+    try:
+        data = Path(path).read_bytes()
+        if low.endswith(".cr3"):
+            from rapidraw_tpu.io.cr3 import parse_cr3_info
+
+            return parse_cr3_info(data).preview_jpeg
+        if low.endswith(".x3f"):
+            from rapidraw_tpu.io.x3f import parse_x3f_info
+
+            return parse_x3f_info(data).preview_jpeg
+        if low.endswith(".crw"):
+            from rapidraw_tpu.io.ciff import parse_crw_info
+
+            info = parse_crw_info(data)
+            return info.preview_jpeg or info.thumbnail_jpeg
+    except Exception:  # noqa: BLE001
+        return None
+    return None
+
+
+def _preview_fallback_thumbnail(path: str, resolution: int) -> bytes | None:
+    """Downscaled JPEG from a refused container's embedded preview."""
     import io as _io
 
     from PIL import Image
 
-    from rapidraw_tpu.io.cr3 import parse_cr3_info
-
-    try:
-        info = parse_cr3_info(Path(path).read_bytes())
-    except Exception:  # noqa: BLE001
+    preview = _container_preview_jpeg(path)
+    if not preview:
         return None
-    if not info.preview_jpeg:
-        return None
-    im = Image.open(_io.BytesIO(info.preview_jpeg)).convert("RGB")
+    im = Image.open(_io.BytesIO(preview)).convert("RGB")
     im.thumbnail((resolution, resolution))
     buf = _io.BytesIO()
     im.save(buf, "JPEG", quality=85)
@@ -153,11 +173,14 @@ def generate_thumbnail(
         from rapidraw_tpu.io.loader import parse_virtual_path
 
         real_path = parse_virtual_path(str(path))[0]
-        if isinstance(e, UnsupportedRawFormat) and real_path.lower().endswith(".cr3"):
-            # CR3: the crx payload can't be decoded, but the container
-            # carries a full-size PRVW JPEG — browse with that (the
-            # develop chain stays unavailable, matching the refusal)
-            data = _cr3_preview_thumbnail(real_path, resolution)
+        if isinstance(e, UnsupportedRawFormat) and real_path.lower().endswith(
+            (".cr3", ".x3f", ".crw")
+        ):
+            # refused RAW payload (unmatched crx dialect / Foveon / CIFF
+            # compressed) but the container carries an embedded JPEG
+            # preview — browse with that (the develop chain stays
+            # unavailable, matching the refusal)
+            data = _preview_fallback_thumbnail(real_path, resolution)
             if data is not None:
                 if cache_file is not None:
                     cache_file.parent.mkdir(parents=True, exist_ok=True)
