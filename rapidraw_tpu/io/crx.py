@@ -39,7 +39,12 @@ class Cmp1:
     mdat_hdr_size: int = 0
 
 
-_CMP1_FMT = ">hhiiiiiiiiBBBBi"  # 44 bytes, padded to header_size (0x30)
+# The real (libraw crxParseImageHeader / dnglab Cmp1Box) byte layout:
+# i16 unknown @0, u16 headerSize @2, u16 version @4, u16 versionSub @6,
+# u32 f_width @8, f_height @12, tileWidth @16, tileHeight @20,
+# u8 nBits @24, u8 planes<<4|cfa @25, u8 encType<<4|levels @26,
+# u8 tileFlags @27, u32 mdatHdrSize @28 — 32 bytes, padded to headerSize.
+_CMP1_FMT = ">hHHHIIIIBBBBI"
 
 
 def parse_cmp1(payload: bytes) -> Cmp1 | None:
@@ -47,9 +52,11 @@ def parse_cmp1(payload: bytes) -> Cmp1 | None:
     if len(payload) < struct.calcsize(_CMP1_FMT):
         return None
     try:
-        (_, hdr_size, _ver, _ver_sub, fw, fh, tw, th, _, _, bits, pb, el,
+        (_, _hdr_size, ver, _ver_sub, fw, fh, tw, th, bits, pb, el,
          _tiles, mdat_hdr) = struct.unpack_from(_CMP1_FMT, payload, 0)
     except struct.error:
+        return None
+    if ver not in (0x100, 0x200):  # the only versions cameras write
         return None
     cmp1 = Cmp1(
         f_width=fw, f_height=fh, tile_width=tw, tile_height=th,
@@ -69,7 +76,7 @@ def build_cmp1(cmp1: Cmp1) -> bytes:
     """Serialize (fixture builder + archival writer)."""
     body = struct.pack(
         _CMP1_FMT, -1, 0x30, 0x100, 0, cmp1.f_width, cmp1.f_height,
-        cmp1.tile_width, cmp1.tile_height, 0, 0, cmp1.n_bits,
+        cmp1.tile_width, cmp1.tile_height, cmp1.n_bits,
         (cmp1.n_planes << 4) | cmp1.cfa_layout,
         (cmp1.enc_type << 4) | cmp1.image_levels, 0, cmp1.mdat_hdr_size,
     )

@@ -62,8 +62,17 @@ def settings_from_preset(preset: dict) -> ExportSettings:
         long_edge=long_edge,
         filename_template=preset.get("filename_template") or "{original_filename}_edited",
         watermark=watermark,
-        copy_exif=bool(preset.get("keep_metadata", True)),
-        strip_gps=bool(preset.get("strip_gps", True)),
+        # keep_metadata/strip_gps are plain bools in the reference preset
+        # schema (app_settings.rs:227-228); treat an explicit null like a
+        # missing key — null must NOT read as False (it would silently
+        # disable GPS stripping / drop all EXIF)
+        copy_exif=bool(
+            True if preset.get("keep_metadata") is None
+            else preset["keep_metadata"]
+        ),
+        strip_gps=bool(
+            True if preset.get("strip_gps") is None else preset["strip_gps"]
+        ),
         preserve_folders=bool(preset.get("preserve_folders") or False),
         preserve_timestamps=bool(preset.get("preserve_timestamps") or False),
         export_masks=bool(preset.get("export_masks") or False),
@@ -396,7 +405,7 @@ def export_images(
     appearance: dict = {}
     claimed_paths: set = set()
 
-    def encode_one(idx, p, planar, dt, n_in_chunk):
+    def encode_one(idx, p, planar, dt, n_in_chunk, mask_prep=None):
         # sequence/appearance/output-path state is assigned in the render
         # loop (single thread) so filename numbering is deterministic and
         # two sources that template to the same name can't overwrite each
@@ -445,7 +454,12 @@ def export_images(
                 if settings.preserve_timestamps:
                     _restore_timestamps(real, dst, created=created)
                 if settings.export_masks:
-                    _export_masks_for_image(p, dst, settings, app_settings)
+                    # mask_prep hands over the render loop's already-
+                    # decoded timg + rasterized bitmaps — no second full
+                    # RAW decode/transform per image
+                    _export_masks_for_image(
+                        p, dst, settings, app_settings, prepared=mask_prep
+                    )
                 r = ExportResult(p, str(dst), True, seconds=dt / n_in_chunk)
             except Exception as e:  # noqa: BLE001
                 r = ExportResult(p, None, False, f"encode failed: {e}")
@@ -463,7 +477,14 @@ def export_images(
     # of recompiling as the union grows (the reference compiles its one
     # GPU pipeline once, export_processing.rs:661-738)
     def _cfg_key(cfg):
-        return (cfg.is_raw, cfg.tonemapper_agx, cfg.ca_static_rc, cfg.ca_static_by)
+        # has_lut must be part of the key: buckets split by LUT content,
+        # and a no-LUT bucket seeded from a union that absorbed a LUT doc
+        # would carry has_lut=True — disabling the batched megakernel
+        # (fused.fusable_batched excludes LUT configs) for LUT-less images
+        return (
+            cfg.is_raw, cfg.tonemapper_agx, cfg.ca_static_rc,
+            cfg.ca_static_by, cfg.has_lut,
+        )
 
     pre_union: dict = {}
     from rapidraw_tpu.io.loader import is_raw_file
@@ -475,7 +496,17 @@ def export_images(
             adj = dict(load_adjustments(p))
             adj["showClipping"] = False
             is_raw = is_raw_file(parse_virtual_path(p)[0])
-            _, pcfg = parse_adjustments(adj, is_raw=is_raw)
+            # same tonemapper override as _prepare_one: the override flips
+            # cfg.tonemapper_agx, which is part of the bucket key — a
+            # prescan without it would never match any actual bucket and
+            # every chunk would recompile as its union grows
+            _, pcfg = parse_adjustments(
+                adj, is_raw=is_raw,
+                tonemapper_override=(
+                    app_settings.tonemapper_override(is_raw)
+                    if app_settings is not None else None
+                ),
+            )
             k = _cfg_key(pcfg)
             pre_union[k] = (
                 merge_configs([pre_union[k], pcfg]) if k in pre_union else pcfg
@@ -533,7 +564,12 @@ def export_images(
         dt = time.perf_counter() - t0
         tasks = []
         for b, c in enumerate(chunk):
-            tasks.append(encode_one(c["idx"], c["path"], out[b], dt, len(chunk)))
+            tasks.append(encode_one(
+                c["idx"], c["path"], out[b], dt, len(chunk),
+                mask_prep=(
+                    (c["timg"], c["masks"]) if settings.export_masks else None
+                ),
+            ))
         for t in tasks:
             enc_sem.acquire()
             enc_pool.submit(t)
@@ -626,8 +662,13 @@ def export_images(
 
 
 def _export_masks_for_image(path: str, main_output: Path, settings: ExportSettings,
-                            app_settings=None) -> None:
+                            app_settings=None, prepared=None) -> None:
     """Per-mask image+alpha export (export_processing.rs:471-585).
+
+    `prepared`: optional (timg, bitmaps) handed over from the export
+    pipeline's _prepare_one — the render loop already decoded, transformed
+    and rasterized this exact image, so the standalone decode below (the
+    most expensive host work per image) is skipped.
 
     For each visible mask: render the image with ONLY that mask's
     adjustments applied everywhere (full-white influence bitmap) and save it
@@ -649,7 +690,9 @@ def _export_masks_for_image(path: str, main_output: Path, settings: ExportSettin
     from rapidraw_tpu.pipeline.batch import stack_params
 
     real, _vc = parse_virtual_path(path)
-    img, is_raw = load_image(path, app_settings=app_settings)
+    from rapidraw_tpu.io.loader import is_raw_file
+
+    is_raw = is_raw_file(real)
     adj = dict(load_adjustments(path))
     adj["showClipping"] = False
     masks_json = [
@@ -659,16 +702,21 @@ def _export_masks_for_image(path: str, main_output: Path, settings: ExportSettin
     if not masks_json:
         return
 
-    timg, crop_offset = apply_all_transformations(jnp.asarray(img), adj)
-    _, h, w = timg.shape
-    from rapidraw_tpu.masks.rasterize import resolve_warped_image
+    if prepared is not None:
+        timg, bitmaps = prepared
+    else:
+        img, is_raw = load_image(path, app_settings=app_settings)
+        timg, crop_offset = apply_all_transformations(jnp.asarray(img), adj)
+        _, h, w = timg.shape
+        from rapidraw_tpu.masks.rasterize import resolve_warped_image
 
-    bitmaps = rasterize_masks(
-        adj, w, h, scale=1.0, crop_offset=crop_offset,
-        warped_image=resolve_warped_image(img, adj, is_raw),
-    )
+        bitmaps = rasterize_masks(
+            adj, w, h, scale=1.0, crop_offset=crop_offset,
+            warped_image=resolve_warped_image(img, adj, is_raw),
+        )
     if bitmaps is None:
         return
+    _, h, w = timg.shape
 
     white = np.ones((1, h, w), np.float32)
     out_dir = main_output.parent
@@ -782,10 +830,23 @@ def estimate_export_sizes(
     params, cfg = parse_adjustments(
         adj, is_raw=is_raw, tonemapper_override=tm_override
     )
+    lut = None
+    if cfg.has_lut and isinstance(adj.get("lutPath"), str):
+        # the probe must apply the document LUT like the export will —
+        # un-LUT-ed pixels encode to a different byte size
+        from rapidraw_tpu.io.lut import parse_lut_file
+
+        try:
+            lut = jnp.asarray(parse_lut_file(adj["lutPath"]))
+        except Exception:  # noqa: BLE001
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, has_lut=False)
     out = np.asarray(
         develop(
             preview, params, cfg,
             masks=jnp.asarray(masks) if masks is not None else None,
+            lut=lut,
         )
     )
 

@@ -138,7 +138,13 @@ def demosaic_xtrans(x: jnp.ndarray, xtrans: np.ndarray) -> jnp.ndarray:
     # samples in that direction (den == 0)
     w_h = jnp.where(den_h > 1e-6, 1.0 / (eps + grad_h), 0.0)
     w_v = jnp.where(den_v > 1e-6, 1.0 / (eps + grad_v), 0.0)
-    w_a = 0.25 * (1.0 / eps) * 1e-2  # small isotropic stabilizer
+    # isotropic stabilizer RELATIVE to the winning direction: a constant
+    # would swamp the directional weights as soon as gradients exceed its
+    # reciprocal (exactly the textured/colored edges where direction
+    # selection matters); phases with no directional samples fall back to
+    # the isotropic estimate entirely
+    w_dir = jnp.maximum(w_h, w_v)
+    w_a = jnp.where(w_dir > 0.0, 0.1 * w_dir, 1.0)
     est_h = num_h / jnp.maximum(den_h, 1e-6)
     est_v = num_v / jnp.maximum(den_v, 1e-6)
     est_a = num_a / jnp.maximum(den_a, 1e-6)

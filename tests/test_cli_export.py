@@ -296,3 +296,18 @@ def test_export_colliding_names_uniquified(tmp_path):
     assert len(outs) == 2, outs
     for o in outs:
         assert Path(o).exists()
+
+
+def test_settings_from_preset_null_metadata_keys():
+    """Frontend presets carry explicit nulls for unset keys; null must
+    read as the default (keep metadata, strip GPS) — not as False, which
+    would silently export GPS coordinates."""
+    from rapidraw_tpu.pipeline.export import settings_from_preset
+
+    s = settings_from_preset({
+        "file_format": "jpeg", "keep_metadata": None, "strip_gps": None,
+    })
+    assert s.copy_exif is True
+    assert s.strip_gps is True
+    s2 = settings_from_preset({"keep_metadata": False, "strip_gps": False})
+    assert s2.copy_exif is False and s2.strip_gps is False

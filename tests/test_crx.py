@@ -195,3 +195,40 @@ def test_cr3_corrupt_payload_falls_back_to_refusal():
     with pytest.raises(UnsupportedRawFormat) as ei:
         parse_raw(data, ext="cr3")
     assert "decode attempt" in str(ei.value)
+
+
+def test_cmp1_byte_layout_matches_public_spec():
+    """Pin the CMP1 offsets against the publicly documented layout
+    (libraw crxParseImageHeader / dnglab Cmp1Box) byte by byte — a
+    build/parse round-trip alone cannot catch a shifted struct."""
+    import struct
+
+    from rapidraw_tpu.io.crx import parse_cmp1
+
+    hdr = bytearray(0x30)
+    struct.pack_into(">h", hdr, 0, -1)       # unknown
+    struct.pack_into(">H", hdr, 2, 0x30)     # header size
+    struct.pack_into(">H", hdr, 4, 0x100)    # version
+    struct.pack_into(">H", hdr, 6, 0)        # version sub
+    struct.pack_into(">I", hdr, 8, 6000)     # f_width
+    struct.pack_into(">I", hdr, 12, 4000)    # f_height
+    struct.pack_into(">I", hdr, 16, 6000)    # tile width
+    struct.pack_into(">I", hdr, 20, 4000)    # tile height
+    hdr[24] = 14                             # nBits
+    hdr[25] = (4 << 4) | 1                   # nPlanes=4, cfaLayout=1
+    hdr[26] = (0 << 4) | 0                   # encType=0, imageLevels=0
+    hdr[27] = 0                              # tile flags
+    struct.pack_into(">I", hdr, 28, 32)      # mdatHdrSize
+
+    c = parse_cmp1(bytes(hdr))
+    assert c is not None
+    assert (c.f_width, c.f_height) == (6000, 4000)
+    assert (c.tile_width, c.tile_height) == (6000, 4000)
+    assert c.n_bits == 14 and c.n_planes == 4 and c.cfa_layout == 1
+    assert c.enc_type == 0 and c.image_levels == 0
+    assert c.mdat_hdr_size == 32
+
+    # unknown version refuses (cameras write 0x100/0x200 only)
+    bad = bytearray(hdr)
+    struct.pack_into(">H", bad, 4, 0x300)
+    assert parse_cmp1(bytes(bad)) is None

@@ -1154,8 +1154,8 @@ def test_xtrans_directional_edge_quality():
     cfa = np.take_along_axis(rgb, site[None], axis=0)[0].astype(np.float32)
     out = np.asarray(demosaic_xtrans(jnp.asarray(cfa), DEFAULT_XTRANS))
     err = np.abs(out - rgb)[:, 4:-4, 4:-4]
-    assert err.max() < 0.2, err.max()
-    assert err.mean() < 0.004, err.mean()
+    assert err.max() < 0.19, err.max()
+    assert err.mean() < 0.0025, err.mean()
 
 
 def test_rwl_routes_to_rw2_parser(tmp_path):
@@ -1557,3 +1557,67 @@ def test_nef_lossy_type2_ver40_curve_and_white():
     r = parse_raw(build_tiff([ifd0]), ext="nef")
     np.testing.assert_array_equal(r.cfa, coded.astype(np.uint32) * 4)
     assert r.white_level == float(4 * 4095)
+
+
+def _build_raf_embedded_tiff(cfa: np.ndarray, record_dims=None) -> bytes:
+    """RAF whose CFA block is an embedded little-endian TIFF with a
+    FujiIFD (newer bodies): 0xF001/0xF002 dims, 0xF007/0xF008 strip."""
+    h, w = cfa.shape
+    payload = cfa.astype("<u2").tobytes()
+    entries = [
+        (0xF001, 4, 1, w), (0xF002, 4, 1, h), (0xF003, 4, 1, 14),
+        (0xF007, 4, 1, None), (0xF008, 4, 1, len(payload)),
+    ]
+    ifd = struct.pack("<H", len(entries))
+    data_off = 8 + 2 + 12 * len(entries) + 4
+    for tag, typ, cnt, val in entries:
+        v = data_off if val is None else val
+        ifd += struct.pack("<HHII", tag, typ, cnt, v)
+    ifd += struct.pack("<I", 0)
+    tiff = b"II*\x00" + struct.pack("<I", 8) + ifd + payload
+
+    rh, rw = record_dims if record_dims else (h, w)
+    recs = [(0x0100, struct.pack(">HH", rh, rw))]
+    hdr = struct.pack(">I", len(recs))
+    for tag, rec in recs:
+        hdr += struct.pack(">HH", tag, len(rec)) + rec
+
+    pre = bytearray(b"FUJIFILMCCD-RAW " + b"0201" + b"\0" * (0x54 - 20))
+    cfa_hdr_off = 0x6C
+    cfa_off = cfa_hdr_off + len(hdr)
+    pre += struct.pack(">II", 0, 0)
+    pre += struct.pack(">II", cfa_hdr_off, len(hdr))
+    pre += struct.pack(">II", cfa_off, len(tiff))
+    assert len(pre) == 0x6C
+    return bytes(pre) + hdr + tiff
+
+
+def test_raf_dimensions_agree_with_decoded_shape():
+    """raf_dimensions must report the FujiIFD raw dims for embedded-TIFF
+    RAFs — the shape parse_raf actually decodes — even when the 0x0100
+    CFA record carries a different (sensor full) size."""
+    from rapidraw_tpu.io.raf import parse_raf, raf_dimensions
+
+    w, h = 12, 6
+    plane = np.arange(w * h, dtype=np.uint16).reshape(h, w)
+    raf = _build_raf_embedded_tiff(plane, record_dims=(h + 4, w + 8))
+    assert raf_dimensions(raf) == (w, h)
+    rf = parse_raf(raf)
+    assert rf.cfa.shape == (h, w)
+    np.testing.assert_array_equal(rf.cfa, plane)
+
+
+def test_raf_embedded_tiff_missing_height_refuses():
+    """A FujiIFD with strip+width but no 0xF002 height must raise the
+    module's ValueError contract, not a raw KeyError."""
+    from rapidraw_tpu.io.raf import parse_raf
+
+    w, h = 8, 4
+    plane = np.zeros((h, w), np.uint16)
+    raf = bytearray(_build_raf_embedded_tiff(plane))
+    # overwrite the 0xF002 tag id with a harmless unknown tag
+    idx = raf.find(struct.pack("<HH", 0xF002, 4))
+    assert idx > 0
+    raf[idx : idx + 2] = struct.pack("<H", 0xFEEE)
+    with pytest.raises(ValueError):
+        parse_raf(bytes(raf))
