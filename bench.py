@@ -319,13 +319,16 @@ def _bench_stencil_export() -> None:
     try:
         extra = _bench_export_end_to_end()
         e2e_ips = extra.get("e2e_images_per_sec_24mp", 0.0)
-        # vs_baseline here = fraction of the device develop rate the
-        # end-to-end path sustains; on the axon tunnel the host<->device
-        # copies ride a network link, so this is a lower bound (see
-        # PERFORMANCE.md)
+        # vs_baseline uses the SAME definition as every other line:
+        # throughput in MPix/s over the 2000 MPix/s BASELINE bar. The
+        # device-rate fraction lives in its own key. On the axon tunnel the
+        # host<->device copies ride a network link, so this is a lower
+        # bound (see PERFORMANCE.md).
+        e2e_mpix = e2e_ips * H * W / 1e6
         print(json.dumps({
             "metric": "export_e2e_24mp", "value": e2e_ips,
-            "unit": "img/s", "vs_baseline": round(e2e_ips / dev_ips, 5),
+            "unit": "img/s", "vs_baseline": round(e2e_mpix / 2000.0, 5),
+            "fraction_of_device_rate": round(e2e_ips / dev_ips, 5),
             **extra,
         }), flush=True)
     except Exception as e:  # noqa: BLE001 — e2e leg is best-effort
@@ -333,7 +336,13 @@ def _bench_stencil_export() -> None:
                           "e2e_error": str(e)[:200]}), flush=True)
 
 
-E2E_COUNT = 3
+# the e2e leg sizes its image count by TIME BUDGET (BASELINE config 5 is a
+# "100-image batch export"; a fixed tiny count under-samples, a fixed 100
+# could blow the harness budget on the tunnel): distinct source files on
+# tmpfs, exported repeatedly until E2E_BUDGET_S or E2E_MAX_IMAGES.
+E2E_FILES = 8
+E2E_BUDGET_S = 75.0
+E2E_MAX_IMAGES = 104
 
 
 def _minimal_dng(cfa: "np.ndarray") -> bytes:
@@ -366,10 +375,13 @@ def _minimal_dng(cfa: "np.ndarray") -> bytes:
 def _bench_export_end_to_end() -> dict:
     """BASELINE config 5 as written: synthetic 24MP DNGs on tmpfs through
     export_images (decode -> warp -> develop -> JPEG encode -> EXIF),
-    reporting end-to-end images/sec next to the device-only MPix/s.
-    NOTE: on the axon dev tunnel the host<->device copies (50 MB CFA up,
-    75 MB u8 down per frame) ride a network link; a real TPU host pays
-    PCIe instead, so this number is a lower bound."""
+    reporting end-to-end images/sec next to the device-only MPix/s, plus
+    the per-stage CPU-seconds breakdown (pipeline.export.STAGE_STATS) so
+    the bottleneck is attributable from the artifact alone.
+    NOTE: the load->develop->readback chain is device-resident (50 MB u16
+    CFA up + 75 MB u8 down per frame = ~126 MB on the wire); on the axon
+    dev tunnel those copies ride a network link, a real TPU host pays PCIe
+    (~100x faster), so this number is a lower bound."""
     import json as _json
     import shutil
     import tempfile
@@ -380,34 +392,56 @@ def _bench_export_end_to_end() -> dict:
     root = Path(tempfile.mkdtemp(prefix="rr_bench_e2e_", dir=base))
     try:
         rng = np.random.default_rng(7)
-        cfa = rng.integers(64, 16383, (H, W), dtype=np.uint16)
-        dng = _minimal_dng(cfa)
         doc = dict(_CONFIG5_DOC)
         doc.update(_CONFIG5_GEOMETRY)
         paths = []
-        for i in range(E2E_COUNT):
+        for i in range(E2E_FILES):
+            cfa = rng.integers(64, 16383, (H, W), dtype=np.uint16)
             p = root / f"img_{i:03d}.dng"
-            p.write_bytes(dng)
+            p.write_bytes(_minimal_dng(cfa))
             (root / f"img_{i:03d}.dng.rrdata").write_text(
                 _json.dumps({"version": 1, "adjustments": doc})
             )
             paths.append(str(p))
 
+        from rapidraw_tpu.pipeline import export as export_mod
         from rapidraw_tpu.pipeline.export import ExportSettings, export_images
 
-        out_dir = root / "out"
         # warm once (compiles: RAW develop, warp planner, megakernel)
-        export_images(paths[:1], out_dir, ExportSettings(batch_size=1))
+        export_images(paths[:1], root / "warm", ExportSettings(batch_size=1))
+
+        export_mod.reset_stage_stats()
+        n_ok = 0
+        n_total = 0
+        rounds = 0
         t0 = _time.perf_counter()
-        results = export_images(paths, out_dir, ExportSettings(batch_size=3))
-        wall = _time.perf_counter() - t0
-        n_ok = sum(r.ok for r in results)
-        if n_ok != len(paths):
-            return {"e2e_error": f"{len(paths) - n_ok} exports failed"}
+        while True:
+            results = export_images(
+                paths, root / f"out_{rounds:02d}", ExportSettings(batch_size=4)
+            )
+            rounds += 1
+            n_ok += sum(r.ok for r in results)
+            n_total += len(results)
+            wall = _time.perf_counter() - t0
+            if wall >= E2E_BUDGET_S or n_total >= E2E_MAX_IMAGES:
+                break
+        if n_ok != n_total:
+            return {"e2e_error": f"{n_total - n_ok} exports failed"}
+        stats = dict(export_mod.STAGE_STATS)
+        frames = max(int(stats.pop("frames", 0)), 1)
+        per_stage = {
+            f"e2e_{k[:-2]}_s_per_img": round(v / frames, 3)
+            for k, v in stats.items()
+        }
         return {
             "e2e_images_per_sec_24mp": round(n_ok / wall, 3),
             "e2e_wall_s": round(wall, 2),
             "e2e_count": n_ok,
+            # CPU-seconds per image per stage (stages overlap across
+            # threads; decode/prepare exclude device time — render_s is
+            # the device compute + u8 readback sync)
+            **per_stage,
+            "tunnel_mb_per_frame": round((H * W * 2 + 3 * H * W) / 1e6, 1),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

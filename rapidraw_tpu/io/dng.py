@@ -368,12 +368,19 @@ def load_raw_file(
     raw_processing.rs:81-86). `fast` is the thumbnail path
     (use_fast_raw_dev): speed demosaic + clamp to 1.0
     (raw_processing.rs:113-115,130-134).
+
+    Device-resident: the CFA uploads ONCE in its native dtype (u16 for most
+    containers — half the transfer of f32) and the whole normalize/WB/
+    demosaic/matrix/highlight/orientation chain runs as ONE jitted program;
+    the result STAYS on device (the reference keeps pixels GPU-resident
+    across renders, gpu_processing.rs:1738-1778). Callers that need host
+    memory use np.asarray at their own edge.
     """
+    import jax
     import jax.numpy as jnp
 
     from rapidraw_tpu.io.containers import parse_raw
     from rapidraw_tpu.raw.color import camera_to_srgb_matrix
-    from rapidraw_tpu.raw.develop import develop_cfa, develop_linear_raw
 
     p = Path(path)
     raw = parse_raw(p.read_bytes(), ext=p.suffix)
@@ -383,49 +390,85 @@ def load_raw_file(
         cam2srgb = np.eye(3, dtype=np.float32)
 
     clamp_limit = 1.0 if fast else None
-    if raw.is_linear:
-        apply_ungamma = linear_mode in ("gamma", "gamma_skip_calib")
-        apply_calibration = linear_mode not in ("skip_calib", "gamma_skip_calib")
-        img = jnp.asarray(raw.cfa.astype(np.float32).transpose(2, 0, 1))
-        out = develop_linear_raw(
-            img, raw.black_level, raw.white_level,
-            apply_ungamma=apply_ungamma,
-            highlight_compression=highlight_compression,
-            cam_matrix=(
-                cam2srgb if apply_calibration and raw.xyz_to_cam is not None
-                else None
-            ),
-            clamp_limit=clamp_limit,
-        )
-    elif raw.xtrans is not None:
-        from rapidraw_tpu.raw.develop import develop_cfa_xtrans
-
-        out = develop_cfa_xtrans(
-            jnp.asarray(raw.cfa.astype(np.float32)),
-            raw.black_level,
-            raw.white_level,
-            raw.wb,
-            cam2srgb,
-            raw.xtrans,
-            highlight_compression=highlight_compression,
-            clamp_limit=clamp_limit,
-        )
-    else:
-        out = develop_cfa(
-            jnp.asarray(raw.cfa.astype(np.float32)),
-            raw.black_level,
-            raw.white_level,
-            raw.wb,
-            cam2srgb,
-            pattern=raw.pattern,
-            algorithm="speed" if fast else "malvar",
-            highlight_compression=highlight_compression,
-            clamp_limit=clamp_limit,
-        )
-    arr = np.asarray(out)
-    # EXIF orientation on planar (3, H, W)
-    from rapidraw_tpu.io.loader import _apply_exif_orientation
-
-    return np.ascontiguousarray(
-        _apply_exif_orientation(arr.transpose(1, 2, 0), raw.orientation).transpose(2, 0, 1)
+    # one compiled program per (camera-model constants, shape, settings):
+    # eager per-op dispatch costs a device round trip PER OP on a remote
+    # device, and host-side orientation forced a full f32 download
+    key = (
+        raw.cfa.shape, str(raw.cfa.dtype), bool(raw.is_linear),
+        None if raw.xtrans is None else raw.xtrans.tobytes(),
+        raw.pattern, float(raw.black_level), float(raw.white_level),
+        None if raw.wb is None else np.asarray(raw.wb, np.float32).tobytes(),
+        cam2srgb.tobytes(), float(highlight_compression), str(linear_mode),
+        clamp_limit, int(raw.orientation), bool(fast),
     )
+    fn = _DEVELOP_JIT_CACHE.get(key)
+    if fn is None:
+        from rapidraw_tpu.raw.develop import develop_cfa, develop_linear_raw
+
+        is_linear, xtrans, pattern = raw.is_linear, raw.xtrans, raw.pattern
+        black, white, wb = raw.black_level, raw.white_level, raw.wb
+        orientation, hc = int(raw.orientation), highlight_compression
+        has_matrix = raw.xyz_to_cam is not None
+
+        def _develop(cfa):
+            if is_linear:
+                apply_ungamma = linear_mode in ("gamma", "gamma_skip_calib")
+                apply_calibration = linear_mode not in (
+                    "skip_calib", "gamma_skip_calib"
+                )
+                img = jnp.transpose(cfa.astype(jnp.float32), (2, 0, 1))
+                out = develop_linear_raw(
+                    img, black, white,
+                    apply_ungamma=apply_ungamma,
+                    highlight_compression=hc,
+                    cam_matrix=(
+                        cam2srgb if apply_calibration and has_matrix else None
+                    ),
+                    clamp_limit=clamp_limit,
+                )
+            elif xtrans is not None:
+                from rapidraw_tpu.raw.develop import develop_cfa_xtrans
+
+                out = develop_cfa_xtrans(
+                    cfa.astype(jnp.float32), black, white, wb, cam2srgb,
+                    xtrans, highlight_compression=hc, clamp_limit=clamp_limit,
+                )
+            else:
+                out = develop_cfa(
+                    cfa.astype(jnp.float32), black, white, wb, cam2srgb,
+                    pattern=pattern,
+                    algorithm="speed" if fast else "malvar",
+                    highlight_compression=hc,
+                    clamp_limit=clamp_limit,
+                )
+            return _orient_planar(out, orientation)
+
+        fn = jax.jit(_develop)
+        _DEVELOP_JIT_CACHE[key] = fn
+    return fn(jnp.asarray(raw.cfa))
+
+
+_DEVELOP_JIT_CACHE: dict = {}
+
+
+def _orient_planar(arr, orientation: int):
+    """EXIF orientation 1-8 on planar (3, H, W), device-side jnp ops
+    (image_loader.rs:169-212 — same mapping as loader._apply_exif_orientation
+    but without the host round trip)."""
+    import jax.numpy as jnp
+
+    if orientation == 2:
+        return arr[:, :, ::-1]
+    if orientation == 3:
+        return arr[:, ::-1, ::-1]
+    if orientation == 4:
+        return arr[:, ::-1, :]
+    if orientation == 5:
+        return jnp.rot90(arr, k=-1, axes=(1, 2))[:, :, ::-1]
+    if orientation == 6:
+        return jnp.rot90(arr, k=-1, axes=(1, 2))
+    if orientation == 7:
+        return jnp.rot90(arr, k=1, axes=(1, 2))[:, :, ::-1]
+    if orientation == 8:
+        return jnp.rot90(arr, k=1, axes=(1, 2))
+    return arr

@@ -58,20 +58,27 @@ def _apply_exif_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
     return arr
 
 
-def load_ldr(path: str | Path) -> np.ndarray:
-    """Decode an LDR file to planar (3, H, W) float32 sRGB-encoded [0,1].
+def load_ldr(path: str | Path):
+    """Decode an LDR file to planar (3, H, W) float32 sRGB-encoded [0,1],
+    returned as a DEVICE array.
 
     PIL covers the bulk of NON_RAW_EXTENSIONS (formats.rs:73-79); the
     float/HDR tail (hdr/exr/ff/pam) decodes via io/float_images.py, clamped
-    to [0,1] like the reference's DynamicImage->RGB8 conversion."""
+    to [0,1] like the reference's DynamicImage->RGB8 conversion.
+
+    The decoded u8 uploads as-is (1/4 the bytes of f32) and the scale +
+    transpose run on device — the reference uploads once and keeps pixels
+    GPU-resident (gpu_processing.rs:1738-1778)."""
     from PIL import Image
+
+    import jax.numpy as jnp
 
     ext = Path(str(path)).suffix.lower().lstrip(".")
     if ext in ("hdr", "exr", "ff", "pam"):
         from rapidraw_tpu.io.float_images import load_float_image
 
         arr = np.clip(load_float_image(path), 0.0, 1.0)
-        return np.ascontiguousarray(arr.transpose(2, 0, 1))
+        return jnp.asarray(np.ascontiguousarray(arr.transpose(2, 0, 1)))
 
     with Image.open(path) as im:
         try:
@@ -80,9 +87,23 @@ def load_ldr(path: str | Path) -> np.ndarray:
             orientation = 1
         arr = np.asarray(im.convert("RGB"), np.uint8)
     arr = _apply_exif_orientation(arr, int(orientation))
-    return np.ascontiguousarray(
-        (arr.astype(np.float32) / 255.0).transpose(2, 0, 1)
-    )
+    return _u8_hwc_to_planar_device(np.ascontiguousarray(arr))
+
+
+_U8_TO_PLANAR_JIT = None
+
+
+def _u8_hwc_to_planar_device(arr_u8_hwc: np.ndarray):
+    """(H, W, 3) u8 host -> (3, H, W) f32 [0,1] device, one jitted dispatch."""
+    global _U8_TO_PLANAR_JIT
+    import jax
+    import jax.numpy as jnp
+
+    if _U8_TO_PLANAR_JIT is None:
+        _U8_TO_PLANAR_JIT = jax.jit(
+            lambda a: jnp.transpose(a.astype(jnp.float32), (2, 0, 1)) / 255.0
+        )
+    return _U8_TO_PLANAR_JIT(jnp.asarray(arr_u8_hwc))
 
 
 _ENHANCE_CACHE: dict = {}
@@ -107,6 +128,13 @@ def _enhance_jit(nr_amount: float, sharpening: float):
 
 def load_image(path: str | Path, app_settings=None, fast: bool = False):
     """Load any supported file. Returns (planar_f32, is_raw: bool).
+
+    planar_f32 is a DEVICE array: the whole load->enhance chain stays on
+    device (the reference keeps decoded pixels GPU-resident across renders,
+    gpu_processing.rs:1738-1778) so downstream transforms/develop add no
+    host round trip — a 24MP frame is ~50 MB of CFA up instead of ~900 MB
+    of f32 ping-pong. Host-side consumers convert with np.asarray at
+    their edge.
 
     Mirrors load_base_image_from_bytes (image_loader.rs:62-150):
       * RAW develop honors rawHighlightCompression / linearRawMode;
@@ -135,11 +163,11 @@ def load_image(path: str | Path, app_settings=None, fast: bool = False):
             fast=fast,
         )
         if run_enhance:
-            img = np.asarray(_enhance_jit(nr_amount, sharpening)(img))
+            img = _enhance_jit(nr_amount, sharpening)(img)
         return img, True
     img = load_ldr(real)
     if run_enhance and s.apply_preprocessing_to_non_raws:
-        img = np.asarray(_enhance_jit(nr_amount, sharpening)(img))
+        img = _enhance_jit(nr_amount, sharpening)(img)
     return img, False
 
 

@@ -170,7 +170,10 @@ def _prepare_one(path: str, settings: ExportSettings, app_settings=None):
     from rapidraw_tpu.masks.rasterize import rasterize_masks
     from rapidraw_tpu.params.parse import parse_adjustments
 
+    t0 = time.perf_counter()
     img, is_raw = load_image(path, app_settings=app_settings)
+    t1 = time.perf_counter()
+    _stat_add("decode_s", t1 - t0)
     adj = load_adjustments(path)
     # show_clipping is forced off for export (export_processing.rs:250)
     adj = dict(adj)
@@ -199,6 +202,7 @@ def _prepare_one(path: str, settings: ExportSettings, app_settings=None):
             lut = np.asarray(parse_lut_file(adj["lutPath"]), np.float32)
         except Exception:
             cfg = dataclasses.replace(cfg, has_lut=False)
+    _stat_add("prepare_s", time.perf_counter() - t1)
     return timg, masks, params, cfg, lut
 
 
@@ -317,10 +321,14 @@ def host_worker_budget() -> int:
 
 def prepare_window(batch_size: int, n_workers: int) -> int:
     """Max prepared-but-unrendered images in flight: enough to keep one
-    device chunk ahead of the render loop, capped by the RAM budget (each
-    24MP prepared image is ~300 MB of f32 + masks)."""
+    device chunk ahead of the render loop. Prepared frames are DEVICE
+    arrays (the load->develop chain never leaves HBM), so the cap is sized
+    for device memory: worst-case live device frames ≈ 2x this window
+    (pend + accumulating chunks), each 24MP frame ~300 MB f32 — 8 keeps
+    that under ~5 GB of a 16 GB chip alongside the develop working set.
+    Host RAM still bounds it on RAM-starved hosts (masks + encode queue)."""
     want = max(batch_size + n_workers, 2 * batch_size, 2)
-    return max(2, min(want, 16, max(2, int(_available_ram_bytes() / (2.5 * (1 << 30))))))
+    return max(2, min(want, 8, max(2, int(_available_ram_bytes() / (2.5 * (1 << 30))))))
 
 
 # test hook: tracks the peak number of live prepared-but-unencoded images
@@ -330,6 +338,30 @@ import threading as _threading
 _live_prepared = 0
 _peak_prepared = 0
 _live_lock = _threading.Lock()
+
+# per-stage wall-time accounting for the export pipeline (bench.py's e2e
+# leg reports this breakdown; stages overlap across threads, so the sums
+# are CPU-seconds per stage, not a wall-clock decomposition):
+#   decode_s    host container decode + device develop DISPATCH (async)
+#   prepare_s   transforms + mask rasterization dispatch (async)
+#   render_s    device develop + u8 readback (the np.asarray sync point)
+#   encode_s    host JPEG/PNG encode + EXIF splice
+STAGE_STATS = {
+    "decode_s": 0.0, "prepare_s": 0.0, "render_s": 0.0, "encode_s": 0.0,
+    "frames": 0,
+}
+_stats_lock = _threading.Lock()
+
+
+def reset_stage_stats() -> None:
+    with _stats_lock:
+        for k in STAGE_STATS:
+            STAGE_STATS[k] = 0.0 if k != "frames" else 0
+
+
+def _stat_add(key: str, value) -> None:
+    with _stats_lock:
+        STAGE_STATS[key] += value
 
 
 def _track_prepared(delta: int) -> None:
@@ -435,6 +467,7 @@ def export_images(
         claimed_paths.add(str(dst))
 
         def task():
+            t_enc = time.perf_counter()
             try:
                 out = planar
                 if (settings.long_edge or settings.watermark is not None) \
@@ -464,6 +497,7 @@ def export_images(
             except Exception as e:  # noqa: BLE001
                 r = ExportResult(p, None, False, f"encode failed: {e}")
             finally:
+                _stat_add("encode_s", time.perf_counter() - t_enc)
                 _track_prepared(-1)
                 enc_sem.release()
             with res_lock:
@@ -562,6 +596,8 @@ def export_images(
 
         out = _render_chunk(imgs, params, masks, lut, cfg, blur_bands=blur_bands)
         dt = time.perf_counter() - t0
+        _stat_add("render_s", dt)
+        _stat_add("frames", len(chunk))
         tasks = []
         for b, c in enumerate(chunk):
             tasks.append(encode_one(
