@@ -721,12 +721,26 @@ def _apply_nr_static_pallas(
     color_a: float,
     scale: float,
     is_raw: bool,
+    tap_dtype=None,
 ) -> jnp.ndarray:
     import functools
 
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if tap_dtype is None:
+        # bf16 tap streaming was MEASURED and rejected as a default
+        # (tools/prof_nr_bf16.py, 24MP v5e): 38.5 -> 37.2 ms (~3.5%) — the
+        # kernel is bound by VPU op issue (gate math + lane rotates), not
+        # by streamed bytes, so halving tap bytes barely moves it. Not
+        # worth max|Δ| ~2e-3 of output latitude. RAPIDRAW_NR_TAPS=bf16
+        # keeps the measured variant reachable; see the roofline evidence
+        # in PERFORMANCE.md / tools/nr_opcount.py.
+        tap_dtype = (
+            jnp.bfloat16 if _os.environ.get("RAPIDRAW_NR_TAPS") == "bf16"
+            else jnp.float32
+        )
 
     _, h, w = input_rgb.shape
     luma_a = min(max(luma_a, 0.0), 1.0)
@@ -744,7 +758,7 @@ def _apply_nr_static_pallas(
     n_luma = luma(jnp.maximum(neighbor_linear, 0.0))
     planes = jnp.stack(
         [n_luma, neighbor_linear[0] - n_luma, neighbor_linear[2] - n_luma]
-    )
+    ).astype(tap_dtype)
 
     # 2-D tile grid with a 9-piece halo: center (16, 512) blocks plus N/S
     # row strips (16, 512) and W/E/corner col strips (16, 128) of the SAME
@@ -810,9 +824,12 @@ def _apply_nr_static_pallas(
             def band(plane: int, dx: int, r0=r0, bands=bands):
                 key = (plane, dx)
                 if key not in bands:
+                    # upcast ONCE per distinct (plane, dx): taps stream
+                    # through VMEM in tap_dtype (half the bytes for bf16)
+                    # and all downstream arithmetic runs f32
                     bands[key] = ext_ref[
                         plane, r0 : r0 + ch + 2 * hs, 128 + dx : 128 + cw + dx
-                    ]
+                    ].astype(jnp.float32)
                 return bands[key]
 
             def tap(plane: int, dx: int, dy: int, r0=r0):
@@ -958,7 +975,7 @@ def _apply_nr_static_pallas(
         ],
         out_specs=pl.BlockSpec((3, th, cw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((3, th + 2 * hs, cw + 256), jnp.float32),
+            pltpu.VMEM((3, th + 2 * hs, cw + 256), tap_dtype),
             pltpu.VMEM((len(lt), th, cw), jnp.float32),
         ],
         interpret=interpret,

@@ -191,6 +191,28 @@ def test_nr_static_config_fields():
     assert merge_configs([c1, c1]).nr_static_luma == c1.nr_static_luma
 
 
+def test_nr_bf16_tap_mode_statistically_close():
+    """RAPIDRAW_NR_TAPS=bf16 (the measured-and-rejected fast mode,
+    tools/prof_nr_bf16.py) must stay a bounded perturbation of the f32
+    kernel: neighbor SAMPLES round to bf16 (~0.4% relative), accumulation
+    stays f32."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rapidraw_tpu.ops.nr import _apply_nr_static_pallas
+
+    rng = np.random.default_rng(3)
+    img = np.clip(0.4 + rng.normal(0, 0.05, (3, 64, 160)).astype(np.float32), 0, 1)
+    cl = jnp.asarray(img)
+    f32 = np.asarray(_apply_nr_static_pallas(
+        cl, cl, 0.3, 0.25, 1.0, True, tap_dtype=jnp.float32))
+    bf16 = np.asarray(_apply_nr_static_pallas(
+        cl, cl, 0.3, 0.25, 1.0, True, tap_dtype=jnp.bfloat16))
+    d = np.abs(f32 - bf16)
+    assert d.mean() < 2e-4
+    assert d.max() < 0.02  # gate flips on isolated pixels, bounded
+
+
 def test_nr_static_xla_matches_pallas_interpret():
     """The FORCE_XLA escape (spatial sharding) and the Pallas halo kernel
     must agree — the fused-exp/hoisted-reciprocal rewrites in the kernel

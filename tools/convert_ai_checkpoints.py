@@ -84,7 +84,7 @@ def _init_variables(model_key: str):
     if model_key == "depth_anything_v2":
         from rapidraw_tpu.ai.depth import _depth_model
 
-        model = _depth_model()
+        model = _depth_model()()  # factory returns the Module class
         return model.init(rng, jnp.zeros((1, 518, 518, 3)))
     if model_key == "lama_inpaint":
         from rapidraw_tpu.ai.inpaint import _models
