@@ -68,8 +68,11 @@ def _walk_heap(data: bytes, e: str, start: int, length: int, info: CrwInfo,
         storage = typ & 0xC000
         kind = typ & 0x3800
         tag = typ & 0x3FFF
-        if storage == 0x4000:
-            # value lives in the 8 length/offset bytes of the record
+        if storage & 0x4000:
+            # dcraw: ANY type with bit 0x4000 set stores its value in the
+            # 8 length/offset bytes of the record (so 0xC000-class records
+            # — e.g. a decoder-table or timestamp variant — are read, not
+            # silently skipped)
             if tag == _TAG_DECODER:
                 info.decoder_table = int(rec_len)
             continue

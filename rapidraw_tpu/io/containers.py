@@ -42,7 +42,26 @@ _TIFF_CFA_MAKES = (
     "EPSON", "SEIKO EPSON", "MAMIYA", "LEAF", "HASSELBLAD", "SAMSUNG",
     "KODAK", "EASTMAN KODAK",
 )
-_TIFF_CFA_EXTS = ("erf", "mef", "mos", "fff", "3fr", "kdc", "dcr", "dcs", "srw")
+# k25/bay/pro: the formats.rs:4-71 extension tail (Kodak DC25 / Casio /
+# Kodak ProBack eras). When such a file is TIFF-shaped it rides the
+# generic TIFF-CFA path; the non-TIFF proprietary bitstreams (identified
+# by file-size tables in dcraw, not by magic) get a precise refusal in
+# parse_raw instead of the generic "unrecognized container".
+_TIFF_CFA_EXTS = (
+    "erf", "mef", "mos", "fff", "3fr", "kdc", "dcr", "dcs", "srw",
+    "k25", "bay", "pro",
+)
+
+# extensions whose non-TIFF payloads we can NAME precisely even though the
+# bitstream is not decoded (the X3F/CRW refusal treatment, formats.rs tail)
+_REFUSAL_TAIL = {
+    "k25": "Kodak DC25 bitstream (identified by size table, not magic)",
+    "bay": "Casio BAY bitstream (identified by size table, not magic)",
+    "pro": "Kodak ProBack bitstream",
+    "ptx": "non-TIFF Pentax PTX payload",
+    "raw": "bare .raw that is neither a Panasonic (IIU\\0 magic) nor a "
+           "TIFF-family container",
+}
 
 
 class UnsupportedRawFormat(ValueError):
@@ -101,6 +120,8 @@ def sniff_container(data: bytes, ext: str = "") -> str:
         return "raf"
     if data[:4] == b"FOVb":
         return "x3f"
+    if data[:4] == b"ARRI":  # ARRIRAW (.ari): LE header, dims at 20/24
+        return "ari"
     if data[:4] == b"\x00MRM":
         return "mrw"
     if data[:4] in (b"IIRO", b"IIRS", b"MMOR"):  # Olympus magics 0x4f52/0x5352
@@ -137,7 +158,7 @@ def sniff_container(data: bytes, ext: str = "") -> str:
             return "nef"
         if ext in ("arw", "srf", "sr2"):
             return "arw"
-        if ext == "pef":
+        if ext in ("pef", "ptx"):  # PTX is the Pentax PEF sibling extension
             return "pef"
         return "tiff"
     return "unknown"
@@ -224,12 +245,34 @@ def parse_raw(data: bytes, ext: str = "") -> RawFile:
             "CIFF compressed bitstream not decoded; the embedded JPEG "
             "preview is served for browse/thumbnails (io/ciff.py)",
         )
+    if kind == "ari":
+        w, h = _ari_dimensions_or_zero(data)
+        raise UnsupportedRawFormat(
+            "ari",
+            f"ARRIRAW bitstream not decoded (container metadata parsed: "
+            f"{w}x{h}, make ARRI)",
+        )
     if kind == "bmff":
         raise UnsupportedRawFormat(kind)
+    tail = _REFUSAL_TAIL.get(ext.lower().lstrip("."))
+    if tail is not None:
+        raise UnsupportedRawFormat(ext.lower().lstrip("."), tail)
     raise DngError(
         f"unrecognized RAW container (extension {ext or '?'}); "
         f"supported: {', '.join(SUPPORTED_FORMATS)}"
     )
+
+
+def _ari_dimensions_or_zero(data: bytes) -> tuple[int, int]:
+    """ARRIRAW header: LE, width at offset 20, height at 24 (the dcraw
+    'ARRI' identify path). (0, 0) on truncated headers."""
+    try:
+        w, h = struct.unpack_from("<II", data, 20)
+        if 0 < w < 65536 and 0 < h < 65536:
+            return int(w), int(h)
+    except struct.error:
+        pass
+    return 0, 0
 
 
 def raw_dimensions(data: bytes, ext: str = "") -> tuple[int, int]:
@@ -242,6 +285,11 @@ def raw_dimensions(data: bytes, ext: str = "") -> tuple[int, int]:
     if kind == "bmff":
         raise UnsupportedRawFormat(kind)
     try:
+        if kind == "ari":
+            w, h = _ari_dimensions_or_zero(data)
+            if w and h:
+                return w, h
+            raise DngError("ARRIRAW header truncated")
         if kind == "x3f":
             from rapidraw_tpu.io.x3f import x3f_dimensions
 

@@ -77,6 +77,10 @@ int phase_one_decode(const uint8_t* data, long len,
 
   int lenc[2] = {0, 0};  // persists across rows (dcraw function scope)
   const int tail_start = raw_width & ~7;
+  // dcraw's derror() is non-fatal: a predictor overflow marks the file
+  // corrupt (a warning in dcraw) but decoding continues — a single
+  // flipped bit garbles the rest of its row, not the whole image, so
+  // slightly damaged files still render exactly as dcraw renders them.
   for (int row = 0; row < raw_height; row++) {
     long off = (long)row_offsets[row];
     if (off < 0 || off >= len) return -2;
@@ -99,9 +103,10 @@ int phase_one_decode(const uint8_t* data, long len,
         if (lenc[i] < 1 || lenc[i] > 16) return -4;
         pred[i] += (int)br.bits(lenc[i]) + 1 - (1 << (lenc[i] - 1));
       }
-      if (pred[i] >> 16) return -3;
-      uint16_t pix = (fmt == 5 && pred[i] < 256) ? curve[pred[i]]
-                                                 : (uint16_t)pred[i];
+      // overflowed predictors carry forward (dcraw keeps pred as-is) and
+      // the store truncates to 16 bits, matching dcraw's ushort write
+      const uint16_t stored = (uint16_t)pred[i];
+      uint16_t pix = (fmt == 5 && stored < 256) ? curve[stored] : stored;
       out[(long)row * raw_width + col] = pix;
     }
   }

@@ -46,8 +46,11 @@ def make_mesh(devices=None, batch: int | None = None, spatial: int | None = None
 def sharded_develop_batch(mesh: Mesh, cfg: DevelopConfig, blur_bands=None):
     """jit develop_batch with batch+spatial shardings over `mesh`.
 
-    Returns fn(images (B,3,H,W), params, masks|None) -> (B,3,H,W); B must be
-    divisible by the mesh batch axis, W by the x axis.
+    Returns fn(images (B,3,H,W), params, masks|None, lut|None) -> (B,3,H,W);
+    B must be divisible by the mesh batch axis, W by the x axis. `lut` is a
+    (N,N,N,3) 3D LUT REPLICATED to every device (a LUT is ~1-5 MB and every
+    shard needs all of it — replication over ICI beats serializing LUT
+    buckets onto one chip, which round 3 did).
 
     Two regimes, chosen by the mesh shape:
       * batch-only (x == 1): shard_map over 'batch' — every device runs the
@@ -70,41 +73,48 @@ def sharded_develop_batch(mesh: Mesh, cfg: DevelopConfig, blur_bands=None):
     param_sh = NamedSharding(mesh, P("batch"))
 
     if not spatial:
-        def body(images, params, masks):
+        def body(images, params, masks, lut):
             out = develop_batch(
-                images, params, cfg, masks=masks, blur_bands=blur_bands
+                images, params, cfg, masks=masks, lut=lut,
+                blur_bands=blur_bands,
             )
             return out
 
         @jax.jit
-        def fn(images, params, masks=None):
+        def fn(images, params, masks=None, lut=None):
             has_masks = masks is not None
             m_spec = P("batch") if has_masks else P()
             sm = shard_map(
                 body, mesh=mesh,
-                in_specs=(P("batch"), P("batch"), m_spec),
+                # lut replicates (P()): every batch shard samples the whole
+                # cube locally, zero collectives on the hot path
+                in_specs=(P("batch"), P("batch"), m_spec, P()),
                 out_specs=P("batch"),
                 check_vma=False,  # pallas_call outputs carry no vma info
             )
-            return sm(images, params, masks)
+            return sm(images, params, masks, lut)
 
         return fn
 
+    lut_sh = NamedSharding(mesh, P())
+
     @functools.partial(jax.jit, static_argnames=())
-    def fn(images, params, masks=None):
+    def fn(images, params, masks=None, lut=None):
         images = jax.lax.with_sharding_constraint(images, img_sh)
         params = jax.tree.map(
             lambda x: jax.lax.with_sharding_constraint(x, param_sh), params
         )
         if masks is not None:
             masks = jax.lax.with_sharding_constraint(masks, mask_sh)
+        if lut is not None:
+            lut = jax.lax.with_sharding_constraint(lut, lut_sh)
         token = blur_mod.FORCE_CONV.set(True)
         token_nr = nr_mod.FORCE_XLA.set(True)
         try:
             # row bands slice/pad the H axis, which the spatial regime never
             # shards (x shards W) — SPMD-safe
             out = develop_batch(
-                images, params, cfg, masks=masks, fused=False,
+                images, params, cfg, masks=masks, lut=lut, fused=False,
                 blur_bands=blur_bands,
             )
         finally:

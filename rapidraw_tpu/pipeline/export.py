@@ -122,16 +122,16 @@ def _jitted_develop(cfg, blur_bands=None):
 def _render_chunk(imgs, params, masks, lut, cfg, blur_bands=None) -> np.ndarray:
     """Develop one export chunk, sharded across every visible chip.
 
-    Multi-device: images/params/masks shard over the mesh batch axis
-    (parallel/mesh.sharded_develop_batch — each chip runs the full fused
+    Multi-device: images/params/masks shard over the mesh batch axis and
+    the document LUT (if any) REPLICATES to every device
+    (parallel/mesh.sharded_develop_batch — each chip runs the full
     pipeline on its local shard, zero collectives), with the batch padded
     up to a mesh multiple by repeating the last image. This is the scaling
     model for "the TPU money path" (export_processing.rs:637-1004: the
     reference fans out across CPU threads but serializes on one GPU).
-    Single device (or a LUT bucket — the sharded entry takes no lut):
-    plain jitted develop_batch.
+    Single device: plain jitted develop_batch.
     """
-    if jax.device_count() > 1 and lut is None:
+    if jax.device_count() > 1:
         from rapidraw_tpu.parallel.mesh import make_mesh, sharded_develop_batch
 
         key = ("mesh", cfg, blur_bands)
@@ -151,7 +151,7 @@ def _render_chunk(imgs, params, masks, lut, cfg, blur_bands=None) -> np.ndarray:
             params = jax.tree.map(rep, params)
             if masks is not None:
                 masks = rep(masks)
-        return np.asarray(_device_u8(fn(imgs, params, masks)))[:b]
+        return np.asarray(_device_u8(fn(imgs, params, masks, lut)))[:b]
     return np.asarray(
         _device_u8(_jitted_develop(cfg, blur_bands)(imgs, params, masks, lut))
     )

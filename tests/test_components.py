@@ -283,6 +283,117 @@ def test_spatial_mesh_with_nr_matches_single_device():
     assert d.max() < 0.02
 
 
+def test_spatial_mesh_parity_at_scale_radius_crosses_shards():
+    """Spatial-shard parity where the blur radius meaningfully CROSSES the
+    shard boundary (VERDICT r3 #5): at 1024x2048 the structure pyramid
+    radius is ceil(40 * 1024/1080) = 38 px against a 1024 px shard width
+    — the same radius-to-shard-width ratio (~4%) as the 24MP production
+    case (152 px vs a 3072 px shard on a spatial=2 mesh), where the toy
+    32x256 test exercised only tiny radii. The SPMD halo exchange XLA
+    inserts for the conv must carry whole vreg-rows of neighbor shard,
+    and sharpness + clarity + structure + NR are all active so every
+    cross-shard dependency is exercised at realistic reach."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rapidraw_tpu.params.parse import parse_adjustments
+    from rapidraw_tpu.parallel.mesh import make_mesh, sharded_develop_batch
+    from rapidraw_tpu.pipeline.batch import develop_batch, stack_params
+
+    doc = {
+        "exposure": 0.3, "sharpness": 40, "clarity": 30, "structure": 25,
+        "lumaNoiseReduction": 30, "colorNoiseReduction": 20,
+        "toneMapper": "agx",
+    }
+    parsed = [parse_adjustments(doc, is_raw=False) for _ in range(2)]
+    params, cfg = stack_params([p for p, _ in parsed], [c for _, c in parsed])
+    assert cfg.structure_blur_needed  # the radius-38 level is actually on
+    rng = np.random.default_rng(7)
+    # smooth ramp + noise: shard-boundary errors would show up as seams in
+    # the clarity band, not vanish into saturation
+    ys = np.linspace(0, 1, 1024, dtype=np.float32)[:, None]
+    base = 0.25 + 0.5 * ys * np.ones((1, 2048), np.float32)
+    imgs = np.clip(
+        base[None, None] + rng.normal(0, 0.05, (2, 3, 1024, 2048)), 0, 1
+    ).astype(np.float32)
+    imgs = jnp.asarray(imgs)
+
+    mesh = make_mesh(jax.devices()[:4], batch=2, spatial=2)
+    fn = sharded_develop_batch(mesh, cfg)
+    sharded = np.asarray(fn(imgs, params))
+
+    import rapidraw_tpu.ops.blur as blur_mod
+    import rapidraw_tpu.ops.nr as nr_mod
+
+    t1 = blur_mod.FORCE_CONV.set(True)
+    t2 = nr_mod.FORCE_XLA.set(True)
+    try:
+        plain = np.asarray(develop_batch(imgs, params, cfg, fused=False))
+    finally:
+        nr_mod.FORCE_XLA.reset(t2)
+        blur_mod.FORCE_CONV.reset(t1)
+    d = np.abs(sharded - plain)
+    # same statistical contract as the toy test (NR gate flips on isolated
+    # pixels under reassociation), now with radii spanning shards
+    assert d.mean() < 1e-5
+    assert (d > 1e-3).mean() < 0.005
+    assert d.max() < 0.02
+    # seam check: the columns adjacent to the shard boundary must not be
+    # systematically worse than the interior
+    seam = d[..., 1023:1025].mean()
+    interior = d[..., 500:502].mean()
+    assert seam < max(5 * interior, 1e-5)
+
+
+def test_lut_bucket_shards_on_mesh():
+    """A LUT-graded batch must ride the mesh (VERDICT r3 #6): the sharded
+    entry takes the LUT as a REPLICATED operand and matches the
+    single-device render."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rapidraw_tpu.params.parse import parse_adjustments
+    from rapidraw_tpu.parallel.mesh import make_mesh, sharded_develop_batch
+    from rapidraw_tpu.pipeline.batch import develop_batch, stack_params
+
+    doc = {"exposure": 0.2, "lutPath": "unused.cube", "lutAmount": 80,
+           "toneMapper": "agx"}
+    parsed = [parse_adjustments(doc, is_raw=False) for _ in range(4)]
+    params, cfg = stack_params([p for p, _ in parsed], [c for _, c in parsed])
+    assert cfg.has_lut
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.random((4, 3, 64, 256), dtype=np.float32))
+    # a non-trivial 8^3 LUT (identity + channel crosstalk)
+    g = np.linspace(0, 1, 8, dtype=np.float32)
+    r, gg, b = np.meshgrid(g, g, g, indexing="ij")
+    lut = np.stack([
+        np.clip(r * 0.9 + gg * 0.1, 0, 1),
+        np.clip(gg * 0.85 + b * 0.15, 0, 1),
+        np.clip(b * 0.95 + r * 0.05, 0, 1),
+    ], axis=-1).astype(np.float32)
+    lut = jnp.asarray(lut)
+
+    mesh = make_mesh(jax.devices()[:4], batch=4, spatial=1)
+    fn = sharded_develop_batch(mesh, cfg)
+    sharded = np.asarray(fn(imgs, params, None, lut))
+    plain = np.asarray(develop_batch(imgs, params, cfg, lut=lut))
+    # statistical contract, same as the other mesh tests: shard_map
+    # recompilation reassociates the sin-based dither hash input by ulps,
+    # flipping isolated pixels by exactly one output quantum (1/255 =
+    # 3.92e-3) — measured identical with and without the LUT, so it is
+    # not the LUT operand plumbing
+    d = np.abs(sharded - plain)
+    assert d.mean() < 2e-5
+    assert (d > 1e-3).mean() < 0.01
+    assert d.max() < 0.02
+    # and the LUT genuinely applied (vs an identity-cube render)
+    ident = jnp.asarray(np.stack([r, gg, b], axis=-1).astype(np.float32))
+    with_ident = np.asarray(fn(imgs, params, None, ident))
+    assert np.abs(sharded.astype(np.float32) - with_ident).max() > 0.01
+
+
 def test_nr_exact_jitter_matches_gather_spec():
     """RAPIDRAW_NR_EXACT_JITTER=1 routes static-amount NR through the
     candidate-mask slice formulation, which must reproduce the jittered

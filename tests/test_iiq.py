@@ -359,3 +359,32 @@ def test_iiq_loads_end_to_end(tmp_path):
     arr = np.asarray(img)
     assert arr.shape == (3, 8, 16)
     assert np.isfinite(arr).all()
+
+
+def test_iiq_predictor_overflow_is_nonfatal():
+    """A predictor overflow must NOT abort the decode (dcraw's derror is a
+    warning): the stored sample truncates to 16 bits, the overflowed
+    predictor carries forward, and the row keeps decoding. Only pervasive
+    corruption refuses."""
+    _skip_if_no_native()
+    from rapidraw_tpu.native import phase_one_decode
+
+    width = 136  # 68 samples/parity * +2048 max delta > 0xffff
+    bw = _BitWriter(big=False)
+    lens = [0, 0]
+    for g0 in range(0, width, 8):
+        for i in (0, 1):
+            if lens[i] == 12:
+                bw.put(1, 1)  # carry-over
+            else:
+                _emit_len(bw, 12)
+                lens[i] = 12
+        for _col in range(8):
+            bw.put((1 << 12) - 1, 12)  # max positive delta: +2048
+    data = bw.tobytes()
+    out = phase_one_decode(data, np.zeros(1, np.uint32), width, 1, 5, False)
+    assert out.shape == (1, width)
+    # pred after k samples of one parity = 2048k; sample 33+ of each
+    # parity exceeds 0xffff and must appear truncated mod 65536
+    expect_last = (2048 * 68) % 65536
+    assert int(out[0, -1]) == expect_last or int(out[0, -2]) == expect_last

@@ -1621,3 +1621,83 @@ def test_raf_embedded_tiff_missing_height_refuses():
     raf[idx : idx + 2] = struct.pack("<H", 0xFEEE)
     with pytest.raises(ValueError):
         parse_raf(bytes(raf))
+
+
+# ------------------------------------------------ formats.rs extension tail
+# k25 / bay / ari / pro / ptx / bare-.raw (formats.rs:4-71): TIFF-shaped
+# payloads decode through the generic vendor paths on the extension hint
+# alone; non-TIFF proprietary bitstreams refuse PRECISELY (naming the
+# format) instead of the generic "unrecognized container" fallthrough.
+
+
+def test_extension_tail_tiff_shaped_decodes():
+    for i, ext in enumerate(("k25", "bay", "pro")):
+        rng = np.random.default_rng(50 + i)
+        cfa = rng.integers(0, 4095, (6, 8), dtype=np.uint16)
+        raw_ifd = (
+            Ifd()
+            .add(256, 3, [8])
+            .add(257, 3, [6])
+            .add(258, 3, [16])
+            .add(277, 3, [1])
+            .add(259, 3, [1])
+            .add(262, 3, [32803])
+            .add(33422, 1, bytes([0, 1, 1, 2]))
+            .add(273, 4, ("blob", cfa.tobytes()))
+            .add(279, 4, [cfa.size * 2])
+        )
+        # NO vendor Make tag: the EXTENSION hint must route it
+        data = build_tiff([_thumb_ifd(), raw_ifd])
+        assert sniff_container(data, ext) == "tiffcfa", ext
+        r = parse_raw(data, ext=ext)
+        np.testing.assert_array_equal(r.cfa, cfa)
+
+
+def test_extension_tail_ptx_routes_to_pef():
+    _skip_if_no_native()
+    rng = np.random.default_rng(54)
+    h, w = 8, 12
+    cfa = rng.integers(0, 1 << 12, size=(h, w), dtype=np.uint16)
+    stream = _encode_pentax(cfa)
+    ifd = _cfa_ifd(w, h, 12, 65535, stream)
+    # PTX is the PEF sibling extension; with AND without the Make tag
+    data = build_tiff([Ifd([(271, 2, "PENTAX Corporation")]), ifd])
+    assert sniff_container(data, "ptx") == "pef"
+    r = parse_raw(data, ext="ptx")
+    np.testing.assert_array_equal(r.cfa, cfa)
+    data2 = build_tiff([Ifd([(271, 2, "UNKNOWN VENDOR")]), ifd])
+    assert sniff_container(data2, "ptx") == "pef"
+
+
+def test_extension_tail_precise_refusals():
+    for ext in ("k25", "bay", "pro", "ptx", "raw"):
+        with pytest.raises(UnsupportedRawFormat) as ei:
+            parse_raw(b"\x00NOT-A-TIFF-CONTAINER" + b"\0" * 64, ext=ext)
+        assert ei.value.format == ext, ext
+
+
+def test_ari_metadata_and_refusal():
+    from rapidraw_tpu.io.containers import raw_dimensions
+
+    head = b"ARRI" + b"\0" * 16 + struct.pack("<II", 2880, 1620) + b"\0" * 64
+    assert sniff_container(head, "ari") == "ari"
+    with pytest.raises(UnsupportedRawFormat) as ei:
+        parse_raw(head, ext="ari")
+    assert "2880x1620" in str(ei.value) and "ARRI" in str(ei.value)
+    assert raw_dimensions(head, "ari") == (2880, 1620)
+    # truncated header: still a refusal, never an internal slip
+    with pytest.raises(ValueError):
+        parse_raw(b"ARRI\x00\x01", ext="ari")
+
+
+def test_bare_panasonic_raw_routes_by_magic():
+    # old Panasonic/Leica bare .raw carries the same IIU\0 magic-85
+    # container as RW2 — the sniffer routes by MAGIC, so the extension
+    # does not matter; and a TIFF-shaped bare .raw rides the TIFF path
+    assert sniff_container(b"IIU\0\x08\0\0\0" + b"\0" * 64, ext="raw") == "rw2"
+    rng = np.random.default_rng(55)
+    cfa = rng.integers(0, 4095, (6, 8), dtype=np.uint16)
+    data = build_tiff([_cfa_ifd(8, 6, 16, 1, cfa.tobytes())])
+    assert sniff_container(data, "raw") == "tiff"
+    r = parse_raw(data, ext="raw")
+    np.testing.assert_array_equal(r.cfa, cfa)
