@@ -12,10 +12,14 @@ raw_processing.rs:15-30).
 Formats: 0/1/2 are plain 16-bit planes (1/2 with the two-key XOR
 scramble); 3/4/5/8 are the per-row compressed bitstream decoded by
 native/phase_one.cc (format 5 applies the small-value gamma ramp, format
-8 skips the final <<2). Other format codes refuse precisely. The
-meta-directory sensor corrections (dcraw's phase_one_correct: defect
-lists, per-quadrant gain polynomials) are not applied — they are
-refinement on top of the decoded plane, not part of the bitstream.
+8 skips the final <<2). Other format codes refuse precisely.
+
+The 0x110 meta-directory sensor corrections (dcraw's phase_one_correct)
+are applied for the well-specified subset: polynomial gain curves
+(0x419/0x41A), the sensor-defect list (0x400: bad pixels, bad columns)
+and quadrant multipliers (0x41E). The spatially-varying gain (0x412),
+quadrant linearizations (0x41F/0x431) and flat-field grids
+(0x401/0x416/0x40B) remain documented parity gaps (PARITY.md row 7).
 """
 
 from __future__ import annotations
@@ -93,6 +97,186 @@ def iiq_dimensions(data: bytes) -> tuple[int, int]:
     if not (w and h):
         raise DngError("IIQ missing dimensions")
     return int(w), int(h)
+
+
+# dcraw phase_one_correct neighbor table: 4 diagonals, 4 straight-2s,
+# 4 diagonal-2s.
+_DEFECT_DIRS = (
+    (-1, -1), (-1, 1), (1, -1), (1, 1),
+    (-2, 0), (0, -2), (0, 2), (2, 0),
+    (-2, -2), (-2, 2), (2, -2), (2, 2),
+)
+
+
+def _neighbor_col(plane: np.ndarray, rows: np.ndarray, col: int, dr: int, dc: int) -> np.ndarray:
+    """Zero-padded neighbor read of one column's worth of rows (dcraw's
+    bounds-checked `raw(row,col)` accessor returns 0 out of range)."""
+    h, w = plane.shape
+    c = col + dc
+    out = np.zeros(rows.shape[0], np.float64)
+    if 0 <= c < w:
+        r = rows + dr
+        ok = (r >= 0) & (r < h)
+        out[ok] = plane[r[ok], c]
+    return out
+
+
+def _fix_bad_column(plane: np.ndarray, col: int, top: int, left: int) -> None:
+    """Defect types 131/137: re-estimate every pixel of one column.
+
+    Green sites (RGGB FC==1): average of the 4 diagonal neighbors with the
+    single largest-deviation tap rejected. Non-green sites: dcraw's fixed
+    blend of the four ±2 diagonals (0.0732233 each) and the same-row ±2
+    horizontal pair (0.3535534 each).
+    """
+    h, w = plane.shape
+    rows = np.arange(h)
+    green = ((rows - top) + (col - left)) % 2 == 1
+
+    vals = np.stack([_neighbor_col(plane, rows, col, dr, dc) for dr, dc in _DEFECT_DIRS[:4]])
+    s = vals.sum(axis=0)
+    dev = np.abs(4.0 * vals - s)
+    mx = np.argmax(dev, axis=0)  # first max, like dcraw's strict-> scan
+    g_fix = (s - vals[mx, rows]) / 3.0 + 0.5
+
+    s8 = sum(_neighbor_col(plane, rows, col, dr, dc) for dr, dc in _DEFECT_DIRS[8:12])
+    horiz = _neighbor_col(plane, rows, col, 0, -2) + _neighbor_col(plane, rows, col, 0, 2)
+    ng_fix = 0.5 + s8 * 0.0732233 + horiz * 0.3535534
+
+    fixed = np.where(green, g_fix, ng_fix)
+    plane[:, col] = np.clip(fixed, 0, 65535).astype(np.uint16)  # trunc like C cast
+
+
+def _fix_bad_pixel(plane: np.ndarray, row: int, col: int, top: int, left: int) -> None:
+    """Defect type 129: 8-neighbor integer mean; the neighbor set starts at
+    the diagonals for green sites and at the straight-2s otherwise."""
+    h, w = plane.shape
+    j = 0 if ((row - top) + (col - left)) % 2 == 1 else 4
+    total = 0
+    for dr, dc in _DEFECT_DIRS[j : j + 8]:
+        r, c = row + dr, col + dc
+        if 0 <= r < h and 0 <= c < w:
+            total += int(plane[r, c])
+    plane[row, col] = (total + 4) >> 3
+
+
+def _apply_phase_one_corrections(
+    plane: np.ndarray,
+    data: bytes,
+    base: int,
+    big: bool,
+    d: dict,
+    split_col: int,
+    split_row: int,
+    top: int,
+    left: int,
+) -> np.ndarray:
+    """dcraw `phase_one_correct` subset over the full-sensor plane.
+
+    Implemented from the publicly documented dcraw semantics (the
+    reference app's rawler path, raw_processing.rs:15-30, inherits the
+    same stage from its decoder): polynomial gain curves (0x419 applies
+    right of split_col, 0x41A whole-frame), the sensor-defect list
+    (0x400) and quadrant multipliers (0x41E). Malformed correction data
+    degrades to the uncorrected plane rather than refusing the file —
+    corrections are refinement, not decode.
+    """
+    if 0x110 not in d:
+        return plane
+    _, meta_len, word, _ = d[0x110]
+    meta = base + word
+    if not meta_len or meta + 16 > len(data):
+        return plane
+    me = ">" if data[meta : meta + 2] == b"MM" else "<"
+
+    def u32(pos: int) -> int:
+        return struct.unpack_from(me + "I", data, pos)[0]
+
+    def f32(pos: int) -> float:
+        return struct.unpack_from(me + "f", data, pos)[0]
+
+    try:
+        dir_pos = meta + u32(meta + 8)
+        entries = u32(dir_pos)
+        if entries > 4096 or dir_pos + 8 + 12 * entries > len(data):
+            return plane
+    except struct.error:
+        return plane
+
+    # tag 0x210 (a float in the MAIN directory's data word) feeds the
+    # 0x419 curve's constant-term adjustment
+    tag_210 = 0.0
+    if 0x210 in d:
+        tag_210 = float(
+            struct.unpack(
+                (">" if big else "<") + "f",
+                struct.pack((">" if big else "<") + "I", d[0x210][2]),
+            )[0]
+        )
+
+    plane = np.ascontiguousarray(plane)
+    qmult_applied = False
+    pos = dir_pos + 8
+    for _ in range(entries):
+        tag, length, off_word = (
+            u32(pos),
+            u32(pos + 4),
+            u32(pos + 8),
+        )
+        pos += 12
+        p = meta + off_word
+        try:
+            if tag == 0x419:  # polynomial curve, right half (col >= split_col)
+                if p + 4 + 32 > len(data):
+                    continue
+                poly = [f32(p + 4 + 4 * i) for i in range(8)]
+                p3 = poly[3] + (tag_210 - poly[7]) * poly[6] + 1.0
+                i = np.arange(65536, dtype=np.float64)
+                curve = np.clip((poly[5] * i + p3) * i + poly[1], 0, 65535).astype(np.uint16)
+                plane[:, split_col:] = curve[plane[:, split_col:]]
+            elif tag == 0x41A:  # polynomial curve, whole frame
+                if p + 16 > len(data):
+                    continue
+                poly = [f32(p + 4 * i) for i in range(4)]
+                i = np.arange(65536, dtype=np.float64)
+                num = np.zeros_like(i)
+                for c in reversed(poly):
+                    num = num * i + c
+                curve = np.clip(num + i, 0, 65535).astype(np.uint16)
+                plane[:, :] = curve[plane]
+            elif tag == 0x400:  # sensor defects: 8-byte (col, row, type, _)
+                n = max(int(length), 0) // 8
+                if p + 8 * n > len(data):
+                    continue
+                for k in range(n):
+                    col, row, typ = struct.unpack_from(me + "HHH", data, p + 8 * k)
+                    if col >= plane.shape[1]:
+                        continue
+                    if typ in (131, 137):
+                        _fix_bad_column(plane, col, top, left)
+                    elif typ == 129:
+                        if row < plane.shape[0]:
+                            _fix_bad_pixel(plane, row, col, top, left)
+            elif tag == 0x41E and not qmult_applied:  # quadrant multipliers
+                # dcraw's documented word layout: 4 skip words, q00,
+                # 5 skip, q01, 3 skip, q10, 3 skip, q11 (floats, +1.0)
+                idx = [4, 10, 14, 18]
+                if p + 19 * 4 > len(data):
+                    continue
+                q = [1.0 + f32(p + 4 * i) for i in idx]
+                qm = np.empty(plane.shape, np.float64)
+                qm[:split_row, :split_col] = q[0]
+                qm[:split_row, split_col:] = q[1]
+                qm[split_row:, :split_col] = q[2]
+                qm[split_row:, split_col:] = q[3]
+                plane = np.clip(plane * qm, 0, 65535).astype(np.uint16)
+                qmult_applied = True
+            # 0x412 / 0x41F / 0x431 / 0x401 / 0x416 / 0x40B: documented
+            # parity gaps (spatial gain, quadrant linearization, flat
+            # fields) — see module docstring and PARITY.md.
+        except (struct.error, IndexError):
+            continue
+    return plane
 
 
 def parse_iiq(data: bytes) -> RawFile:
@@ -192,6 +376,10 @@ def parse_iiq(data: bytes) -> RawFile:
         from rapidraw_tpu.io.containers import UnsupportedRawFormat
 
         raise UnsupportedRawFormat("iiq", f"IIQ format code {fmt}")
+
+    plane = _apply_phase_one_corrections(
+        plane, data, base, big, d, split_col, split_row, top, left
+    )
 
     pattern = "RGGB"
     if 0 < width <= raw_width - left and 0 < height <= raw_height - top:

@@ -122,6 +122,27 @@ def _curve(pred: np.ndarray) -> np.ndarray:
     return out
 
 
+def _build_meta(entries: list[tuple[int, bytes]], big: bool) -> bytes:
+    """A 0x110 correction meta block: 2-byte order mark, 6 pad bytes, u32
+    directory offset (meta-relative), payloads, then 12-byte entries."""
+    e = ">" if big else "<"
+    payload = bytearray()
+    ents = []
+    for tag, pb in entries:
+        off = 12 + len(payload)
+        payload.extend(pb)
+        ents.append((tag, len(pb), off))
+    blob = bytearray()
+    blob += b"MM" if big else b"II"
+    blob += b"\0" * 6
+    blob += struct.pack(e + "I", 12 + len(payload))
+    blob += payload
+    blob += struct.pack(e + "II", len(ents), 0)
+    for tag, ln, off in ents:
+        blob += struct.pack(e + "III", tag, ln, off)
+    return bytes(blob)
+
+
 # --------------------------------------------------------- container writer
 def _build_iiq(
     pred: np.ndarray,
@@ -139,6 +160,8 @@ def _build_iiq(
     wb=(2.25, 1.0, 1.4375),
     romm: np.ndarray | None = None,
     keys: tuple[int, int] = (0xA5A5, 0x3C3C),
+    meta_entries: list[tuple[int, bytes]] | None = None,
+    tag210: float | None = None,
 ) -> bytes:
     raw_h, raw_w = pred.shape
     e = ">" if big else "<"
@@ -193,6 +216,17 @@ def _build_iiq(
         (0x10E, 4, fmt), (0x10F, 4, data_off), (0x21D, 4, black),
         (0x107, 12, wb_off),
     ]
+    if fmt < 3:
+        # splits also drive the meta corrections (quadrant multipliers,
+        # the 0x419 right-half curve) on plain-plane files
+        entries.extend([(0x222, 4, split_col), (0x224, 4, split_row)])
+    if meta_entries is not None:
+        meta_blob = _build_meta(meta_entries, big)
+        meta_off = _add(meta_blob)
+        entries.append((0x110, len(meta_blob), meta_off))
+    if tag210 is not None:
+        (word_210,) = struct.unpack(e + "I", struct.pack(e + "f", tag210))
+        entries.append((0x210, 4, word_210))
     if romm_off:
         entries.append((0x106, 36, romm_off))
     if fmt >= 3:
@@ -359,6 +393,131 @@ def test_iiq_loads_end_to_end(tmp_path):
     arr = np.asarray(img)
     assert arr.shape == (3, 8, 16)
     assert np.isfinite(arr).all()
+
+
+# --------------------------------------------- meta-directory corrections
+def test_iiq_meta_quadrant_multipliers():
+    """0x41E: per-quadrant gain at dcraw's documented float-word offsets
+    (4, 10, 14, 18), values stored as (gain - 1)."""
+    pred = np.full((6, 8), 1000, np.uint16)
+    q = [1.5, 0.5, 2.0, 1.0]
+    words = np.zeros(19, np.float32)
+    for idx, val in zip((4, 10, 14, 18), q):
+        words[idx] = val - 1.0
+    data = _build_iiq(
+        pred, fmt=0, black=0, split_col=4, split_row=3,
+        meta_entries=[(0x41E, words.tobytes())],
+    )
+    r = parse_raw(data, ext="iiq")
+    want = np.empty((6, 8), np.uint16)
+    want[:3, :4] = 1500
+    want[:3, 4:] = 500
+    want[3:, :4] = 2000
+    want[3:, 4:] = 1000
+    np.testing.assert_array_equal(r.cfa, want)
+
+
+def test_iiq_meta_defect_bad_pixel():
+    """0x400 type 129: 8-neighbor mean, neighbor set chosen by CFA color."""
+    rng = np.random.default_rng(21)
+    pred = rng.integers(100, 5000, (8, 10)).astype(np.uint16)
+    # (2,3): (2+3) odd -> green (RGGB FC==1) -> dirs[0:8]
+    # (4,4): even -> non-green -> dirs[4:12]
+    recs = struct.pack("<HHHH", 3, 2, 129, 0) + struct.pack("<HHHH", 4, 4, 129, 0)
+    data = _build_iiq(pred, fmt=0, black=0, meta_entries=[(0x400, recs)])
+    r = parse_raw(data, ext="iiq")
+
+    dirs = [(-1, -1), (-1, 1), (1, -1), (1, 1), (-2, 0), (0, -2), (0, 2), (2, 0),
+            (-2, -2), (-2, 2), (2, -2), (2, 2)]
+
+    def fix(p, row, col, j):
+        tot = 0
+        for dr, dc in dirs[j : j + 8]:
+            rr, cc = row + dr, col + dc
+            if 0 <= rr < p.shape[0] and 0 <= cc < p.shape[1]:
+                tot += int(p[rr, cc])
+        return (tot + 4) >> 3
+
+    want = pred.copy()
+    want[2, 3] = fix(want, 2, 3, 0)
+    want[4, 4] = fix(want, 4, 4, 4)
+    np.testing.assert_array_equal(r.cfa, want)
+
+
+def test_iiq_meta_defect_bad_column():
+    """0x400 type 131: green sites drop the worst of 4 diagonals; non-green
+    sites blend the ±2 diagonals and the same-row ±2 pair."""
+    rng = np.random.default_rng(22)
+    pred = rng.integers(100, 5000, (9, 12)).astype(np.uint16)
+    col = 5
+    data = _build_iiq(
+        pred, fmt=0, black=0,
+        meta_entries=[(0x400, struct.pack("<HHHH", col, 0, 131, 0))],
+    )
+    r = parse_raw(data, ext="iiq")
+
+    def at(p, rr, cc):
+        if 0 <= rr < p.shape[0] and 0 <= cc < p.shape[1]:
+            return float(p[rr, cc])
+        return 0.0
+
+    want = pred.copy()
+    for row in range(9):
+        if (row + col) % 2 == 1:  # green
+            vals = [at(pred, row - 1, col - 1), at(pred, row - 1, col + 1),
+                    at(pred, row + 1, col - 1), at(pred, row + 1, col + 1)]
+            s = sum(vals)
+            dev = [abs(4 * v - s) for v in vals]
+            mx = dev.index(max(dev))
+            want[row, col] = int((s - vals[mx]) / 3.0 + 0.5)
+        else:
+            s8 = (at(pred, row - 2, col - 2) + at(pred, row - 2, col + 2)
+                  + at(pred, row + 2, col - 2) + at(pred, row + 2, col + 2))
+            h2 = at(pred, row, col - 2) + at(pred, row, col + 2)
+            want[row, col] = int(0.5 + s8 * 0.0732233 + h2 * 0.3535534)
+    np.testing.assert_array_equal(r.cfa, want)
+
+
+def test_iiq_meta_poly_curves():
+    """0x41A adds Horner(poly, i) to every sample; 0x419 applies its
+    quadratic only right of split_col with the tag-0x210 constant folded
+    into the linear term."""
+    pred = (np.arange(48, dtype=np.uint16) * 100).reshape(6, 8)
+
+    # 0x41A with poly = (10, 0, 0, 0): curve[i] = i + 10
+    p41a = np.array([10, 0, 0, 0], np.float32).tobytes()
+    data = _build_iiq(pred, fmt=0, black=0, meta_entries=[(0x41A, p41a)])
+    r = parse_raw(data, ext="iiq")
+    np.testing.assert_array_equal(r.cfa, pred + 10)
+
+    # 0x419: skip-word + 8 floats, poly[1]=5, rest 0, tag210=0
+    #   p3 = 0 + (0 - 0)*0 + 1 = 1  ->  curve[i] = i + 5, cols >= split_col
+    p419 = b"\0\0\0\0" + np.array([0, 5, 0, 0, 0, 0, 0, 0], np.float32).tobytes()
+    data = _build_iiq(
+        pred, fmt=0, black=0, split_col=4,
+        meta_entries=[(0x419, p419)], tag210=0.0,
+    )
+    r = parse_raw(data, ext="iiq")
+    want = pred.copy()
+    want[:, 4:] += 5
+    np.testing.assert_array_equal(r.cfa, want)
+
+
+def test_iiq_meta_malformed_degrades_to_uncorrected():
+    """Corrections are refinement: truncated/garbage meta payloads must
+    yield the uncorrected plane, never an exception."""
+    pred = np.arange(16, dtype=np.uint16).reshape(2, 8)
+    # entry payload shorter than the tag needs
+    data = _build_iiq(pred, fmt=0, black=0, meta_entries=[(0x41E, b"\0" * 8)])
+    np.testing.assert_array_equal(parse_raw(data, ext="iiq").cfa, pred)
+    # directory offset pointing past EOF
+    good = _build_iiq(pred, fmt=0, black=0, meta_entries=[(0x41A, b"\0" * 16)])
+    idx = good.find(struct.pack("<I", 0x110))
+    assert idx > 0
+    bad = bytearray(good)
+    meta_off = struct.unpack_from("<I", bad, idx + 12)[0]
+    struct.pack_into("<I", bad, 8 + 12 + meta_off - 12 + 8, 1 << 29)
+    np.testing.assert_array_equal(parse_raw(bytes(bad), ext="iiq").cfa, pred)
 
 
 def test_iiq_predictor_overflow_is_nonfatal():

@@ -3,6 +3,8 @@
 Measures each device stage independently at the real 24MP scale factor so
 optimization work targets the true hotspots. Run on the real chip.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 import numpy as np
 import jax, jax.numpy as jnp

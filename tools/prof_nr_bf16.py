@@ -8,6 +8,8 @@ the axon tunnel — see PERFORMANCE.md).
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python -u tools/prof_nr_bf16.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import time
 

@@ -9,6 +9,8 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python -u tools/prof_nr_slices.py
 """
 
 from __future__ import annotations
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import time
 

@@ -8,6 +8,8 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python -u tools/profile_stages.py
 """
 
 from __future__ import annotations
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import copy
 import sys
