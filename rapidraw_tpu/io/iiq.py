@@ -15,11 +15,15 @@ native/phase_one.cc (format 5 applies the small-value gamma ramp, format
 8 skips the final <<2). Other format codes refuse precisely.
 
 The 0x110 meta-directory sensor corrections (dcraw's phase_one_correct)
-are applied for the well-specified subset: polynomial gain curves
-(0x419/0x41A), the sensor-defect list (0x400: bad pixels, bad columns)
-and quadrant multipliers (0x41E). The spatially-varying gain (0x412),
-quadrant linearizations (0x41F/0x431) and flat-field grids
-(0x401/0x416/0x40B) remain documented parity gaps (PARITY.md row 7).
+are applied: polynomial gain curves (0x419/0x41A), the sensor-defect
+list (0x400: bad pixels, bad columns), quadrant multipliers (0x41E),
+flat-field grids (0x401 float / 0x410+0x416 u16 all-color / 0x40B u16
+red+blue), quadrant linearizations (0x41F and the combined 0x431, both
+natural-cubic-spline code curves) and the value-dependent row-gradient
+gain (0x412, entry selected by minimal |tag-0x21A| distance). All are
+implemented from the publicly documented dcraw/libraw
+`phase_one_correct` semantics; malformed correction payloads degrade to
+the uncorrected plane (corrections are refinement, not decode).
 """
 
 from __future__ import annotations
@@ -160,6 +164,220 @@ def _fix_bad_pixel(plane: np.ndarray, row: int, col: int, top: int, left: int) -
     plane[row, col] = (total + 4) >> 3
 
 
+def _cubic_spline_curve(cx: np.ndarray, cf: np.ndarray) -> np.ndarray | None:
+    """dcraw `cubic_spline`: a natural cubic spline through the knots
+    (cx, cf)/65535, sampled at every 16-bit code value and rounded
+    half-up. Returns None (no correction) for non-increasing knots,
+    where the reference's linear solve would be degenerate."""
+    x = np.asarray(cx, np.float64) / 65535.0
+    y = np.asarray(cf, np.float64) / 65535.0
+    n = x.shape[0]
+    h = np.diff(x)
+    if n < 2 or np.any(h <= 0):
+        return None
+    c2 = np.zeros(n, np.float64)  # second derivatives, natural ends
+    if n > 2:
+        slopes = np.diff(y) / h
+        A = np.zeros((n - 2, n - 2), np.float64)
+        rhs = 6.0 * np.diff(slopes)
+        for i in range(n - 2):
+            A[i, i] = 2.0 * (h[i] + h[i + 1])
+            if i:
+                A[i, i - 1] = A[i - 1, i] = h[i]
+        try:
+            c2[1:-1] = np.linalg.solve(A, rhs)
+        except np.linalg.LinAlgError:
+            return None
+    t = np.arange(65536, dtype=np.float64) / 65535.0
+    seg = np.clip(np.searchsorted(x, t, side="right") - 1, 0, n - 2)
+    v = t - x[seg]
+    hs = h[seg]
+    out = (
+        y[seg]
+        + ((y[seg + 1] - y[seg]) / hs - hs * (2.0 * c2[seg] + c2[seg + 1]) / 6.0) * v
+        + 0.5 * c2[seg] * v * v
+        + (c2[seg + 1] - c2[seg]) / (6.0 * hs) * v * v * v
+    )
+    return np.clip(np.floor(out * 65535.0 + 0.5), 0, 65535).astype(np.uint16)
+
+
+def _quadrant_slices(split_row: int, split_col: int, qr: int, qc: int):
+    rs = slice(split_row, None) if qr else slice(0, split_row)
+    cs = slice(split_col, None) if qc else slice(0, split_col)
+    return rs, cs
+
+
+def _flat_field(
+    plane: np.ndarray,
+    data: bytes,
+    p: int,
+    me: str,
+    is_float: bool,
+    nc: int,
+    top: int,
+    left: int,
+) -> None:
+    """dcraw `phase_one_flat_field(is_float, nc)`, in place.
+
+    Layout: 8 u16 header (col0, row0, width, height, col_cell, row_cell,
+    _, _) then a (rows, cols, nc/2)-ordered grid of gains — float32 when
+    is_float else u16/32768. Gains are bilinearly interpolated over each
+    (row_cell x col_cell) grid cell and multiply the plane (truncating
+    int store, clipped to u16). nc==2 applies one gain everywhere; nc==4
+    carries separate red/blue gains applied at FC==0/FC==2 sites only.
+    """
+    if p + 16 > len(data):
+        return
+    head = struct.unpack_from(me + "8H", data, p)
+    p += 16
+    if head[2] * head[3] * head[4] * head[5] == 0:
+        return
+    wide = -(-head[2] // head[4])
+    high = -(-head[3] // head[5])
+    pairs = nc // 2
+    count = high * wide * pairs
+    if is_float:
+        if p + 4 * count > len(data):
+            return
+        vals = np.frombuffer(data, me + "f4", count=count, offset=p).astype(np.float64)
+    else:
+        if p + 2 * count > len(data):
+            return
+        vals = (
+            np.frombuffer(data, me + "u2", count=count, offset=p).astype(np.float64)
+            / 32768.0
+        )
+    if not np.all(np.isfinite(vals)):
+        return
+    grid = vals.reshape(high, wide, pairs)
+    h, w = plane.shape
+    row_hi = min(h, head[1] + head[3] - head[5])
+    col_hi = min(w, head[0] + head[2] - head[4])
+    for y in range(1, high):
+        r0 = head[1] + (y - 1) * head[5]
+        r1 = min(head[1] + y * head[5], row_hi)
+        if r1 <= r0:
+            continue
+        rr = np.arange(r0, r1)
+        ry = ((rr - r0) / float(head[5]))[:, None, None]
+        # per-row interpolated grid row: (rows, wide, pairs)
+        grow = grid[y - 1][None, :, :] + (grid[y][None, :, :] - grid[y - 1][None, :, :]) * ry
+        for x in range(1, wide):
+            c0 = head[0] + (x - 1) * head[4]
+            c1 = min(head[0] + x * head[4], col_hi)
+            if c1 <= c0:
+                continue
+            cc = np.arange(c0, c1)
+            cxf = ((cc - c0) / float(head[4]))[None, :, None]
+            gain = (
+                grow[:, x - 1 : x, :]
+                + (grow[:, x : x + 1, :] - grow[:, x - 1 : x, :]) * cxf
+            )  # (rows, cols, pairs)
+            block = plane[r0:r1, c0:c1].astype(np.float64)
+            if nc > 2:
+                rpar = ((rr - top) & 1)[:, None]
+                cpar = ((cc - left) & 1)[None, :]
+                red = (rpar == 0) & (cpar == 0)  # FC==0 sites
+                blue = (rpar == 1) & (cpar == 1)  # FC==2 sites
+                out = block.copy()
+                out[red] = np.trunc(block[red] * gain[:, :, 0][red])
+                out[blue] = np.trunc(block[blue] * gain[:, :, 1][blue])
+            else:
+                out = np.trunc(block * gain[:, :, 0])
+            plane[r0:r1, c0:c1] = np.clip(out, 0, 65535).astype(np.uint16)
+
+
+def _apply_spatial_gain_412(
+    plane: np.ndarray,
+    data: bytes,
+    p: int,
+    me: str,
+) -> np.ndarray:
+    """dcraw's tag-0x412 correction: a value-dependent row-gradient gain.
+
+    Layout at p: 9 u32 (masked to 15 bits) header, 2 pad bytes, then two
+    tables laid out contiguously — head[1]*head[3] float32 y-values plus
+    head[2]*head[4] more, followed by the same counts of u16 x-knots.
+    Per pixel: num = raw/2; for the pixel's column strip i (and i+1) the
+    x-knots of strip i are scanned for the first knot > num, the y-table
+    is linearly interpolated at num, the two strip multipliers blend by
+    the fractional column position, and raw' = trunc((mult*row + num)*2)
+    clipped to u16. The reference's strip-overrun read for the last
+    column strip lands in table 1 because the tables are contiguous —
+    reproduced here by indexing the concatenated tables.
+    """
+    if p + 38 > len(data):
+        return plane
+    head = [struct.unpack_from(me + "I", data, p + 4 * i)[0] & 0x7FFF for i in range(9)]
+    n0 = head[1] * head[3]
+    n1 = head[2] * head[4]
+    nstrip = head[1]
+    if not n0 or not nstrip:
+        return plane
+    q = p + 38
+    if q + 6 * (n0 + n1) > len(data):
+        return plane
+    yval = np.frombuffer(data, me + "f4", count=n0 + n1, offset=q).astype(np.float64)
+    xval = np.frombuffer(
+        data, me + "u2", count=n0 + n1, offset=q + 4 * (n0 + n1)
+    ).astype(np.float64)
+    if not np.all(np.isfinite(yval)):
+        return plane
+    h, w = plane.shape
+    # Per-strip value LUTs: num = raw/2 for every 16-bit code.
+    num = np.arange(65536, dtype=np.float64) * 0.5
+    luts: dict[int, np.ndarray | None] = {}
+
+    def strip_lut(i: int) -> np.ndarray | None:
+        if i in luts:
+            return luts[i]
+        lo = nstrip * i
+        hi = lo + nstrip
+        if lo < 0 or hi > n0 + n1:
+            luts[i] = None
+            return None
+        xs = xval[lo:hi]
+        ys = yval[lo:hi]
+        if np.any(np.diff(xs) < 0):
+            # dcraw's linear scan assumes ascending knots; refuse the
+            # correction rather than diverge on malformed tables
+            luts[i] = None
+            return None
+        jj = np.searchsorted(xs, num, side="right")
+        k = np.minimum(jj, nstrip - 1)
+        prev = np.maximum(k - 1, 0)
+        denom = xs[k] - xs[prev]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = np.where(
+                (jj == 0) | (jj == nstrip) | (denom == 0),
+                0.0,
+                (xs[k] - num) / np.where(denom == 0, 1.0, denom),
+            )
+        luts[i] = ys[prev] * frac + ys[k] * (1.0 - frac)
+        return luts[i]
+
+    out = plane.astype(np.float64)
+    rows = np.arange(h, dtype=np.float64)[:, None]
+    cfrac_all = (
+        np.arange(w, dtype=np.float32) * np.float32(head[3]) / np.float32(w)
+    ).astype(np.float64)
+    cip_all = cfrac_all.astype(np.int64)
+    for i in np.unique(cip_all):
+        lut0 = strip_lut(int(i))
+        lut1 = strip_lut(int(i) + 1)
+        if lut0 is None or lut1 is None:
+            return plane
+        sel = cip_all == i
+        cf = (cfrac_all[sel] - i)[None, :]
+        block = plane[:, sel]
+        m0 = lut0[block]
+        m1 = lut1[block]
+        out[:, sel] = np.trunc(
+            ((m0 * (1.0 - cf) + m1 * cf) * rows + block * 0.5) * 2.0
+        )
+    return np.clip(out, 0, 65535).astype(np.uint16)
+
+
 def _apply_phase_one_corrections(
     plane: np.ndarray,
     data: bytes,
@@ -171,15 +389,18 @@ def _apply_phase_one_corrections(
     top: int,
     left: int,
 ) -> np.ndarray:
-    """dcraw `phase_one_correct` subset over the full-sensor plane.
+    """dcraw `phase_one_correct` over the full-sensor plane.
 
     Implemented from the publicly documented dcraw semantics (the
     reference app's rawler path, raw_processing.rs:15-30, inherits the
     same stage from its decoder): polynomial gain curves (0x419 applies
     right of split_col, 0x41A whole-frame), the sensor-defect list
-    (0x400) and quadrant multipliers (0x41E). Malformed correction data
-    degrades to the uncorrected plane rather than refusing the file —
-    corrections are refinement, not decode.
+    (0x400), quadrant multipliers (0x41E), flat-field grids
+    (0x401/0x410/0x416/0x40B), quadrant linearizations (0x41F/0x431)
+    and the value-dependent row-gradient gain (0x412, applied last from
+    the entry nearest tag 0x21A). Malformed correction data degrades to
+    the uncorrected plane rather than refusing the file — corrections
+    are refinement, not decode.
     """
     if 0x110 not in d:
         return plane
@@ -214,8 +435,13 @@ def _apply_phase_one_corrections(
             )[0]
         )
 
+    tag_21a = int(d[0x21A][2]) if 0x21A in d else 0
+
     plane = np.ascontiguousarray(plane)
     qmult_applied = False
+    qlin_applied = False
+    best_412: int | None = None
+    best_412_diff = 1 << 62
     pos = dir_pos + 8
     for _ in range(entries):
         tag, length, off_word = (
@@ -271,11 +497,66 @@ def _apply_phase_one_corrections(
                 qm[split_row:, split_col:] = q[3]
                 plane = np.clip(plane * qm, 0, 65535).astype(np.uint16)
                 qmult_applied = True
-            # 0x412 / 0x41F / 0x431 / 0x401 / 0x416 / 0x40B: documented
-            # parity gaps (spatial gain, quadrant linearization, flat
-            # fields) — see module docstring and PARITY.md.
+            elif tag == 0x401:  # all-color flat field, float gains
+                _flat_field(plane, data, p, me, True, 2, top, left)
+            elif tag in (0x410, 0x416):  # all-color flat field, u16 gains
+                _flat_field(plane, data, p, me, False, 2, top, left)
+            elif tag == 0x40B:  # red+blue flat field, u16 gains
+                _flat_field(plane, data, p, me, False, 4, top, left)
+            elif tag == 0x41F and not qlin_applied:  # quadrant linearization
+                if p + 4 * 28 > len(data):
+                    continue
+                lc = (
+                    np.frombuffer(data, me + "u4", count=28, offset=p).astype(np.int64)
+                    & 0xFFFF
+                ).reshape(2, 2, 7)
+                ref = (lc.sum(axis=(0, 1)) + 2) >> 2
+                for qr in range(2):
+                    for qc in range(2):
+                        curve = _cubic_spline_curve(
+                            np.concatenate(([0], lc[qr, qc], [65535])),
+                            np.concatenate(([0], ref, [65535])),
+                        )
+                        if curve is None:
+                            continue
+                        rs, cs = _quadrant_slices(split_row, split_col, qr, qc)
+                        plane[rs, cs] = curve[plane[rs, cs]]
+                qlin_applied = True
+            elif tag == 0x431 and not qmult_applied:  # quadrant combined
+                if p + 4 * 35 > len(data):
+                    continue
+                words = (
+                    np.frombuffer(data, me + "u4", count=35, offset=p).astype(np.int64)
+                    & 0xFFFF
+                )
+                ref = words[:7]
+                lc = words[7:].reshape(2, 2, 7)
+                for qr in range(2):
+                    for qc in range(2):
+                        curve = _cubic_spline_curve(
+                            np.concatenate(([0], ref, [65535])),
+                            np.concatenate(([0], lc[qr, qc], [65535])),
+                        )
+                        if curve is None:
+                            continue
+                        rs, cs = _quadrant_slices(split_row, split_col, qr, qc)
+                        plane[rs, cs] = curve[plane[rs, cs]]
+                qmult_applied = True
+                qlin_applied = True
+            elif tag == 0x412:
+                # choose the 0x412 entry whose discriminator u16 (at
+                # byte 36 of the payload) is nearest main-dir tag 0x21A
+                if p + 38 > len(data):
+                    continue
+                disc = struct.unpack_from(me + "H", data, p + 36)[0]
+                diff = abs(disc - tag_21a)
+                if diff < best_412_diff:
+                    best_412_diff = diff
+                    best_412 = p
         except (struct.error, IndexError):
             continue
+    if best_412 is not None:
+        plane = _apply_spatial_gain_412(plane, data, best_412, me)
     return plane
 
 

@@ -162,6 +162,7 @@ def _build_iiq(
     keys: tuple[int, int] = (0xA5A5, 0x3C3C),
     meta_entries: list[tuple[int, bytes]] | None = None,
     tag210: float | None = None,
+    tag21a: int | None = None,
 ) -> bytes:
     raw_h, raw_w = pred.shape
     e = ">" if big else "<"
@@ -227,6 +228,8 @@ def _build_iiq(
     if tag210 is not None:
         (word_210,) = struct.unpack(e + "I", struct.pack(e + "f", tag210))
         entries.append((0x210, 4, word_210))
+    if tag21a is not None:
+        entries.append((0x21A, 4, tag21a))
     if romm_off:
         entries.append((0x106, 36, romm_off))
     if fmt >= 3:
@@ -518,6 +521,254 @@ def test_iiq_meta_malformed_degrades_to_uncorrected():
     meta_off = struct.unpack_from("<I", bad, idx + 12)[0]
     struct.pack_into("<I", bad, 8 + 12 + meta_off - 12 + 8, 1 << 29)
     np.testing.assert_array_equal(parse_raw(bytes(bad), ext="iiq").cfa, pred)
+
+
+def _dcraw_flat_field_oracle(plane, head, grid_vals, nc, top=0, left=0):
+    """Literal transcription of dcraw's phase_one_flat_field loops
+    (incremental bilinear interpolation), used as the semantic oracle for
+    the vectorized implementation."""
+    out = plane.astype(np.float64).copy()
+    h, w = plane.shape
+    wide = head[2] // head[4] + (head[2] % head[4] != 0)
+    high = head[3] // head[5] + (head[3] % head[5] != 0)
+    mrow = np.zeros(nc * wide)
+    it = iter(grid_vals)
+
+    def fc(r, c):
+        return [[0, 1], [1, 2]][r % 2][c % 2]
+
+    for y in range(high):
+        for x in range(wide):
+            for c in range(0, nc, 2):
+                num = next(it)
+                if y == 0:
+                    mrow[c * wide + x] = num
+                else:
+                    mrow[(c + 1) * wide + x] = (num - mrow[c * wide + x]) / head[5]
+        if y == 0:
+            continue
+        rend = head[1] + y * head[5]
+        row = rend - head[5]
+        while row < h and row < rend and row < head[1] + head[3] - head[5]:
+            for x in range(1, wide):
+                mult = np.zeros(nc)
+                for c in range(0, nc, 2):
+                    mult[c] = mrow[c * wide + x - 1]
+                    mult[c + 1] = (mrow[c * wide + x] - mult[c]) / head[4]
+                cend = head[0] + x * head[4]
+                col = cend - head[4]
+                while col < w and col < cend and col < head[0] + head[2] - head[4]:
+                    c = fc(row - top, col - left) if nc > 2 else 0
+                    if not (c & 1):
+                        out[row, col] = min(max(int(out[row, col] * mult[c]), 0), 65535)
+                    for c in range(0, nc, 2):
+                        mult[c] += mult[c + 1]
+                    col += 1
+            for x in range(wide):
+                for c in range(0, nc, 2):
+                    mrow[c * wide + x] += mrow[(c + 1) * wide + x]
+            row += 1
+    return out.astype(np.uint16)
+
+
+def test_iiq_meta_flat_field_u16_matches_dcraw_loops():
+    """0x416: u16/32768 all-color flat field, bilinearly interpolated per
+    grid cell — pinned against a literal transcription of dcraw's
+    incremental loops on a randomized gain grid."""
+    rng = np.random.default_rng(31)
+    pred = rng.integers(500, 8000, (10, 14)).astype(np.uint16)
+    head = (2, 1, 12, 8, 4, 2, 0, 0)  # col0,row0,w,h,col_cell,row_cell
+    wide, high = 3, 4
+    raw16 = rng.integers(20000, 60000, high * wide).astype(np.uint16)
+    payload = struct.pack("<8H", *head) + raw16.astype("<u2").tobytes()
+    data = _build_iiq(pred, fmt=0, black=0, meta_entries=[(0x416, payload)])
+    r = parse_raw(data, ext="iiq")
+    want = _dcraw_flat_field_oracle(pred, head, raw16 / 32768.0, 2)
+    np.testing.assert_array_equal(r.cfa, want)
+
+
+def test_iiq_meta_flat_field_float_allcolor():
+    """0x401: float32 gains; a constant grid multiplies every covered
+    pixel (truncating store), pixels outside the grid footprint are
+    untouched."""
+    pred = np.full((8, 8), 1001, np.uint16)
+    head = (0, 0, 8, 8, 4, 4, 0, 0)  # wide=2, high=2
+    gains = np.full(4, 1.5, np.float32)
+    payload = struct.pack("<8H", *head) + gains.astype("<f4").tobytes()
+    data = _build_iiq(pred, fmt=0, black=0, meta_entries=[(0x401, payload)])
+    r = parse_raw(data, ext="iiq")
+    want = _dcraw_flat_field_oracle(pred, head, gains.astype(np.float64), 2)
+    np.testing.assert_array_equal(r.cfa, want)
+    # covered band: rows 0..3 (one row band), cols 0..3 (one col strip)
+    assert (r.cfa[:4, :4] == 1501).all()
+    assert (r.cfa[4:, :] == 1001).all() and (r.cfa[:, 4:] == 1001).all()
+
+
+def test_iiq_meta_flat_field_redblue():
+    """0x40B (nc=4): separate red/blue gains applied only at FC==0/FC==2
+    CFA sites; green sites pass through."""
+    rng = np.random.default_rng(32)
+    pred = rng.integers(1000, 9000, (8, 8)).astype(np.uint16)
+    head = (0, 0, 8, 8, 4, 4, 0, 0)
+    # per cell: (red, blue) pairs — u16/32768 gains live in [0, 2)
+    gains = np.tile(np.array([1.5, 1.25], np.float64), 4)
+    raw16 = (gains * 32768.0).astype("<u2")
+    payload = struct.pack("<8H", *head) + raw16.tobytes()
+    data = _build_iiq(pred, fmt=0, black=0, meta_entries=[(0x40B, payload)])
+    r = parse_raw(data, ext="iiq")
+    want = _dcraw_flat_field_oracle(pred, head, raw16.astype(np.float64) / 32768.0, 4)
+    np.testing.assert_array_equal(r.cfa, want)
+    rr, cc = np.meshgrid(np.arange(4), np.arange(4), indexing="ij")
+    red = (rr % 2 == 0) & (cc % 2 == 0)
+    green = (rr + cc) % 2 == 1
+    blk_in, blk_out = pred[:4, :4].astype(np.int64), r.cfa[:4, :4].astype(np.int64)
+    np.testing.assert_array_equal(blk_out[red], np.trunc(blk_in[red] * 1.5))
+    np.testing.assert_array_equal(blk_out[green], blk_in[green])
+
+
+def test_cubic_spline_curve_identity_and_linear():
+    """dcraw cubic_spline semantics: a natural spline through collinear
+    knots reproduces the line (identity exactly; halving within 1 LSB)."""
+    from rapidraw_tpu.io.iiq import _cubic_spline_curve
+
+    knots = np.array([0, 9000, 20000, 33000, 47000, 55000, 61000, 64000, 65535])
+    ident = _cubic_spline_curve(knots, knots)
+    np.testing.assert_array_equal(ident, np.arange(65536, dtype=np.uint16))
+    half = _cubic_spline_curve(knots, knots // 2)
+    ref = np.arange(65536) / 2.0
+    assert np.abs(half.astype(np.float64) - ref).max() <= 1.0
+    # non-increasing knots refuse (None) rather than solving a degenerate system
+    bad = knots.copy()
+    bad[3] = bad[2]
+    assert _cubic_spline_curve(bad, knots) is None
+
+
+def test_iiq_meta_quadrant_linearization():
+    """0x41F: per-quadrant code curves splined to the quadrant-average
+    reference. Equal quadrants mean ref == lc -> identity; unequal
+    quadrants pull each quadrant toward the common reference."""
+    pred = np.full((6, 8), 30000, np.uint16)
+    knots = np.array([8000, 16000, 24000, 32000, 40000, 48000, 56000], np.uint32)
+    same = np.tile(knots, 4).astype("<u4").tobytes()
+    data = _build_iiq(
+        pred, fmt=0, black=0, split_col=4, split_row=3,
+        meta_entries=[(0x41F, same)],
+    )
+    np.testing.assert_array_equal(parse_raw(data, ext="iiq").cfa, pred)
+
+    # quadrant (0,0) reads 10% high -> its curve must pull values DOWN,
+    # the other three quadrants (now below the average) push UP
+    lc = np.tile(knots, (4, 1))
+    lc[0] = (knots * 1.1).astype(np.uint32)
+    data = _build_iiq(
+        pred, fmt=0, black=0, split_col=4, split_row=3,
+        meta_entries=[(0x41F, lc.astype("<u4").tobytes())],
+    )
+    out = parse_raw(data, ext="iiq").cfa
+    assert (out[:3, :4] < 30000).all()
+    assert (out[:3, 4:] > 30000).all()
+    assert (out[3:, :] > 30000).all()
+    # all four quadrants stay internally uniform
+    for blk in (out[:3, :4], out[:3, 4:], out[3:, :4], out[3:, 4:]):
+        assert np.unique(blk).size == 1
+
+
+def test_iiq_meta_quadrant_combined_respects_qmult_order():
+    """0x431 (reference knots then per-quadrant targets) applies when no
+    quadrant multiplier ran, and is skipped after 0x41E (dcraw's
+    qmult_applied guard)."""
+    pred = np.full((6, 8), 20000, np.uint16)
+    knots = np.array([8000, 16000, 24000, 32000, 40000, 48000, 56000], np.int64)
+    lc = np.tile(knots, (4, 1))
+    lc[3] = (knots * 1.1).astype(np.int64)  # quadrant (1,1) boosted
+    p431 = np.concatenate([knots, lc.ravel()]).astype("<u4").tobytes()
+    data = _build_iiq(
+        pred, fmt=0, black=0, split_col=4, split_row=3,
+        meta_entries=[(0x431, p431)],
+    )
+    out = parse_raw(data, ext="iiq").cfa
+    assert (out[3:, 4:] > 20000).all()  # boosted target curve
+    np.testing.assert_array_equal(out[:3, :4], pred[:3, :4])  # identity quadrant
+
+    # identity 0x41E first -> qmult_applied -> 0x431 must be a no-op
+    words = np.zeros(19, np.float32)
+    data = _build_iiq(
+        pred, fmt=0, black=0, split_col=4, split_row=3,
+        meta_entries=[(0x41E, words.tobytes()), (0x431, p431)],
+    )
+    np.testing.assert_array_equal(parse_raw(data, ext="iiq").cfa, pred)
+
+
+def _p412_payload(slopes: list[float], disc: int) -> bytes:
+    """A 0x412 payload: head[1]=2 knots/strip, head[3]=2 column strips
+    (table 1 sized to absorb the reference's last-strip overrun read),
+    each strip a constant multiplier."""
+    head = np.array([0, 2, 2, 2, 1, 0, 0, 0, 0], "<u4")
+    n0, n1 = 4, 2
+    yval = np.array(
+        [slopes[0], slopes[0], slopes[1], slopes[1], slopes[2], slopes[2]], "<f4"
+    )
+    xval = np.array([0, 65535] * 3, "<u2")
+    assert yval.size == n0 + n1 and xval.size == n0 + n1
+    return head.tobytes() + struct.pack("<H", disc) + yval.tobytes() + xval.tobytes()
+
+
+def test_iiq_meta_spatial_gain_412():
+    """0x412: value-dependent row-gradient gain. With constant-slope
+    strips the corrected value is trunc((m*row + v/2)*2), m blended
+    between column strips by the f32 fractional strip position."""
+    rng = np.random.default_rng(33)
+    pred = rng.integers(1000, 20000, (6, 12)).astype(np.uint16)
+    slopes = [2.0, 3.0, 5.0]
+    data = _build_iiq(
+        pred, fmt=0, black=0, meta_entries=[(0x412, _p412_payload(slopes, 0))]
+    )
+    out = parse_raw(data, ext="iiq").cfa
+
+    h, w = pred.shape
+    cfrac = (np.arange(w, dtype=np.float32) * np.float32(2) / np.float32(w)).astype(
+        np.float64
+    )
+    cip = cfrac.astype(np.int64)
+    m0 = np.array(slopes)[cip]
+    m1 = np.array(slopes)[cip + 1]
+    m = m0 * (1 - (cfrac - cip)) + m1 * (cfrac - cip)
+    rows = np.arange(h)[:, None]
+    want = np.clip(
+        np.trunc((m[None, :] * rows + pred * 0.5) * 2.0), 0, 65535
+    ).astype(np.uint16)
+    np.testing.assert_array_equal(out, want)
+
+
+def test_iiq_meta_spatial_gain_412_selects_by_tag_21a():
+    """Among several 0x412 entries dcraw applies the one whose
+    discriminator u16 is nearest main-directory tag 0x21A."""
+    pred = np.full((4, 12), 10000, np.uint16)
+    ent_a = (0x412, _p412_payload([2.0, 2.0, 2.0], 100))
+    ent_b = (0x412, _p412_payload([7.0, 7.0, 7.0], 5000))
+    data = _build_iiq(
+        pred, fmt=0, black=0, meta_entries=[ent_a, ent_b], tag21a=4990
+    )
+    out = parse_raw(data, ext="iiq").cfa
+    rows = np.arange(4)[:, None]
+    want = (pred + 2 * 7 * rows).astype(np.uint16)  # entry B's slope
+    np.testing.assert_array_equal(out, want)
+
+
+def test_iiq_meta_flat_field_and_412_malformed_degrade():
+    """Degenerate correction payloads leave the plane unchanged: a
+    zero-cell flat-field header (dcraw's own early return), NaN float
+    gains, and an all-zero 0x412 header (empty multiplier table)."""
+    pred = np.arange(48, dtype=np.uint16).reshape(6, 8)
+    zero_cell = struct.pack("<8H", 0, 0, 8, 8, 0, 4, 0, 0)
+    nan_gain = struct.pack("<8H", 0, 0, 8, 8, 4, 4, 0, 0) + np.full(
+        4, np.nan, "<f4"
+    ).tobytes()
+    data = _build_iiq(
+        pred, fmt=0, black=0,
+        meta_entries=[(0x416, zero_cell), (0x401, nan_gain), (0x412, b"\0" * 40)],
+    )
+    np.testing.assert_array_equal(parse_raw(data, ext="iiq").cfa, pred)
 
 
 def test_iiq_predictor_overflow_is_nonfatal():
