@@ -44,6 +44,9 @@ _TW = 512
 # vector registers. Measured on a 48-op synthetic chain at 24MP: whole-tile
 # 3.94 ms vs 1.42 ms chunked at 16 rows (tools/prof_chunked.py).
 _CH = 16
+# unroll the per-tile chunk loop into straight-line code (measured A/B in
+# tools/prof_fused_chunk.py; flip only with evidence)
+_UNROLL_CHUNKS = False
 
 # Linearize the sRGB image inside the kernel (per chunk, in vregs) instead
 # of as a standalone XLA stage. Pre-chunking this measured ~3% SLOWER (858
@@ -199,7 +202,14 @@ def _make_dev_kernel(cfg, meta, blur_keys, has_flare_map, has_masks,
             out_ref[:, rows, :] = final
             return carry
 
-        jax.lax.fori_loop(0, _TH // _CH, body, 0)
+        if _UNROLL_CHUNKS:
+            # statically unrolled chunk loop: lets Mosaic schedule loads of
+            # chunk ci+1 under the math of chunk ci (A/B:
+            # tools/prof_fused_chunk.py)
+            for ci in range(_TH // _CH):
+                body(ci, 0)
+        else:
+            jax.lax.fori_loop(0, _TH // _CH, body, 0)
 
     return kernel
 
