@@ -771,6 +771,44 @@ def test_iiq_meta_flat_field_and_412_malformed_degrade():
     np.testing.assert_array_equal(parse_raw(data, ext="iiq").cfa, pred)
 
 
+def test_iiq_meta_corrections_fuzz_never_crash():
+    """Byte-flipping the 0x110 correction blob must never escape as an
+    unhandled exception: corrections either apply, degrade to the
+    uncorrected plane, or the file refuses with the library's typed
+    errors."""
+    from rapidraw_tpu.io.containers import UnsupportedRawFormat
+    from rapidraw_tpu.io.dng import DngError
+
+    pred = np.full((6, 8), 5000, np.uint16)
+    head = struct.pack("<8H", 0, 0, 8, 4, 4, 2, 0, 0)
+    gains = np.full(4, 1.25, "<f4")
+    entries = [
+        (0x41A, np.zeros(4, "<f4").tobytes()),
+        (0x400, struct.pack("<HHHH", 3, 2, 129, 0)),
+        (0x41E, np.zeros(19, "<f4").tobytes()),
+        (0x401, head + gains.tobytes()),
+        (0x41F, np.tile(np.arange(1, 8) * 8000, 4).astype("<u4").tobytes()),
+        (0x412, _p412_payload([1.0, 1.0, 1.0], 0)),
+    ]
+    good = _build_iiq(pred, fmt=0, black=0, meta_entries=entries, tag21a=0)
+    # locate the meta blob by content (it is unique in the file)
+    meta_blob = _build_meta(entries, big=False)
+    meta_at = good.find(meta_blob)
+    assert meta_at > 0
+    meta_len = len(meta_blob)
+    rng = np.random.default_rng(44)
+    for _ in range(250):
+        bad = bytearray(good)
+        for _k in range(int(rng.integers(1, 6))):
+            off = meta_at + int(rng.integers(0, max(meta_len, 1)))
+            bad[off] = int(rng.integers(0, 256))
+        try:
+            r = parse_raw(bytes(bad), ext="iiq")
+            assert r.cfa.shape == pred.shape
+        except (DngError, UnsupportedRawFormat, ValueError):
+            pass  # typed refusal is acceptable
+
+
 def test_iiq_predictor_overflow_is_nonfatal():
     """A predictor overflow must NOT abort the decode (dcraw's derror is a
     warning): the stored sample truncates to 16 bits, the overflowed

@@ -109,3 +109,19 @@ def test_cam_matrix_white_preservation():
     )
     m = camera_to_srgb_matrix(xyz_to_cam)
     np.testing.assert_allclose(m @ np.ones(3), np.ones(3), atol=1e-5)
+
+
+def test_orient_planar_matches_loader_orientation():
+    """The device-side planar EXIF-orientation (io/dng._orient_planar, used
+    by the jitted RAW develop program) must match the host HWC
+    implementation (io/loader._apply_exif_orientation) for all 8 codes."""
+    from rapidraw_tpu.io.dng import _orient_planar
+    from rapidraw_tpu.io.loader import _apply_exif_orientation
+
+    rng = np.random.default_rng(5)
+    hwc = rng.random((6, 9, 3)).astype(np.float32)
+    planar = hwc.transpose(2, 0, 1)
+    for o in range(1, 9):
+        want = _apply_exif_orientation(hwc, o).transpose(2, 0, 1)
+        got = np.asarray(_orient_planar(planar, o))
+        np.testing.assert_array_equal(got, want, err_msg=f"orientation {o}")
