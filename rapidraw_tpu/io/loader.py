@@ -172,5 +172,11 @@ def load_image(path: str | Path, app_settings=None, fast: bool = False):
 
 
 def to_uint8_hwc(planar: np.ndarray) -> np.ndarray:
-    """Planar f32 [0,1] -> (H, W, 3) u8 for encoding."""
+    """Planar f32 [0,1] (or already-quantized u8) -> (H, W, 3) u8 for
+    encoding. u8 inputs come from device-side quantization (the service /
+    export paths download 1/4 the bytes); the device formula matches this
+    one exactly, so the encoded bytes are identical either way."""
+    planar = np.asarray(planar)
+    if planar.dtype == np.uint8:
+        return planar.transpose(1, 2, 0)
     return (np.clip(planar, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8).transpose(1, 2, 0)

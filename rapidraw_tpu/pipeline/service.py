@@ -54,6 +54,28 @@ class PreviewResult:
         return header + self.jpeg
 
 
+_u8_jit = None
+
+
+def _device_u8(x):
+    """Quantize to u8 ON DEVICE before readback (same formula as
+    loader.to_uint8_hwc and export._device_u8, so downloading u8 instead
+    of f32 changes no encoded byte): 1/4 the D2H bytes per preview — the
+    dominant cost of an interactive reply on a remote device, and still
+    3/4 of a PCIe copy saved on a real host. Scopes consume the same u8
+    the reply shows, exactly like the reference's analytics thread
+    (gpu_processing.rs:1882-1948 reads back the rendered u8 image)."""
+    global _u8_jit
+    if _u8_jit is None:
+        import jax
+        import jax.numpy as jnp
+
+        _u8_jit = jax.jit(
+            lambda y: (jnp.clip(y, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+        )
+    return _u8_jit(x)
+
+
 class RenderService:
     def __init__(self, settings: AppSettings | None = None):
         if settings is None:
@@ -233,7 +255,7 @@ class RenderService:
 
         fn = self._develop_fn(cfg)
         out = np.asarray(
-            fn(xj, params, jnp.asarray(masks) if masks is not None else None, lut)
+            _device_u8(fn(xj, params, jnp.asarray(masks) if masks is not None else None, lut))
         )
 
         histogram = waveform = None
@@ -313,7 +335,7 @@ class RenderService:
             cfg = dataclasses.replace(cfg, has_lut=False)
         fn = self._develop_fn(cfg)
         out = np.asarray(
-            fn(x, params, jnp.asarray(masks) if masks is not None else None, lut)
+            _device_u8(fn(x, params, jnp.asarray(masks) if masks is not None else None, lut))
         )
         return encode_jpeg_bytes(out, quality=80)
 
@@ -339,7 +361,7 @@ class RenderService:
         x, _ = apply_all_transformations(x, adjustments)
         dim = target_resolution or self.settings.editor_preview_resolution
         x = downscale_to_long_edge(x, dim)
-        return encode_jpeg_bytes(np.asarray(x), quality=80)
+        return encode_jpeg_bytes(np.asarray(_device_u8(x)), quality=80)
 
     def preview_geometry_transform(
         self,
@@ -406,7 +428,7 @@ class RenderService:
             bool(adjustments.get("flipHorizontal")),
             bool(adjustments.get("flipVertical")),
         )
-        out = np.asarray(warped)
+        out = np.asarray(_device_u8(warped))
         if show_lines:
             out = _draw_straightening_guides(out)
         return encode_jpeg_bytes(out, quality=75)
@@ -432,7 +454,7 @@ class RenderService:
             cfg = dataclasses.replace(cfg, has_lut=False)
         fn = self._develop_fn(cfg)
         out = np.asarray(
-            fn(jnp.asarray(x), params, jnp.asarray(masks) if masks is not None else None, lut)
+            _device_u8(fn(jnp.asarray(x), params, jnp.asarray(masks) if masks is not None else None, lut))
         )
         return encode_jpeg_bytes(out, quality=80)
 
@@ -476,7 +498,10 @@ def _draw_straightening_guides(planar: np.ndarray) -> np.ndarray:
     detections suppressed like imageproc's suppression_radius=15."""
     import cv2
 
-    rgb = (np.clip(planar, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8).transpose(1, 2, 0)
+    if planar.dtype == np.uint8:
+        rgb = planar.transpose(1, 2, 0)
+    else:
+        rgb = (np.clip(planar, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8).transpose(1, 2, 0)
     gray = cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY)
     edges = cv2.Canny(gray, 50, 100)
     h, w = gray.shape
