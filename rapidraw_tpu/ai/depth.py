@@ -7,11 +7,21 @@ the network is defined natively; parameters load from a local npz
 (depth_anything_v2_vits.npz in RAPIDRAW_MODELS) — ModelUnavailable
 otherwise, matching the registry behavior in ai/models.py.
 
-Structure (Yang et al., "Depth Anything V2", 2024; backbone DINOv2 ViT-S):
-patch-14 embedding at 518x518, 12 transformer blocks (6 heads, dim 384,
-LayerScale), features tapped at blocks [2, 5, 8, 11], DPT head: per-tap
-projection + resample to scales {4, 8, 16, 32}, refinenet fusion, 2-conv
-depth head with ReLU output, min-max normalized to [0, 1].
+Structure (Yang et al., "Depth Anything V2", 2024; backbone DINOv2 ViT-S),
+cross-validated numerically against the independent HuggingFace
+`transformers` implementation (tests/test_ai_crossval.py):
+  * patch-14 embedding, cls token, learned position embeddings, 12
+    transformer blocks (6 heads, dim 384, LayerScale), features tapped
+    after blocks (2, 5, 8, 11), each tap normalized by the backbone's ONE
+    shared final LayerNorm (DINOv2 `get_intermediate_layers(norm=True)`);
+  * DPT reassemble: per-tap 1x1 projection to (48, 96, 192, 384) channels
+    then a LEARNED resample — ConvTranspose k4/s4, ConvTranspose k2/s2,
+    identity, Conv k3/s2/p1 — followed by a bias-free 3x3 to the fusion
+    width (64);
+  * refinenet fusion with pre-activation residual units, upsampling to the
+    next tap's grid with align_corners=True bilinear, 1x1 projection;
+  * head: 3x3 conv to 32, align-corners upsample to patch_grid*14, 3x3
+    conv + ReLU, 1x1 conv + ReLU; min-max normalized to [0, 1].
 """
 
 from __future__ import annotations
@@ -22,6 +32,36 @@ from rapidraw_tpu.ai.masks import _load_variables, mask_to_data_url  # noqa: F40
 
 DEPTH_INPUT = 518  # 37 * 14: Depth-Anything-v2 default inference size
 _TAPS = (2, 5, 8, 11)
+
+
+def _ac_weights(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) bilinear interpolation matrix with align_corners=True
+    semantics (torch F.interpolate(..., align_corners=True)): output i
+    samples input at i*(n_in-1)/(n_out-1)."""
+    A = np.zeros((n_out, n_in), np.float32)
+    if n_out == 1 or n_in == 1:
+        A[:, 0] = 1.0
+        return A
+    pos = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    i0 = np.clip(np.floor(pos).astype(np.int64), 0, n_in - 2)
+    f = pos - i0
+    A[np.arange(n_out), i0] = (1.0 - f).astype(np.float32)
+    A[np.arange(n_out), i0 + 1] += f.astype(np.float32)
+    return A
+
+
+def _resize_ac(x, nh: int, nw: int):
+    """NHWC bilinear resize with align_corners=True, as two small matmuls
+    (interpolation matrices are trace-time constants — MXU-friendly)."""
+    import jax.numpy as jnp
+
+    _, h, w, _ = x.shape
+    if (h, w) == (nh, nw):
+        return x
+    Ah = jnp.asarray(_ac_weights(h, nh))
+    Aw = jnp.asarray(_ac_weights(w, nw))
+    x = jnp.einsum("oh,bhwc->bowc", Ah, x)
+    return jnp.einsum("ow,bhwc->bhoc", Aw, x)
 
 
 def _depth_model():
@@ -47,31 +87,39 @@ def _depth_model():
             ls2 = self.param("ls2", nn.initializers.ones, (EMBED,))
             return x + h * ls2
 
-    class FeatureFusion(nn.Module):
-        """DPT refinenet block: residual conv units + upsample + project."""
+    class ResidualUnit(nn.Module):
+        """DPT pre-activation residual conv unit: relu-conv-relu-conv + x."""
 
         @nn.compact
-        def __call__(self, x, skip=None):
-            act = nn.relu
+        def __call__(self, x):
+            r = nn.relu(x)
+            r = nn.Conv(DPT_FEAT, (3, 3), name="conv1")(r)
+            r = nn.relu(r)
+            r = nn.Conv(DPT_FEAT, (3, 3), name="conv2")(r)
+            return x + r
+
+    class FeatureFusion(nn.Module):
+        """DPT refinenet block (DepthAnythingFeatureFusionLayer): optional
+        skip through residual unit 1, residual unit 2, align-corners
+        upsample to `out_size` (or 2x), 1x1 projection."""
+
+        @nn.compact
+        def __call__(self, x, skip=None, out_size=None):
             if skip is not None:
-                # pyramid levels from int(gh*s) can differ by a pixel from
-                # a clean 2x chain; resize onto the skip's grid first
                 if x.shape[1:3] != skip.shape[1:3]:
-                    x = jax.image.resize(
-                        x, (x.shape[0], skip.shape[1], skip.shape[2], x.shape[3]),
+                    # the reference resizes the RESIDUAL onto the fused grid
+                    # (align_corners=False) on mismatch
+                    skip = jax.image.resize(
+                        skip, (skip.shape[0], x.shape[1], x.shape[2], skip.shape[3]),
                         "bilinear",
                     )
-                r = act(nn.Conv(DPT_FEAT, (3, 3))(act(skip)))
-                r = nn.Conv(DPT_FEAT, (3, 3))(r)
-                x = x + (skip + r)
-            r = act(nn.Conv(DPT_FEAT, (3, 3))(act(x)))
-            r = nn.Conv(DPT_FEAT, (3, 3))(r)
-            x = x + r
-            x = jax.image.resize(
-                x, (x.shape[0], x.shape[1] * 2, x.shape[2] * 2, x.shape[3]),
-                "bilinear",
+                x = x + ResidualUnit(name="rcu1")(skip)
+            x = ResidualUnit(name="rcu2")(x)
+            nh, nw = out_size if out_size is not None else (
+                x.shape[1] * 2, x.shape[2] * 2
             )
-            return nn.Conv(DPT_FEAT, (1, 1))(x)
+            x = _resize_ac(x, nh, nw)
+            return nn.Conv(DPT_FEAT, (1, 1), name="project")(x)
 
     class DepthAnythingV2S(nn.Module):
         @nn.compact
@@ -87,31 +135,42 @@ def _depth_model():
             )
             t = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, EMBED)), t], 1) + pos
 
+            # ONE shared final LayerNorm applied to every tap, like DINOv2's
+            # get_intermediate_layers(norm=True)
+            norm = nn.LayerNorm(name="norm")
             feats = []
             for i in range(LAYERS):
                 t = Block(name=f"block{i}")(t)
                 if i in _TAPS:
-                    feats.append(nn.LayerNorm(name=f"tapnorm{len(feats)}")(t))
+                    feats.append(norm(t))
 
-            # DPT reassemble: tokens -> (B, gh, gw, C_i) -> scale pyramid
+            # DPT reassemble: tokens -> grid -> learned resample pyramid
             pyramid = []
-            scales = (4.0, 2.0, 1.0, 0.5)  # relative to the 1/14 grid
-            for i, (f, ch, s) in enumerate(zip(feats, DPT_CH, scales)):
+            for i, (f, ch) in enumerate(zip(feats, DPT_CH)):
                 g = f[:, 1:, :].reshape(B, gh, gw, EMBED)
                 g = nn.Conv(ch, (1, 1), name=f"proj{i}")(g)
-                nh, nw = int(gh * s), int(gw * s)
-                g = jax.image.resize(g, (B, nh, nw, ch), "bilinear")
-                g = nn.Conv(DPT_FEAT, (3, 3), name=f"layer_rn{i}")(g)
+                if i == 0:  # 4x up (auto name ConvTranspose_0: the
+                    # converter keys its weight layout on the class name)
+                    g = nn.ConvTranspose(ch, (4, 4), strides=(4, 4))(g)
+                elif i == 1:  # 2x up (auto name ConvTranspose_1)
+                    g = nn.ConvTranspose(ch, (2, 2), strides=(2, 2))(g)
+                elif i == 3:  # 2x down: Conv k3 s2 p1
+                    g = nn.Conv(
+                        ch, (3, 3), strides=(2, 2), padding=1, name="resize3"
+                    )(g)
+                g = nn.Conv(
+                    DPT_FEAT, (3, 3), use_bias=False, name=f"layer_rn{i}"
+                )(g)
                 pyramid.append(g)
 
-            p1, p2, p3, p4 = pyramid  # 1/3.5, 1/7, 1/14, 1/28 of input
-            y = FeatureFusion(name="fusion4")(p4)
-            y = FeatureFusion(name="fusion3")(y, p3)
-            y = FeatureFusion(name="fusion2")(y, p2)
-            y = FeatureFusion(name="fusion1")(y, p1)
+            p1, p2, p3, p4 = pyramid  # 4x, 2x, 1x, 0.5x of the 1/14 grid
+            y = FeatureFusion(name="fusion4")(p4, out_size=p3.shape[1:3])
+            y = FeatureFusion(name="fusion3")(y, p3, out_size=p2.shape[1:3])
+            y = FeatureFusion(name="fusion2")(y, p2, out_size=p1.shape[1:3])
+            y = FeatureFusion(name="fusion1")(y, p1)  # final: plain 2x
 
             y = nn.Conv(DPT_FEAT // 2, (3, 3), name="head1")(y)
-            y = jax.image.resize(y, (B, H, W, y.shape[3]), "bilinear")
+            y = _resize_ac(y, gh * 14, gw * 14)
             y = nn.relu(nn.Conv(32, (3, 3), name="head2")(y))
             y = nn.relu(nn.Conv(1, (1, 1), name="head3")(y))
             return y[..., 0]

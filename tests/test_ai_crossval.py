@@ -1,0 +1,228 @@
+"""Architectural cross-validation of the flax AI ports against the
+INDEPENDENT HuggingFace `transformers` implementations.
+
+The published checkpoints are unreachable here (zero egress), so weight
+parity is pinned by the vendored-golden harness (test_ai_vendored.py).
+This file closes the other half of the parity question: the flax module
+MATH is validated against a second, independently written implementation
+of the published architecture (transformers' SAM reproduces Meta's
+segment-anything outputs) — same random weights in, near-identical
+activations out. Together: converter+numerics pinned by goldens, and the
+architecture pinned against an external reference implementation.
+
+Reference behavior being matched: ai_processing.rs:918-1192 runs the SAM
+ViT-B encoder/decoder ONNX graphs exported from the same architecture.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def _dense(sd, name):
+    return {"kernel": sd[f"{name}.weight"].T, "bias": sd[f"{name}.bias"]}
+
+
+def _ln(sd, name, flax_names=("scale", "bias")):
+    return {flax_names[0]: sd[f"{name}.weight"], flax_names[1]: sd[f"{name}.bias"]}
+
+
+def _conv(sd, name):
+    return {"kernel": sd[f"{name}.weight"].transpose(2, 3, 1, 0),
+            "bias": sd[f"{name}.bias"]}
+
+
+def _convT(sd, name):
+    # torch (in, out, kh, kw) -> flax (kh, kw, in, out) + spatial flip
+    return {"kernel": sd[f"{name}.weight"][:, :, ::-1, ::-1].transpose(2, 3, 0, 1).copy(),
+            "bias": sd[f"{name}.bias"]}
+
+
+def test_depth_anything_v2_matches_transformers():
+    """flax DepthAnythingV2S == transformers DepthAnythingForDepthEstimation
+    (DINOv2-S backbone + DPT neck/head), same random weights: validates the
+    shared tap LayerNorm, the LEARNED reassemble resample layers
+    (ConvTranspose 4x/2x, strided-conv 0.5x), the pre-act residual fusion
+    and the align_corners=True upsampling chain."""
+    import jax.numpy as jnp
+
+    from transformers import (
+        DepthAnythingConfig,
+        DepthAnythingForDepthEstimation,
+        Dinov2Config,
+    )
+
+    from rapidraw_tpu.ai import depth as depth_mod
+
+    size = 266  # 19x19 patches: CPU-fast, still exercises every stage
+    bb = Dinov2Config(
+        image_size=size, patch_size=14, hidden_size=384, num_hidden_layers=12,
+        num_attention_heads=6, out_indices=[3, 6, 9, 12],
+        apply_layernorm=True, reshape_hidden_states=False,
+    )
+    cfg = DepthAnythingConfig(
+        backbone_config=bb, fusion_hidden_size=64,
+        neck_hidden_sizes=[48, 96, 192, 384], head_hidden_size=32,
+        head_in_index=-1, patch_size=14, max_depth=1,
+    )
+    torch.manual_seed(0)
+    model = DepthAnythingForDepthEstimation(cfg).eval()
+    sd = {k: t.detach().numpy() for k, t in model.state_dict().items()}
+
+    heads, hd = 6, 64
+    params = {
+        "cls_token": sd["backbone.embeddings.cls_token"],
+        "pos_embed": sd["backbone.embeddings.position_embeddings"],
+        "patch_embed": _conv(sd, "backbone.embeddings.patch_embeddings.projection"),
+        "norm": _ln(sd, "backbone.layernorm"),
+        "head1": _conv(sd, "head.conv1"),
+        "head2": _conv(sd, "head.conv2"),
+        "head3": _conv(sd, "head.conv3"),
+    }
+    for i in range(12):
+        t = f"backbone.encoder.layer.{i}"
+        att = f"{t}.attention"
+        params[f"block{i}"] = {
+            "LayerNorm_0": _ln(sd, f"{t}.norm1"),
+            "LayerNorm_1": _ln(sd, f"{t}.norm2"),
+            "ls1": sd[f"{t}.layer_scale1.lambda1"],
+            "ls2": sd[f"{t}.layer_scale2.lambda1"],
+            "MultiHeadDotProductAttention_0": {
+                "query": {
+                    "kernel": sd[f"{att}.attention.query.weight"].T.reshape(384, heads, hd),
+                    "bias": sd[f"{att}.attention.query.bias"].reshape(heads, hd),
+                },
+                "key": {
+                    "kernel": sd[f"{att}.attention.key.weight"].T.reshape(384, heads, hd),
+                    "bias": sd[f"{att}.attention.key.bias"].reshape(heads, hd),
+                },
+                "value": {
+                    "kernel": sd[f"{att}.attention.value.weight"].T.reshape(384, heads, hd),
+                    "bias": sd[f"{att}.attention.value.bias"].reshape(heads, hd),
+                },
+                "out": {
+                    "kernel": sd[f"{att}.output.dense.weight"].T.reshape(heads, hd, 384),
+                    "bias": sd[f"{att}.output.dense.bias"],
+                },
+            },
+            "Dense_0": _dense(sd, f"{t}.mlp.fc1"),
+            "Dense_1": _dense(sd, f"{t}.mlp.fc2"),
+        }
+    for i in range(4):
+        r = f"neck.reassemble_stage.layers.{i}"
+        params[f"proj{i}"] = _conv(sd, f"{r}.projection")
+        params[f"layer_rn{i}"] = {
+            "kernel": sd[f"neck.convs.{i}.weight"].transpose(2, 3, 1, 0)
+        }
+    params["ConvTranspose_0"] = _convT(sd, "neck.reassemble_stage.layers.0.resize")
+    params["ConvTranspose_1"] = _convT(sd, "neck.reassemble_stage.layers.1.resize")
+    params["resize3"] = _conv(sd, "neck.reassemble_stage.layers.3.resize")
+    # transformers fusion layers[0..3] run deepest-first == fusion4..fusion1
+    for tf_idx, ours in zip(range(4), ("fusion4", "fusion3", "fusion2", "fusion1")):
+        f = f"neck.fusion_stage.layers.{tf_idx}"
+        blk = {
+            "project": _conv(sd, f"{f}.projection"),
+            "rcu2": {
+                "conv1": _conv(sd, f"{f}.residual_layer2.convolution1"),
+                "conv2": _conv(sd, f"{f}.residual_layer2.convolution2"),
+            },
+        }
+        if ours != "fusion4":  # the deepest layer's rcu1 is unused weights
+            blk["rcu1"] = {
+                "conv1": _conv(sd, f"{f}.residual_layer1.convolution1"),
+                "conv2": _conv(sd, f"{f}.residual_layer1.convolution2"),
+            }
+        params[ours] = blk
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(0.0, 1.0, (1, 3, size, size)).astype(np.float32)
+    with torch.no_grad():
+        want = model(pixel_values=torch.from_numpy(x)).predicted_depth.numpy()
+
+    Model = depth_mod._depth_model()
+    got = Model().apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    got = np.asarray(got)
+
+    assert got.shape == want.shape
+    scale = max(np.abs(want).max(), 1e-6)
+    diff = np.abs(got - want).max()
+    assert diff <= max(2e-4 * scale, 2e-5), (diff, scale)
+
+
+def test_sam_encoder_matches_transformers_vit_b():
+    """flax SamEncoder == transformers SamVisionEncoder (ViT-B geometry,
+    256px input so the test stays CPU-fast; every architectural feature —
+    windowed/global decomposed rel-pos attention, neck LayerNorm2d — is
+    exercised)."""
+    import jax.numpy as jnp
+
+    from transformers import SamConfig, SamModel
+    from transformers.models.sam.configuration_sam import SamVisionConfig
+
+    from rapidraw_tpu.ai import sam as sam_mod
+
+    v = SamVisionConfig(
+        image_size=256, patch_size=16, hidden_size=768,
+        num_attention_heads=12, num_hidden_layers=12,
+        global_attn_indexes=[2, 5, 8, 11], window_size=14,
+        use_rel_pos=True, output_channels=256, layer_norm_eps=1e-6,
+    )
+    torch.manual_seed(0)
+    model = SamModel(SamConfig(vision_config=v.to_dict())).eval()
+    enc = model.vision_encoder
+    sd = {k: t.detach().numpy() for k, t in enc.state_dict().items()}
+    # zero-init rel-pos tables carry no signal; give them real values so a
+    # broken rel-bias implementation cannot pass silently
+    rng = np.random.default_rng(1)
+    with torch.no_grad():
+        for k, t in enc.state_dict().items():
+            if "rel_pos" in k:
+                t.copy_(torch.from_numpy(
+                    rng.normal(0, 0.05, t.shape).astype(np.float32)))
+    sd = {k: t.detach().numpy() for k, t in enc.state_dict().items()}
+
+    params = {
+        "patch_embed": {
+            "kernel": sd["patch_embed.projection.weight"].transpose(2, 3, 1, 0),
+            "bias": sd["patch_embed.projection.bias"],
+        },
+        "pos_embed": sd["pos_embed"],
+        "neck0": {"kernel": sd["neck.conv1.weight"].transpose(2, 3, 1, 0)},
+        "neck1": _ln(sd, "neck.layer_norm1", ("weight", "bias")),
+        "neck2": {"kernel": sd["neck.conv2.weight"].transpose(2, 3, 1, 0)},
+        "neck3": _ln(sd, "neck.layer_norm2", ("weight", "bias")),
+    }
+    for i in range(12):
+        t = f"layers.{i}"
+        params[f"block{i}"] = {
+            "norm1": _ln(sd, f"{t}.layer_norm1"),
+            "norm2": _ln(sd, f"{t}.layer_norm2"),
+            "attn": {
+                "qkv": _dense(sd, f"{t}.attn.qkv"),
+                "proj": _dense(sd, f"{t}.attn.proj"),
+                "rel_pos_h": sd[f"{t}.attn.rel_pos_h"],
+                "rel_pos_w": sd[f"{t}.attn.rel_pos_w"],
+            },
+            "mlp_lin1": _dense(sd, f"{t}.mlp.lin1"),
+            "mlp_lin2": _dense(sd, f"{t}.mlp.lin2"),
+        }
+
+    x = rng.normal(0.0, 1.0, (1, 3, 256, 256)).astype(np.float32)
+    with torch.no_grad():
+        want = enc(torch.from_numpy(x)).last_hidden_state.numpy()  # (1,256,16,16)
+
+    SamEncoder, _ = sam_mod._models()
+    got = SamEncoder().apply(
+        {"params": params},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+    )
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+
+    assert got.shape == want.shape
+    scale = np.abs(want).max()
+    diff = np.abs(got - want).max()
+    assert diff <= max(1e-4 * scale, 2e-5), (diff, scale)

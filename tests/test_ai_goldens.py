@@ -90,7 +90,9 @@ def test_converter_roundtrip_utnet(tmp_path, monkeypatch):
     for i, (path, arr) in enumerate(slots):
         a = np.asarray(arr, np.float32)
         if a.ndim == 4 and "ConvTranspose" in path:
-            t = a.transpose(2, 3, 0, 1)  # HWOI -> OIHW
+            # inverse of convT_oihw_to_hwio_flipped (see the converter):
+            # flax (kh,kw,in,out) -> torch (in,out,kh,kw) + spatial flip
+            t = a.transpose(2, 3, 0, 1)[:, :, ::-1, ::-1]
         elif a.ndim == 4:
             t = a.transpose(3, 2, 0, 1)  # HWIO -> OIHW
         else:

@@ -123,7 +123,14 @@ def _load_torch_sd(path: str) -> list[tuple[str, np.ndarray]]:
 _TRANSFORMS = (
     ("copy", lambda a: a),
     ("conv_oihw_to_hwio", lambda a: a.transpose(2, 3, 1, 0) if a.ndim == 4 else None),
-    ("convT_oihw_to_hwoi", lambda a: a.transpose(2, 3, 0, 1) if a.ndim == 4 else None),
+    # torch ConvTranspose2d weight (in, out, kh, kw) -> flax ConvTranspose
+    # kernel (kh, kw, in, out) **with the spatial taps flipped**: flax
+    # lowers to a regular conv over the zero-dilated input (cross-
+    # correlation), torch's transposed conv applies the kernel in the
+    # gradient orientation — verified torch-vs-flax in
+    # tests/test_ai_crossval.py
+    ("convT_oihw_to_hwio_flipped",
+     lambda a: a[:, :, ::-1, ::-1].transpose(2, 3, 0, 1) if a.ndim == 4 else None),
     ("linear_T", lambda a: a.T if a.ndim == 2 else None),
 )
 
@@ -151,7 +158,7 @@ def match_streams(flax_slots, torch_stream, lookahead: int = 6):
             for tname, tf in _TRANSFORMS:
                 if _is_transposed_conv(path) and tname == "conv_oihw_to_hwio":
                     continue
-                if not _is_transposed_conv(path) and tname == "convT_oihw_to_hwoi":
+                if not _is_transposed_conv(path) and tname == "convT_oihw_to_hwio_flipped":
                     continue
                 cand = tf(tv)
                 if cand is not None and tuple(cand.shape) == want:

@@ -29,6 +29,15 @@ from pathlib import Path
 
 import numpy as np
 
+# goldens are asserted on the CPU test platform (tests/conftest.py); pin
+# generation to CPU too, or TPU-vs-CPU numeric drift fails the comparison
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except RuntimeError:
+    pass  # backend already initialized (e.g. imported from a test)
+
 TOOLS = Path(__file__).resolve().parent
 sys.path.insert(0, str(TOOLS))
 
@@ -53,7 +62,9 @@ def fabricate_torch_stream(slots):
     for i, (path, arr) in enumerate(slots):
         a = np.asarray(arr, np.float32)
         if a.ndim == 4 and "ConvTranspose" in path:
-            t = a.transpose(2, 3, 0, 1)  # HWOI -> OIHW
+            # inverse of the converter's convT_oihw_to_hwio_flipped:
+            # flax (kh, kw, in, out) -> torch (in, out, kh, kw) + spatial flip
+            t = a.transpose(2, 3, 0, 1)[:, :, ::-1, ::-1]
         elif a.ndim == 4:
             t = a.transpose(3, 2, 0, 1)  # HWIO -> OIHW
         else:
