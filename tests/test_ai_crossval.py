@@ -153,6 +153,157 @@ def test_depth_anything_v2_matches_transformers():
     assert diff <= max(2e-4 * scale, 2e-5), (diff, scale)
 
 
+def _sam_attn(sd, name):
+    return {
+        "q": _dense(sd, f"{name}.q_proj"),
+        "k": _dense(sd, f"{name}.k_proj"),
+        "v": _dense(sd, f"{name}.v_proj"),
+        "out": _dense(sd, f"{name}.out_proj"),
+    }
+
+
+def _sam_mlp3(sd, name, out_key="proj_out"):
+    return {
+        "lin0": _dense(sd, f"{name}.proj_in"),
+        "lin1": _dense(sd, f"{name}.layers.0"),
+        "lin2": _dense(sd, f"{name}.{out_key}"),
+    }
+
+
+def test_sam_decoder_matches_transformers():
+    """flax SamDecoder (prompt encoder + two-way mask decoder) ==
+    transformers SamModel's prompt_encoder+mask_decoder on identical
+    random weights: point/box/padding prompts, dense PE, mask-input
+    embedding, two-way transformer, hypernetwork mask heads, IoU head."""
+    import jax.numpy as jnp
+
+    from transformers import SamConfig, SamModel
+    from transformers.models.sam.configuration_sam import (
+        SamPromptEncoderConfig,
+        SamVisionConfig,
+    )
+
+    from rapidraw_tpu.ai import sam as sam_mod
+
+    g = 16
+    v = SamVisionConfig(image_size=256, patch_size=16, num_hidden_layers=1)
+    p = SamPromptEncoderConfig(image_size=256, patch_size=16)
+    torch.manual_seed(1)
+    model = SamModel(
+        SamConfig(vision_config=v.to_dict(), prompt_encoder_config=p.to_dict())
+    ).eval()
+    # real checkpoints TIE the image-wide and prompt positional-encoding
+    # gaussians (one pe_layer in the original); random init leaves them
+    # independent — tie them like the published weights
+    with torch.no_grad():
+        model.prompt_encoder.shared_embedding.positional_embedding.copy_(
+            model.shared_image_embedding.positional_embedding
+        )
+    sd = {k: t.detach().numpy() for k, t in model.state_dict().items()}
+
+    params = {
+        "pe_gaussian": sd["shared_image_embedding.positional_embedding"],
+        "point_embeddings": np.concatenate(
+            [sd[f"prompt_encoder.point_embed.{i}.weight"] for i in range(4)], 0
+        ),
+        "not_a_point_embed": sd["prompt_encoder.not_a_point_embed.weight"][0],
+        "no_mask_embed": sd["prompt_encoder.no_mask_embed.weight"][0],
+        "mask_down0": _conv(sd, "prompt_encoder.mask_embed.conv1"),
+        "mask_ln0": _ln(sd, "prompt_encoder.mask_embed.layer_norm1", ("weight", "bias")),
+        "mask_down1": _conv(sd, "prompt_encoder.mask_embed.conv2"),
+        "mask_ln1": _ln(sd, "prompt_encoder.mask_embed.layer_norm2", ("weight", "bias")),
+        "mask_down2": _conv(sd, "prompt_encoder.mask_embed.conv3"),
+        "iou_token": sd["mask_decoder.iou_token.weight"],
+        "mask_tokens": sd["mask_decoder.mask_tokens.weight"],
+        "final_t2i": _sam_attn(sd, "mask_decoder.transformer.final_attn_token_to_image"),
+        "final_norm": _ln(sd, "mask_decoder.transformer.layer_norm_final_attn"),
+        "upscale0": _convT(sd, "mask_decoder.upscale_conv1"),
+        "upscale_ln": _ln(sd, "mask_decoder.upscale_layer_norm", ("weight", "bias")),
+        "upscale1": _convT(sd, "mask_decoder.upscale_conv2"),
+        "iou_head": _sam_mlp3(sd, "mask_decoder.iou_prediction_head"),
+    }
+    for i in range(4):
+        params[f"hyper{i}"] = _sam_mlp3(sd, f"mask_decoder.output_hypernetworks_mlps.{i}")
+    for li in range(2):
+        t = f"mask_decoder.transformer.layers.{li}"
+        params[f"layer{li}"] = {
+            "self_attn": _sam_attn(sd, f"{t}.self_attn"),
+            "norm1": _ln(sd, f"{t}.layer_norm1"),
+            "cross_t2i": _sam_attn(sd, f"{t}.cross_attn_token_to_image"),
+            "norm2": _ln(sd, f"{t}.layer_norm2"),
+            "mlp_lin1": _dense(sd, f"{t}.mlp.lin1"),
+            "mlp_lin2": _dense(sd, f"{t}.mlp.lin2"),
+            "norm3": _ln(sd, f"{t}.layer_norm3"),
+            "cross_i2t": _sam_attn(sd, f"{t}.cross_attn_image_to_token"),
+            "norm4": _ln(sd, f"{t}.layer_norm4"),
+        }
+
+    rng = np.random.default_rng(3)
+    emb = rng.normal(0, 1, (1, g, g, 256)).astype(np.float32)
+    emb_t = torch.from_numpy(emb.transpose(0, 3, 1, 2).copy())
+    _, SamDecoder = sam_mod._models()
+    dec = SamDecoder()
+    zero_mask = jnp.zeros((1, 4 * g, 4 * g, 1), jnp.float32)
+
+    def run_ours(coords, labels, mask_in=None):
+        return dec.apply(
+            {"params": params},
+            jnp.asarray(emb),
+            jnp.asarray(np.asarray(coords, np.float32)[None]),
+            jnp.asarray(np.asarray(labels, np.float32)[None]),
+            zero_mask if mask_in is None else jnp.asarray(mask_in),
+            jnp.asarray(0.0 if mask_in is None else 1.0),
+        )
+
+    def to_t_space(pts):
+        # ours normalizes (x+0.5)/1024; transformers (x+0.5)/256 after its
+        # own +0.5 shift -> give transformers x' with x'+0.5 == (x+0.5)/4
+        return (np.asarray(pts, np.float32) + 0.5) / 4.0 - 0.5
+
+    scale = None
+
+    def compare(got, want, tag):
+        nonlocal scale
+        got, want = np.asarray(got), np.asarray(want)
+        assert got.shape == want.shape, (tag, got.shape, want.shape)
+        s = max(np.abs(want).max(), 1e-6)
+        d = np.abs(got - want).max()
+        assert d <= max(3e-4 * s, 3e-5), (tag, d, s)
+
+    # case A: two points (pos+neg); transformers auto-appends the pad
+    # point (label -1) because no boxes are given — mirror it explicitly
+    pts = [[312.3, 415.7], [700.2, 300.9]]
+    with torch.no_grad():
+        out = model(
+            image_embeddings=emb_t,
+            input_points=torch.from_numpy(to_t_space(pts)[None, None]),
+            input_labels=torch.tensor([[[1, 0]]]),
+            multimask_output=True,
+        )
+    masks, iou = run_ours(pts + [[0.0, 0.0]], [1, 0, -1])
+    compare(masks[:, 1:4], out.pred_masks[:, 0].numpy(), "points/masks")
+    compare(iou[:, 1:4], out.iou_scores[:, 0].numpy(), "points/iou")
+
+    # case B: a box (corner labels 2/3, no pad point), single-mask output,
+    # with a mask input driving the dense embedding path
+    box = [180.0, 200.0, 760.0, 620.0]
+    mask_np = rng.normal(0, 1, (1, 4 * g, 4 * g, 1)).astype(np.float32)
+    with torch.no_grad():
+        out = model(
+            image_embeddings=emb_t,
+            input_boxes=torch.from_numpy(
+                to_t_space(np.asarray(box).reshape(2, 2)).reshape(1, 1, 4)
+            ),
+            input_masks=torch.from_numpy(mask_np.transpose(0, 3, 1, 2).copy()),
+            multimask_output=False,
+        )
+    masks, iou = run_ours(
+        [box[:2], box[2:]], [2, 3], mask_in=mask_np
+    )
+    compare(masks[:, 0:1], out.pred_masks[:, 0].numpy(), "box/masks")
+    compare(iou[:, 0:1], out.iou_scores[:, 0].numpy(), "box/iou")
+
+
 def test_sam_encoder_matches_transformers_vit_b():
     """flax SamEncoder == transformers SamVisionEncoder (ViT-B geometry,
     256px input so the test stays CPU-fast; every architectural feature —
