@@ -166,7 +166,12 @@ def _models():
             x = jnp.concatenate([xl, xg], axis=-1)
             for i in range(3):
                 ch //= 2
+                # torch ConvTranspose2d(k=3, s=2, padding=1, output_padding=1)
+                # == flax ConvTranspose with explicit ((1,2),(1,2)) padding
+                # and the flipped-kernel layout the converter produces —
+                # verified exactly against torch (flax 'SAME' is shifted)
                 x = nn.ConvTranspose(ch, (3, 3), strides=(2, 2),
+                                     padding=((1, 2), (1, 2)),
                                      name=f"up{i}")(x)
                 x = nn.relu(BN(name=f"up_bn{i}")(x))
             x = refl_pad(x, 3)
