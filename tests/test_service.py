@@ -248,3 +248,27 @@ def test_mask_cache_keyed_by_image_identity(tmp_path):
     # A selects the whole left half, B only the corner — bitmaps must differ
     diff = np.abs(np.asarray(ma, np.float32) - np.asarray(mb, np.float32))
     assert float(diff.max()) > 0.5
+
+
+def test_device_u8_matches_host_encode_quantization():
+    """The preview paths download device-quantized u8; its formula must be
+    bit-identical to the host encode quantization (io/loader.to_uint8_hwc)
+    so the JPEG replies are unchanged by the device-side readback."""
+    import numpy as np
+
+    from rapidraw_tpu.io.loader import to_uint8_hwc
+    from rapidraw_tpu.pipeline.service import _device_u8
+
+    rng = np.random.default_rng(9)
+    # include out-of-range and exact-boundary values
+    x = np.concatenate([
+        rng.random((3, 16, 16)).astype(np.float32),
+        np.linspace(-0.2, 1.2, 768, dtype=np.float32).reshape(3, 16, 16),
+    ], axis=1)
+    via_device = np.asarray(_device_u8(x)).transpose(1, 2, 0)
+    via_host = to_uint8_hwc(x)
+    np.testing.assert_array_equal(via_device, via_host)
+    # u8 passthrough in to_uint8_hwc
+    np.testing.assert_array_equal(
+        to_uint8_hwc(np.asarray(_device_u8(x))), via_host
+    )
