@@ -153,6 +153,40 @@ def test_depth_anything_v2_matches_transformers():
     assert diff <= max(2e-4 * scale, 2e-5), (diff, scale)
 
 
+def test_convtranspose_layout_rule_matches_torch():
+    """Pins the converter's transposed-conv weight rule at the op level:
+    flax ConvTranspose consumes the SPATIALLY FLIPPED torch weight in
+    (kh, kw, in, out) layout, and torch's (k3, s2, p1, op1) decoder shape
+    (LaMa/UtNet style) equals flax with explicit ((1,2),(1,2)) padding."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    torch.manual_seed(5)
+    cases = [
+        (dict(kernel_size=2, stride=2), dict(strides=(2, 2))),
+        (dict(kernel_size=4, stride=4), dict(strides=(4, 4))),
+        (dict(kernel_size=3, stride=2, padding=1, output_padding=1),
+         dict(strides=(2, 2), padding=((1, 2), (1, 2)))),
+    ]
+    x = torch.randn(1, 4, 5, 7)
+    for t_kw, f_kw in cases:
+        ct = torch.nn.ConvTranspose2d(4, 6, **t_kw)
+        with torch.no_grad():
+            want = ct(x).numpy()
+        w = ct.weight.detach().numpy()
+        k = w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1).copy()
+        ks = t_kw["kernel_size"]
+        m = nn.ConvTranspose(6, (ks, ks), **f_kw)
+        got = m.apply(
+            {"params": {"kernel": jnp.asarray(k),
+                        "bias": jnp.asarray(ct.bias.detach().numpy())}},
+            jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+        )
+        got = np.asarray(got).transpose(0, 3, 1, 2)
+        assert got.shape == want.shape, (t_kw, got.shape, want.shape)
+        assert np.abs(got - want).max() < 1e-5, t_kw
+
+
 def _sam_attn(sd, name):
     return {
         "q": _dense(sd, f"{name}.q_proj"),
