@@ -174,7 +174,7 @@ def main(argv):
     }
     if measured_ms:
         report["measured_ms_24mp"] = measured_ms
-        report["implied_Gops_per_ms"] = round(total_ops * px and total_ops / measured_ms / 1e9 * px / px, 3)
+        report["implied_Gops_per_ms"] = round(total_ops / measured_ms / 1e9, 3)
         report["floor_ms_register_resident"] = round(total_ops / 2.5e9, 1)
         report["floor_ms_vmem_streaming"] = round(total_ops / 0.9e9, 1)
     out = Path(__file__).resolve().parent / "grade_opcount.json"
