@@ -301,8 +301,10 @@ def _apply_spatial_gain_412(
     Per pixel: num = raw/2; for the pixel's column strip i (and i+1) the
     x-knots of strip i are scanned for the first knot > num, the y-table
     is linearly interpolated at num, the two strip multipliers blend by
-    the fractional column position, and raw' = trunc((mult*row + num)*2)
-    clipped to u16. The reference's strip-overrun read for the last
+    the REDUCED fractional strip position (dcraw's ``cfrac -= cip =
+    cfrac`` idiom: cfrac is the in-strip fraction, not the unreduced
+    strip coordinate), and raw' = trunc((mult*row + num)*2) clipped to
+    u16. The reference's strip-overrun read for the last
     column strip lands in table 1 because the tables are contiguous —
     reproduced here by indexing the concatenated tables.
     """

@@ -526,7 +526,9 @@ def _draw_straightening_guides(planar: np.ndarray) -> np.ndarray:
             p1 = (int(x0 + dist * -b), int(y0 + dist * a))
             p2 = (int(x0 - dist * -b), int(y0 - dist * a))
             cv2.line(vis, p1, p2, color, 1)
-    return vis.transpose(2, 0, 1).astype(np.float32) / 255.0
+    # planar u8 out: encode_jpeg_bytes passes u8 through untouched, so the
+    # overlay costs no float round-trip on the interactive geometry path
+    return np.ascontiguousarray(vis.transpose(2, 0, 1))
 
 
 class PreviewWorker:

@@ -46,20 +46,28 @@ def _find_pallas(jaxpr, out=None):
     return out
 
 
-def _count(jaxpr):
+def _count(jaxpr, skip_pallas=False):
     ops = Counter()
     mem = Counter()
     macs = 0
     for eqn in jaxpr.eqns:
+        if skip_pallas and eqn.primitive.name == "pallas_call":
+            continue  # kernel bodies are counted per-call with their grids
         inner = [v for v in eqn.params.values()
                  if hasattr(v, "jaxpr") or hasattr(v, "eqns")]
         if inner:
+            # loop bodies execute once per trip: fori_loop lowers to scan
+            # with params['length'] (a single-trace count under-reports the
+            # megakernel's 16-chunk loop 16x — caught in review)
+            trips = int(eqn.params.get("length", 1)) if eqn.primitive.name == "scan" else 1
             for v in inner:
                 sub = v.jaxpr if hasattr(v, "jaxpr") else v
-                o, m, d = _count(sub)
-                ops.update(o)
-                mem.update(m)
-                macs += d
+                o, m, d = _count(sub, skip_pallas=skip_pallas)
+                for kk, vv in o.items():
+                    ops[kk] += vv * trips
+                for kk, vv in m.items():
+                    mem[kk] += vv * trips
+                macs += d * trips
             continue
         name = eqn.primitive.name
         if name == "dot_general":
@@ -156,8 +164,9 @@ def main(argv):
             "memory_moves_per_pixel": round(sum(mem.values()) * n_tiles / px, 1),
             "histogram_element_ops": dict(ops.most_common(20)),
         })
-    # MXU MACs issued OUTSIDE pallas (XLA convs/matmuls, e.g. blur fallback)
-    _, _, xla_macs = _count(jaxpr.jaxpr)
+    # MXU MACs issued OUTSIDE pallas (XLA convs/matmuls, e.g. blur fallback);
+    # pallas bodies are skipped here — they are counted per-call above
+    _, _, xla_macs = _count(jaxpr.jaxpr, skip_pallas=True)
 
     report = {
         "frame": [H, W],

@@ -1,9 +1,11 @@
 """A/B: fused grade megakernel chunking variants at 24MP (config-3 doc).
 
-The grade_opcount.json artifact shows the megakernel sustains only ~0.34
-G elem-ops/ms (vs NR's 0.856 = 95% of the VMEM-streaming ceiling), so its
-8.5 ms is NOT op-issue-bound — the suspects are the fori_loop chunk
-schedule and chunk size. This measures, interleaved same-process:
+Context (corrected): grade_opcount.json shows the megakernel sustains
+~5.4 G elem-ops/ms (1831 ops/px in 8.5 ms) — ABOVE the serial synthetic
+chain's 2.5 G/ms and near the VPU's multi-ALU issue peak, i.e. the
+kernel is op-issue-bound at close to hardware peak. This sweep measured
+whether the chunk schedule left anything on the table (it did not),
+interleaved same-process:
 
   * _CH in {8, 16, 32} (rows per in-kernel chunk),
   * the statically unrolled chunk loop (_UNROLL_CHUNKS) at each _CH.
