@@ -28,6 +28,7 @@ the uncorrected plane (corrections are refinement, not decode).
 
 from __future__ import annotations
 
+import math
 import struct
 
 import numpy as np
@@ -458,6 +459,8 @@ def _apply_phase_one_corrections(
                 if p + 4 + 32 > len(data):
                     continue
                 poly = [f32(p + 4 + 4 * i) for i in range(8)]
+                if not all(math.isfinite(c) for c in poly):
+                    continue
                 p3 = poly[3] + (tag_210 - poly[7]) * poly[6] + 1.0
                 i = np.arange(65536, dtype=np.float64)
                 curve = np.clip((poly[5] * i + p3) * i + poly[1], 0, 65535).astype(np.uint16)
@@ -466,6 +469,8 @@ def _apply_phase_one_corrections(
                 if p + 16 > len(data):
                     continue
                 poly = [f32(p + 4 * i) for i in range(4)]
+                if not all(math.isfinite(c) for c in poly):
+                    continue
                 i = np.arange(65536, dtype=np.float64)
                 num = np.zeros_like(i)
                 for c in reversed(poly):
@@ -492,13 +497,18 @@ def _apply_phase_one_corrections(
                 if p + 19 * 4 > len(data):
                     continue
                 q = [1.0 + f32(p + 4 * i) for i in idx]
+                if not all(math.isfinite(v) for v in q):
+                    continue
                 qm = np.empty(plane.shape, np.float64)
                 qm[:split_row, :split_col] = q[0]
                 qm[:split_row, split_col:] = q[1]
                 qm[split_row:, :split_col] = q[2]
                 qm[split_row:, split_col:] = q[3]
                 plane = np.clip(plane * qm, 0, 65535).astype(np.uint16)
+                # dcraw's phase_one_correct marks BOTH flags when 0x41E
+                # applies, so a later 0x41F entry must be skipped too.
                 qmult_applied = True
+                qlin_applied = True
             elif tag == 0x401:  # all-color flat field, float gains
                 _flat_field(plane, data, p, me, True, 2, top, left)
             elif tag in (0x410, 0x416):  # all-color flat field, u16 gains

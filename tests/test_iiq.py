@@ -699,6 +699,67 @@ def test_iiq_meta_quadrant_combined_respects_qmult_order():
     np.testing.assert_array_equal(parse_raw(data, ext="iiq").cfa, pred)
 
 
+def test_iiq_meta_41e_blocks_41f():
+    """dcraw's phase_one_correct sets BOTH qmult_applied and qlin_applied
+    when 0x41E runs, so a 0x41F entry later in the meta directory is
+    skipped: 0x41E+0x41F must equal 0x41E alone."""
+    pred = np.full((6, 8), 20000, np.uint16)
+    words = np.zeros(19, np.float32)
+    for idx, val in zip((4, 10, 14, 18), (1.5, 0.5, 2.0, 1.0)):
+        words[idx] = val - 1.0
+    knots = np.array([8000, 16000, 24000, 32000, 40000, 48000, 56000], np.uint32)
+    lc = np.tile(knots, (4, 1))
+    lc[0] = (knots * 1.1).astype(np.uint32)  # non-identity linearization
+    kwargs = dict(fmt=0, black=0, split_col=4, split_row=3)
+    alone = parse_raw(
+        _build_iiq(pred, meta_entries=[(0x41E, words.tobytes())], **kwargs),
+        ext="iiq",
+    ).cfa
+    both = parse_raw(
+        _build_iiq(
+            pred,
+            meta_entries=[
+                (0x41E, words.tobytes()),
+                (0x41F, lc.astype("<u4").tobytes()),
+            ],
+            **kwargs,
+        ),
+        ext="iiq",
+    ).cfa
+    np.testing.assert_array_equal(both, alone)
+
+
+def test_iiq_meta_nonfinite_payloads_degrade():
+    """NaN floats in 0x41E multipliers or 0x419/0x41A polynomial
+    coefficients skip the entry (degrade to the uncorrected plane)
+    instead of flowing NaN through clip into a uint16 cast."""
+    pred = np.full((6, 8), 20000, np.uint16)
+    kwargs = dict(fmt=0, black=0, split_col=4, split_row=3)
+
+    words = np.zeros(19, np.float32)
+    words[4] = np.nan
+    out = parse_raw(
+        _build_iiq(pred, meta_entries=[(0x41E, words.tobytes())], **kwargs),
+        ext="iiq",
+    ).cfa
+    np.testing.assert_array_equal(out, pred)
+
+    poly419 = np.zeros(9, np.float32)
+    poly419[6] = np.nan  # 4-byte prefix + 8 coefficients
+    out = parse_raw(
+        _build_iiq(pred, meta_entries=[(0x419, poly419.tobytes())], **kwargs),
+        ext="iiq",
+    ).cfa
+    np.testing.assert_array_equal(out, pred)
+
+    poly41a = np.array([0.0, np.inf, 0.0, 0.0], np.float32)
+    out = parse_raw(
+        _build_iiq(pred, meta_entries=[(0x41A, poly41a.tobytes())], **kwargs),
+        ext="iiq",
+    ).cfa
+    np.testing.assert_array_equal(out, pred)
+
+
 def _p412_payload(slopes: list[float], disc: int) -> bytes:
     """A 0x412 payload: head[1]=2 knots/strip, head[3]=2 column strips
     (table 1 sized to absorb the reference's last-strip overrun read),
