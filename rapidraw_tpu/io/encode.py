@@ -1,7 +1,8 @@
-"""Output encoding: JPEG/PNG/TIFF/WebP via PIL (host).
+"""Output encoding: JPEG/PNG/TIFF/WebP/AVIF via PIL, JXL via libjxl (host).
 
 Equivalent of export_processing.rs:388-469 (format dispatch + quality) —
-AVIF/JXL are gated on PIL plugin availability and report a clear error.
+AVIF is gated on PIL plugin availability (present in this build); JXL uses
+the ctypes libjxl binding (io/jxl.py) with a PIL fallback.
 """
 
 from __future__ import annotations
@@ -47,17 +48,29 @@ def encode_image(
         im.save(path, "TIFF")
     elif fmt == "webp":
         im.save(path, "WEBP", quality=quality)
-    elif fmt in ("avif", "jxl"):
+    elif fmt == "jxl":
+        # reference encodes lossless at q==100, else distance=(100-q)/10
+        # (export_processing.rs:396-430) — PIL here has no JXL plugin, so
+        # we bind the system libjxl directly (io/jxl.py); if neither the
+        # plugin nor the library exists the error stays actionable
+        from rapidraw_tpu.io.jxl import available as _jxl_ok, encode_jxl
+
+        if _jxl_ok():
+            Path(path).write_bytes(encode_jxl(arr, quality))
+        else:
+            try:
+                kwargs = {"quality": 100, "lossless": True} if quality >= 100 else {"quality": quality}
+                im.save(path, "JXL", **kwargs)
+            except (KeyError, OSError, TypeError) as e:
+                raise ValueError(f"format 'jxl' not supported by this PIL build: {e}") from e
+    elif fmt == "avif":
         # reference encodes both lossy (quality) and lossless (q>=100)
-        # variants (export_processing.rs:388-469); JXL needs a plugin in
-        # some PIL builds — gate with an actionable error either way
-        kwargs = {"quality": quality}
-        if quality >= 100:
-            kwargs = {"quality": 100, "lossless": True} if fmt == "jxl" else {"quality": 100}
+        # variants (export_processing.rs:388-469)
+        kwargs = {"quality": 100 if quality >= 100 else quality}
         try:
-            im.save(path, fmt.upper(), **kwargs)
+            im.save(path, "AVIF", **kwargs)
         except (KeyError, OSError, TypeError) as e:
-            raise ValueError(f"format {fmt!r} not supported by this PIL build: {e}") from e
+            raise ValueError(f"format 'avif' not supported by this PIL build: {e}") from e
     else:
         raise ValueError(f"unsupported export format: {fmt}")
 

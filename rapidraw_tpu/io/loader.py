@@ -79,6 +79,13 @@ def load_ldr(path: str | Path):
 
         arr = np.clip(load_float_image(path), 0.0, 1.0)
         return jnp.asarray(np.ascontiguousarray(arr.transpose(2, 0, 1)))
+    if ext == "jxl":
+        # PIL has no JXL plugin in this build — decode via the libjxl
+        # ctypes binding (io/jxl.py)
+        from rapidraw_tpu.io.jxl import decode_jxl
+
+        arr = decode_jxl(Path(path).read_bytes())[..., :3]
+        return _u8_hwc_to_planar_device(np.ascontiguousarray(arr))
 
     with Image.open(path) as im:
         try:

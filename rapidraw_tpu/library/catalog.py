@@ -18,8 +18,8 @@ from rapidraw_tpu.io.loader import RAW_EXTENSIONS, parse_virtual_path
 from rapidraw_tpu.io.sidecar import SIDECAR_EXT, load_sidecar, save_sidecar, sidecar_path
 
 # the reference's NON_RAW_EXTENSIONS, formats.rs:73-79 (PIL decodes the
-# bulk; hdr/exr/ff/pam via io/float_images.py; jxl accepted-but-undecodable
-# there exactly as in the reference's image crate build)
+# bulk; hdr/exr/ff/pam via io/float_images.py; jxl via the libjxl ctypes
+# binding, io/jxl.py)
 LDR_EXTENSIONS = {
     "jpg", "jpeg", "png", "gif", "bmp", "tiff", "tif", "webp", "jxl",
     "exr", "hdr", "tga", "ico", "dds", "qoi", "ff",
