@@ -722,6 +722,7 @@ def _apply_nr_static_pallas(
     scale: float,
     is_raw: bool,
     tap_dtype=None,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     import functools
 
@@ -729,16 +730,29 @@ def _apply_nr_static_pallas(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if compute_dtype is None:
+        # bf16 GATE/WEIGHT math was MEASURED and rejected as a default
+        # (round 5, tools/prof_nr_compute_dtype.py, 24MP v5e): 35.2 ->
+        # 35.7 ms (0.985x) — the v5e VPU runs bf16 ALU ops at the f32
+        # rate, so halving operand width moves nothing, exactly as
+        # halving streamed bytes didn't in round 4 (bf16 taps, 3.5%).
+        # Together these close the roofline case: the kernel is bound by
+        # lane rotates + scratch DMA (Mosaic-level), not by op count or
+        # bytes. RAPIDRAW_NR_COMPUTE=bf16 keeps the measured variant
+        # reachable; tests/test_nr_bf16.py pins its deviation bounds.
+        compute_dtype = (
+            jnp.bfloat16 if _os.environ.get("RAPIDRAW_NR_COMPUTE") == "bf16"
+            else jnp.float32
+        )
     if tap_dtype is None:
-        # bf16 tap streaming was MEASURED and rejected as a default
-        # (tools/prof_nr_bf16.py, 24MP v5e): 38.5 -> 37.2 ms (~3.5%) — the
-        # kernel is bound by VPU op issue (gate math + lane rotates), not
-        # by streamed bytes, so halving tap bytes barely moves it. Not
-        # worth max|Δ| ~2e-3 of output latitude. RAPIDRAW_NR_TAPS=bf16
-        # keeps the measured variant reachable; see the roofline evidence
-        # in PERFORMANCE.md / tools/nr_opcount.py.
+        # bf16-compute streams taps in bf16 too; for f32 compute, bf16 tap
+        # streaming alone was MEASURED and rejected (tools/prof_nr_bf16.py,
+        # 24MP v5e: 38.5 -> 37.2 ms, ~3.5% — op issue, not bytes, is the
+        # bound). RAPIDRAW_NR_TAPS=bf16 keeps that variant reachable.
         tap_dtype = (
-            jnp.bfloat16 if _os.environ.get("RAPIDRAW_NR_TAPS") == "bf16"
+            jnp.bfloat16
+            if (compute_dtype == jnp.bfloat16
+                or _os.environ.get("RAPIDRAW_NR_TAPS") == "bf16")
             else jnp.float32
         )
 
@@ -797,6 +811,9 @@ def _apply_nr_static_pallas(
     l_curve = meta["l_curve"]
     c_curve = meta["c_curve"]
 
+    cd = compute_dtype
+    f32 = jnp.float32
+
     def kernel(c_ref, n_ref, c0_ref, s_ref, nw_ref, w_ref, sw_ref,
                ne_ref, e_ref, se_ref, o_ref, ext_ref, gate_ref):
         ext_ref[:, 0:hs, 128 : 128 + cw] = n_ref[...]
@@ -821,30 +838,38 @@ def _apply_nr_static_pallas(
             # Row slices of the loaded band are sublane ops (cheap).
             bands: dict = {}
 
-            def band(plane: int, dx: int, r0=r0, bands=bands):
-                key = (plane, dx)
+            def band(plane: int, dx: int, want, r0=r0, bands=bands):
+                key = (plane, dx, want)
                 if key not in bands:
-                    # upcast ONCE per distinct (plane, dx): taps stream
-                    # through VMEM in tap_dtype (half the bytes for bf16)
-                    # and all downstream arithmetic runs f32
+                    # cast ONCE per distinct (plane, dx, dtype): taps
+                    # stream through VMEM in tap_dtype; the bf16 copy
+                    # feeds the packed gate math (two elements per VPU
+                    # lane) and the f32 copy the comparisons, diffs and
+                    # accumulations (v5e Mosaic has no bf16 vector
+                    # compare, and f32 diffs kill the knife-edge
+                    # quantization error at the gate transitions)
                     bands[key] = ext_ref[
                         plane, r0 : r0 + ch + 2 * hs, 128 + dx : 128 + cw + dx
-                    ].astype(jnp.float32)
+                    ].astype(want)
                 return bands[key]
 
-            def tap(plane: int, dx: int, dy: int, r0=r0):
+            def tap(plane: int, dx: int, dy: int, want=cd, r0=r0):
                 # band rows start at ext row r0 == chunk row -hs
-                b = band(plane, dx)
+                b = band(plane, dx, want)
                 return b[hs + dy : hs + dy + ch, :]
 
             c = c_ref[:, r0 : r0 + ch, :]
             center_safe = jnp.maximum(c, 0.0)
-            center_luma = luma(center_safe)
+            center_luma = luma(center_safe)          # f32
 
             new_luma = center_luma
             if luma_a > 0.001:
-                lmin = center_luma
-                lmax = center_luma
+                # min/max scan at the compute dtype (bf16: half issue; the
+                # edge statistics feed only SMOOTH gates, so quantization
+                # there is benign — the sharp per-tap quantities below stay
+                # f32)
+                lmin = center_luma.astype(cd)
+                lmax = lmin
                 for dx, dy, _spat in lt:
                     s_luma = tap(0, dx, dy)
                     lmin = jnp.minimum(lmin, s_luma)
@@ -852,8 +877,8 @@ def _apply_nr_static_pallas(
 
                 luma_range = lmax - lmin
                 edge_strength = smoothstep(0.04, 0.20, luma_range)
-                edge_midpoint = (lmin + lmax) * 0.5
-                center_side = center_luma > edge_midpoint
+                edge_midpoint32 = ((lmin + lmax) * jnp.asarray(0.5, cd)).astype(f32)
+                center_side = center_luma > edge_midpoint32
                 l_range_tol = mix(
                     mix(0.025, 0.075, l_curve),
                     mix(0.010, 0.025, l_curve),
@@ -863,59 +888,71 @@ def _apply_nr_static_pallas(
                 # hoist the per-pixel smoothstep edge divide out of the tap
                 # loops: t = (diff - 0.6*tol) * inv_d, one reciprocal per
                 # chunk instead of one divide per tap per pass
-                g_e0 = l_range_tol * 0.6
-                g_inv = 1.0 / (l_range_tol * 0.4)
+                g_e0 = l_range_tol * jnp.asarray(0.6, cd)
+                g_inv = jnp.asarray(1.0, cd) / (l_range_tol * jnp.asarray(0.4, cd))
                 # mix(1, where(side_eq,1,0), es) lowers to (1-es) + g*es:
                 # g=1 gives (1-es)+es, g=0 gives 1-es. Precompute both per
                 # chunk and select — bit-exact, 3 fewer vector ops per tap
                 # per pass.
-                g_ne = 1.0 - edge_strength
+                g_ne = jnp.asarray(1.0, cd) - edge_strength
                 g_eq = g_ne + edge_strength
 
-                def gate(s_luma, s_spat):
-                    diff = jnp.abs(s_luma - center_luma)
-                    t = jnp.clip((diff - g_e0) * g_inv, 0.0, 1.0)
-                    g_range = 1.0 - t * t * (3.0 - 2.0 * t)
-                    g_edge = jnp.where(
-                        (s_luma > edge_midpoint) == center_side, g_eq, g_ne
-                    )
-                    return s_spat * g_range * g_edge
+                one_cd = jnp.asarray(1.0, cd)
+                zero_cd = jnp.asarray(0.0, cd)
 
-                # pass A: accumulate and SPILL each tap's gate to a VMEM
-                # scratch plane; pass B reloads it instead of recomputing
-                # the ~13-op gate (an SSA-value spill gets rematerialized
-                # by Mosaic — an explicit scratch store does not). The
-                # center tap's gate is exactly g_eq (diff=0 -> g_range=1,
-                # sides equal): both passes use it directly.
-                sum_a = center_luma * g_eq
-                w_a = g_eq
+                def gate(s32, s_spat):
+                    # f32 difference + compare (precision at the gate
+                    # transition + v5e Mosaic has no bf16 vector compare),
+                    # bf16 for the smooth polynomial
+                    diff = jnp.abs(s32 - center_luma).astype(cd)
+                    t = jnp.clip((diff - g_e0) * g_inv, zero_cd, one_cd)
+                    g_range = one_cd - t * t * (jnp.asarray(3.0, cd) - jnp.asarray(2.0, cd) * t)
+                    g_edge = jnp.where(
+                        (s32 > edge_midpoint32) == center_side, g_eq, g_ne
+                    )
+                    return jnp.asarray(s_spat, cd) * g_range * g_edge
+
+                # pass A: accumulate (f32) and SPILL each tap's PRE-MASKED
+                # gate to a VMEM scratch plane; pass B reloads it instead
+                # of recomputing the ~13-op gate (an SSA-value spill gets
+                # rematerialized by Mosaic — an explicit scratch store
+                # does not). Pre-masking (w if w > 1e-4 else 0) is
+                # bit-equal to masking w*bisq^2 in pass B and drops the
+                # per-tap threshold compare there. The center tap's gate
+                # is exactly g_eq (diff=0 -> g_range=1, sides equal).
+                g_eq32 = g_eq.astype(f32)
+                sum_a = center_luma * g_eq32
+                w_a = g_eq32
                 for t_i, (dx, dy, s_spat) in enumerate(lt):
-                    s_luma = tap(0, dx, dy)
-                    wgt = gate(s_luma, s_spat)
-                    gate_ref[t_i, r0 : r0 + ch, :] = wgt
-                    sum_a = sum_a + s_luma * wgt
-                    w_a = w_a + wgt
+                    s32 = tap(0, dx, dy, f32)
+                    wgt32 = gate(s32, s_spat).astype(f32)
+                    gate_ref[t_i, r0 : r0 + ch, :] = jnp.where(
+                        wgt32 > 0.0001, wgt32, 0.0
+                    ).astype(cd)
+                    sum_a = sum_a + s32 * wgt32
+                    w_a = w_a + wgt32
                 initial_mean = sum_a / jnp.maximum(w_a, 1e-4)
 
                 outlier_tol = mix(0.07, 0.025, edge_strength)
-                inv_outlier = 1.0 / outlier_tol
+                inv_outlier = jnp.asarray(1.0, cd) / outlier_tol
 
-                def bisq_wgt(s_luma, init_w):
-                    r = jnp.abs(s_luma - initial_mean) * inv_outlier
-                    bisq = jnp.maximum(0.0, 1.0 - r * r)
-                    wgt = init_w * bisq * bisq
-                    return jnp.where(init_w > 0.0001, wgt, 0.0)
+                def bisq2(s32):
+                    # f32 difference vs the robust mean, bf16 bisquare
+                    r = jnp.abs(s32 - initial_mean).astype(cd) * inv_outlier
+                    bisq = jnp.maximum(zero_cd, one_cd - r * r)
+                    return bisq * bisq
 
-                w_c0 = bisq_wgt(center_luma, g_eq)
+                g_eq_masked = jnp.where(g_eq32 > 0.0001, g_eq32, 0.0).astype(cd)
+                w_c0 = (g_eq_masked * bisq2(center_luma)).astype(f32)
                 sum_b = center_luma * w_c0
                 w_b = w_c0
                 for t_i, (dx, dy, _spat) in enumerate(lt):
-                    s_luma = tap(0, dx, dy)
-                    wgt = bisq_wgt(s_luma, gate_ref[t_i, r0 : r0 + ch, :])
-                    sum_b = sum_b + s_luma * wgt
-                    w_b = w_b + wgt
+                    s32 = tap(0, dx, dy, f32)
+                    wgt32 = (gate_ref[t_i, r0 : r0 + ch, :] * bisq2(s32)).astype(f32)
+                    sum_b = sum_b + s32 * wgt32
+                    w_b = w_b + wgt32
                 robust = jnp.where(w_b > 0.01, sum_b / jnp.maximum(w_b, 1e-6), initial_mean)
-                strength = luma_a * mix(1.0, 0.6, edge_strength)
+                strength = (luma_a * mix(1.0, 0.6, edge_strength)).astype(f32)
                 new_luma = mix(center_luma, robust, strength)
 
             cr = c[0] - center_luma
@@ -926,26 +963,36 @@ def _apply_nr_static_pallas(
                 luma_n = -1.0 / max(2.0 * luma_tol * luma_tol, 1e-6)
                 chroma_tol = 0.20 + (0.08 - 0.20) * c_curve
                 chroma_n = -1.0 / max(2.0 * chroma_tol * chroma_tol, 1e-6)
-                sum_r = cr
-                sum_bv = cb
-                w_sum = jnp.ones_like(cr)
+                # the chroma pass runs ENTIRELY at the compute dtype
+                # (including accumulators): R-Y/B-Y magnitudes are small
+                # and the result is mixed by color_a, so bf16 rounding
+                # lands ~1e-4 on the output (tests/test_nr_bf16.py)
+                cl = center_luma.astype(cd)
+                cr_c = cr.astype(cd)
+                cb_c = cb.astype(cd)
+                ln_c = jnp.asarray(luma_n, cd)
+                cn_c = jnp.asarray(chroma_n, cd)
+                sum_r = cr_c
+                sum_bv = cb_c
+                w_sum = jnp.ones_like(cr_c)
                 for dx, dy, w_s in ct:
                     s_luma = tap(0, dx, dy)
                     s_r_y = tap(1, dx, dy)
                     s_b_y = tap(2, dx, dy)
-                    dl = s_luma - center_luma
-                    dr = s_r_y - cr
-                    db = s_b_y - cb
+                    dl = s_luma - cl
+                    dr = s_r_y - cr_c
+                    db = s_b_y - cb_c
                     # one exp for both gates: exp(a)*exp(b) == exp(a+b)
-                    wgt = w_s * jnp.exp(
-                        dl * dl * luma_n + (dr * dr + db * db) * chroma_n
+                    wgt = jnp.asarray(w_s, cd) * jnp.exp(
+                        dl * dl * ln_c + (dr * dr + db * db) * cn_c
                     )
                     sum_r = sum_r + s_r_y * wgt
                     sum_bv = sum_bv + s_b_y * wgt
                     w_sum = w_sum + wgt
-                inv_w = 1.0 / jnp.maximum(w_sum, 1e-6)
-                new_r = mix(cr, sum_r * inv_w, color_a)
-                new_b = mix(cb, sum_bv * inv_w, color_a)
+                inv_w = jnp.asarray(1.0, cd) / jnp.maximum(w_sum, jnp.asarray(1e-6, cd))
+                ca_c = jnp.asarray(color_a, cd)
+                new_r = mix(cr_c, sum_r * inv_w, ca_c).astype(f32)
+                new_b = mix(cb_c, sum_bv * inv_w, ca_c).astype(f32)
                 new_g = -(LUMA_COEFF[0] * new_r + LUMA_COEFF[2] * new_b) / LUMA_COEFF[1]
             else:
                 new_r, new_g, new_b = cr, cg, cb
@@ -976,7 +1023,7 @@ def _apply_nr_static_pallas(
         out_specs=pl.BlockSpec((3, th, cw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((3, th + 2 * hs, cw + 256), tap_dtype),
-            pltpu.VMEM((len(lt), th, cw), jnp.float32),
+            pltpu.VMEM((len(lt), th, cw), cd),
         ],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
