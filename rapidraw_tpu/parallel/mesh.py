@@ -20,6 +20,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -96,6 +97,34 @@ def sharded_develop_batch(mesh: Mesh, cfg: DevelopConfig, blur_bands=None):
 
         return fn
 
+    # ---- spatial regime (x > 1) -------------------------------------------
+    # Round 5 (VERDICT r4 #2): the default spatial body is now shard_map +
+    # the SAME fast kernels the single-chip path runs (fused Pallas
+    # megakernel, Pallas NR, banded-matmul blur) on each W-shard, with an
+    # explicit halo exchanged between neighbors over ICI via
+    # jax.lax.ppermute — the direct analog of the reference's 128-px tile
+    # overlap (gpu_processing.rs:1279-1340). Each shard develops its
+    # halo-extended slab with absolute coordinates (the machinery
+    # pipeline/tiled.py already uses: traced tile_xy in SMEM, host-baked
+    # float64 CA indices per shard) and slices the halo off. Configs the
+    # shard-local fused path can't express fall back to the XLA
+    # sharding-constraint formulation (FORCE_CONV/FORCE_XLA), where the
+    # SPMD partitioner inserts the halo exchanges for convs itself.
+    from rapidraw_tpu.pipeline.batch import _use_fused
+
+    fused_ok = (
+        _use_fused(cfg)
+        and not cfg.flare_active  # flare map is global (512² from the whole image)
+        and not (
+            cfg.nr_active
+            and (cfg.nr_static_luma is None or cfg.nr_static_color is None)
+        )  # mask-driven NR = per-pixel gather path, not SPMD-safe
+        and __import__("os").environ.get("RAPIDRAW_NR_EXACT_JITTER") != "1"
+        and __import__("os").environ.get("RAPIDRAW_SPATIAL_XLA") != "1"
+    )
+    if fused_ok:
+        return _sharded_spatial_fused(mesh, cfg, blur_bands)
+
     lut_sh = NamedSharding(mesh, P())
 
     @functools.partial(jax.jit, static_argnames=())
@@ -121,5 +150,140 @@ def sharded_develop_batch(mesh: Mesh, cfg: DevelopConfig, blur_bands=None):
             nr_mod.FORCE_XLA.reset(token_nr)
             blur_mod.FORCE_CONV.reset(token)
         return jax.lax.with_sharding_constraint(out, img_sh)
+
+    return fn
+
+
+def spatial_halo(cfg: DevelopConfig, h: int, w: int) -> int:
+    """Static halo width for the fused spatial regime: the maximum support
+    of any active stencil stage (every stencil reads the ORIGINAL input, so
+    supports don't compound). Blur taps span the full radius
+    (blur.wgsl:40), NR taps are bounded by its 16-px kernel halo
+    (ops/nr._NR_HALO), CA shifts by |ca| * max_extent / 2."""
+    import math
+
+    from rapidraw_tpu.params import scales
+
+    sc = scales.resolution_scale(w, h)
+    hp = 8
+    for flag, base_r in (
+        (cfg.sharpness_blur_needed, scales.BLUR_RADIUS_SHARPNESS),
+        (cfg.tonal_blur_needed, scales.BLUR_RADIUS_TONAL),
+        (cfg.clarity_blur_needed, scales.BLUR_RADIUS_CLARITY),
+        (cfg.structure_blur_needed, scales.BLUR_RADIUS_STRUCTURE),
+    ):
+        if flag:
+            hp = max(hp, scales.blur_radius(base_r, sc))
+    if cfg.nr_active:
+        from rapidraw_tpu.ops.nr import _NR_HALO
+
+        hp = max(hp, _NR_HALO)
+    if cfg.ca_active:
+        ca = max(abs(cfg.ca_static_rc), abs(cfg.ca_static_by))
+        hp = max(hp, int(math.ceil(ca * max(w, h) / 2.0)) + 1)
+    return -(-hp // 8) * 8
+
+
+def _sharded_spatial_fused(mesh: Mesh, cfg: DevelopConfig, blur_bands=None):
+    """shard_map spatial develop: per-shard fused Pallas + ppermute halos."""
+    from jax import shard_map
+    from jax import lax
+
+    from rapidraw_tpu.pipeline.fused import develop_fused
+
+    nx = mesh.shape["x"]
+
+    def body(images, params, masks, lut, cai):
+        # images: LOCAL (B_l, 3, H, W_l) shard of the (B, 3, H, W) batch
+        b_l, _, h, w_l = images.shape
+        w_full = w_l * nx
+        hp = spatial_halo(cfg, h, w_full)
+        xi = lax.axis_index("x")
+
+        # halo exchange over ICI: my right edge becomes my right
+        # neighbor's left halo and vice versa (ppermute zero-fills the
+        # chain ends; true image edges get edge-replicated columns instead,
+        # matching the kernels' edge-clamp semantics)
+        from_left = lax.ppermute(
+            images[..., w_l - hp :], "x", [(i, i + 1) for i in range(nx - 1)]
+        )
+        from_right = lax.ppermute(
+            images[..., :hp], "x", [(i, i - 1) for i in range(1, nx)]
+        )
+        repl_l = jnp.broadcast_to(images[..., :1], images.shape[:-1] + (hp,))
+        repl_r = jnp.broadcast_to(images[..., -1:], images.shape[:-1] + (hp,))
+        from_left = jnp.where(xi == 0, repl_l, from_left)
+        from_right = jnp.where(xi == nx - 1, repl_r, from_right)
+        ext = jnp.concatenate([from_left, images, from_right], axis=-1)
+
+        if masks is not None:
+            # masks feed only ELEMENTWISE influence maps (mask-driven NR is
+            # excluded by fused_ok), so halo values are never read by
+            # surviving outputs — zero-pad instead of exchanging
+            masks = jnp.pad(masks, ((0, 0), (0, 0), (0, 0), (hp, hp)))
+
+        # absolute x of the extended slab's first column (traced; rides the
+        # megakernel's SMEM tile_xy like every interior tile in tiled.py)
+        x0 = xi * w_l - hp
+
+        outs = []
+        for i in range(b_l):
+            p_i = jax.tree.map(lambda x: x[i], params)
+            mk_i = None if masks is None else masks[i]
+            cai_i = None if cai is None else tuple(a[0] for a in cai)
+            out = develop_fused(
+                ext[i], p_i, cfg, masks=mk_i, lut=lut,
+                tile_offset=(x0, 0), full_size=(w_full, h),
+                blur_bands=blur_bands, ca_indices=cai_i,
+            )
+            outs.append(out[..., hp : hp + w_l])
+        return jnp.stack(outs)
+
+    @jax.jit
+    def fn(images, params, masks=None, lut=None):
+        b, _, h, w = images.shape
+        if w % nx:
+            raise ValueError(f"W={w} not divisible by mesh x={nx}")
+        w_l = w // nx
+        hp = spatial_halo(cfg, h, w)
+
+        cai = None
+        if cfg.ca_active:
+            # host-baked float64 CA indices per shard (exactly the tiled
+            # path's mechanism, ops/ca.ca_host_indices): LOCAL indices into
+            # each shard's extended slab, stacked on a leading x-sharded
+            # axis. Shifts never exceed the halo, so interior reads stay
+            # inside the slab; absolute clamping bites only at true image
+            # edges, where the slab edge IS the image edge.
+            from rapidraw_tpu.ops.ca import ca_host_indices
+
+            per_shard = [
+                ca_host_indices(
+                    h, w_l + 2 * hp, cfg.ca_static_rc, cfg.ca_static_by,
+                    tile_offset=(i * w_l - hp, 0), full_size=(w, h),
+                )
+                for i in range(nx)
+            ]
+            cai = tuple(
+                jnp.asarray(np.stack([s[k] for s in per_shard]))
+                for k in range(4)
+            )
+
+        has_masks = masks is not None
+        m_spec = P("batch", None, None, "x") if has_masks else P()
+        cai_spec = (P("x"), P("x"), P("x"), P("x")) if cai is not None else P()
+        sm = shard_map(
+            body, mesh=mesh,
+            in_specs=(
+                P("batch", None, None, "x"),
+                P("batch"),
+                m_spec,
+                P(),           # LUT replicated
+                cai_spec,
+            ),
+            out_specs=P("batch", None, None, "x"),
+            check_vma=False,  # pallas_call outputs carry no vma info
+        )
+        return sm(images, params, masks, lut, cai)
 
     return fn
