@@ -74,7 +74,19 @@ def stack_params(
     if cfg is None:
         cfg = merge_configs(configs)
     padded = [_pad_mask_sets(p, cfg.mask_count) for p in params_list]
-    stacked = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *padded)
+
+    def _stack(*xs):
+        # stack on HOST when every leaf is host data: the stacked leaf then
+        # crosses to the device as ONE transfer at the jit boundary instead
+        # of B small ones + a device stack — per-transfer latency dominates
+        # small leaves (params trees have dozens) on remote links
+        import numpy as _np
+
+        if all(not isinstance(x, jax.Array) for x in xs):
+            return _np.stack([_np.asarray(x) for x in xs])
+        return jnp.stack([jnp.asarray(x) for x in xs])
+
+    stacked = jax.tree.map(_stack, *padded)
     return stacked, cfg
 
 

