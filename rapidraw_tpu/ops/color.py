@@ -88,6 +88,7 @@ def apply_hsl_panel(
     hsl: jnp.ndarray,
     mask_hsl: jnp.ndarray | None = None,
     mask_influence: jnp.ndarray | None = None,
+    band_active: tuple | None = None,
 ) -> jnp.ndarray:
     """8-band hue/sat/luma mixer (shader.wgsl:628-684).
 
@@ -96,6 +97,11 @@ def apply_hsl_panel(
       hsl: (8, 3) global band params [hue, sat, lum].
       mask_hsl: optional (N, 8, 3) per-mask band params.
       mask_influence: optional (N, ...) influence maps.
+      band_active: optional STATIC per-band activity
+        (DevelopConfig.hsl_band_active, the doc's zero pattern union over
+        global + mask params): a statically-zero band contributes exactly
+        zero to the totals, so its contraction terms compile out. The
+        influence normalizer still sums all 8 bands (shader semantics).
 
     The shader first sums global+mask band params per pixel then computes the
     3 weighted totals; both reductions are linear, so we contract the band
@@ -109,6 +115,7 @@ def apply_hsl_panel(
     saturation_mask = smoothstep(0.05, 0.20, s)
     luminance_weight = smoothstep(0.0, 1.0, s)
 
+    active = band_active if band_active is not None else (True,) * 8
     raw_inf = [_raw_hsl_influence(h, c, w) for c, w in HSL_RANGES]
     total_raw = raw_inf[0]
     for r in raw_inf[1:]:
@@ -118,6 +125,8 @@ def apply_hsl_panel(
     def totals(band_params):  # (8,3) -> three (...) maps
         th = ts = tl = 0.0
         for i in range(8):
+            if not active[i]:
+                continue  # statically zero params: terms are exactly 0
             ni = raw_inf[i] * inv_total
             th = th + band_params[i][0] * 2.0 * ni
             ts = ts + band_params[i][1] * ni

@@ -7,12 +7,13 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from rapidraw_tpu.ops.common import fpow, fpow_lt1
+from rapidraw_tpu.ops.common import fpow, fpow_lt1, fpow_static
 
 
 def srgb_to_linear(c: jnp.ndarray) -> jnp.ndarray:
     """shader.wgsl:220-226. Elementwise on any shape."""
-    higher = fpow(jnp.abs(c + 0.055) / 1.055, 2.4)
+    # static exponent: x^2.4 = x^2 * x^0.4 — no Newton divide (fpow_static)
+    higher = fpow_static(jnp.abs(c + 0.055) / 1.055, 2.4)
     lower = c / 12.92
     return jnp.where(c <= 0.04045, lower, higher)
 

@@ -13,7 +13,15 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from rapidraw_tpu.ops import colorspace as cs
-from rapidraw_tpu.ops.common import fpow, fpow_lt1, luma, mat3_apply, mix, smoothstep
+from rapidraw_tpu.ops.common import (
+    fpow,
+    fpow_lt1,
+    fpow_static,
+    luma,
+    mat3_apply,
+    mix,
+    smoothstep,
+)
 from rapidraw_tpu.params import agx as agx_c
 
 
@@ -138,7 +146,8 @@ def apply_tonal_adjustments(
     base = jnp.where(lo, 2.0 * clamped_perceptual, 2.0 * (1.0 - clamped_perceptual))
     powed = 0.5 * fpow(base, strength)
     curved = jnp.where(lo, powed, 1.0 - powed)
-    contrast_adjusted = fpow(curved, g)
+    # g is static 2.2: x^2 * x^0.2, no Newton divide (fpow_static)
+    contrast_adjusted = fpow_static(curved, g)
     mix_factor = smoothstep(1.0, 1.01, safe_rgb)
     contrasted = mix(contrast_adjusted, rgb, mix_factor)
     rgb = jnp.where(jnp.asarray(con) != 0.0, contrasted, rgb)
@@ -249,7 +258,8 @@ def agx_tonemap(rgb: jnp.ndarray, p2r: jnp.ndarray, r2p: jnp.ndarray) -> jnp.nda
     log_encoded = (jnp.log2(x_rel) - agx_c.AGX_MIN_EV) / agx_c.AGX_RANGE_EV
     mapped = jnp.clip(log_encoded, 0.0, 1.0)
     curved = _agx_curve_channel(mapped)
-    final = fpow(jnp.maximum(curved, 0.0), agx_c.AGX_GAMMA)
+    # AGX_GAMMA is static 2.4: x^2 * x^0.4, no Newton divide (fpow_static)
+    final = fpow_static(jnp.maximum(curved, 0.0), agx_c.AGX_GAMMA)
     return mat3_apply(r2p, final)
 
 

@@ -142,6 +142,11 @@ class DevelopConfig:
     cg_active: bool = False  # global color grading
     mask_cg_active: bool = False
     mask_hsl_active: bool = False
+    # per-band static activity of the HSL mixer, GLOBAL ∪ MASK params:
+    # a band whose hue/sat/lum are all zero in the doc contributes exactly
+    # zero to the weighted totals (the influence normalizer still sums all
+    # 8 bands) — its contraction terms compile out (~8 vector ops/px each)
+    hsl_band_active: tuple = (True,) * 8
     # blendable fields with a non-zero value in at least one mask — only
     # these get per-pixel effective-parameter maps (others stay scalars)
     mask_blend_fields: tuple = ()
@@ -502,6 +507,13 @@ def parse_adjustments(
         cg_active=bool((np.abs(g["cg"][:, 1:]) > 1e-12).any()),
         mask_cg_active=mask_cg_active,
         mask_hsl_active=mask_hsl_active,
+        hsl_band_active=tuple(
+            bool(
+                (np.abs(g["hsl"][band]) > 0).any()
+                or any((np.abs(m["hsl"][band]) > 0).any() for m in mask_sets)
+            )
+            for band in range(8)
+        ),
         mask_blend_fields=mask_blend_fields,
         mask_blend_masks=mask_blend_masks,
         blur_band_masks=tuple(blur_band_masks),
@@ -582,6 +594,10 @@ def merge_configs(configs: list[DevelopConfig]) -> DevelopConfig:
         elif name in ("nr_static_luma", "nr_static_color"):
             # static only if identical across the batch; else per-pixel path
             fields[name] = vals[0] if len(set(vals)) == 1 else None
+        elif name == "hsl_band_active":
+            fields[name] = tuple(
+                any(v[band] for v in vals) for band in range(8)
+            )
         elif name in ("ca_static_rc", "ca_static_by"):
             if len(set(vals)) > 1:
                 raise ValueError(

@@ -197,6 +197,7 @@ def grade_chain(
             g["hsl"],
             m["hsl"] if (cfg.mask_hsl_active and cfg.mask_count > 0) else None,
             gated_infl if cfg.mask_hsl_active else None,
+            band_active=cfg.hsl_band_active,
         )
     if cfg.hue_active:
         rgb = color_ops.apply_hue_shift(rgb, eff["hue"])
