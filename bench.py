@@ -339,9 +339,13 @@ def _bench_stencil_export() -> None:
 # the e2e leg sizes its image count by TIME BUDGET (BASELINE config 5 is a
 # "100-image batch export"; a fixed tiny count under-samples, a fixed 100
 # could blow the harness budget on the tunnel): distinct source files on
-# tmpfs, exported repeatedly until E2E_BUDGET_S or E2E_MAX_IMAGES.
-E2E_FILES = 8
+# tmpfs, exported repeatedly until E2E_BUDGET_S or E2E_MAX_IMAGES — but
+# never fewer than E2E_MIN_ROUNDS rounds, so the reported MEDIAN is a real
+# median even when a slow tunnel makes one round overshoot the budget
+# (round 5: a 1-round run produced a spread-free "median" of one sample).
+E2E_FILES = 4
 E2E_BUDGET_S = 75.0
+E2E_MIN_ROUNDS = 3
 E2E_MAX_IMAGES = 104
 
 
@@ -407,8 +411,10 @@ def _bench_export_end_to_end() -> dict:
         from rapidraw_tpu.pipeline import export as export_mod
         from rapidraw_tpu.pipeline.export import ExportSettings, export_images
 
-        # warm once (compiles: RAW develop, warp planner, megakernel)
-        export_images(paths[:1], root / "warm", ExportSettings(batch_size=1))
+        # warm once (compiles: RAW develop, warp planner, megakernel) with
+        # the SAME batch_size the measured rounds use — warming at
+        # batch_size=1 left the batch-4 develop compile inside round 1
+        export_images(paths, root / "warm", ExportSettings(batch_size=4))
 
         # inter-leg settle (VERDICT r4 weak #2): the device leg that
         # precedes this one leaves slope-timing readbacks queued on the
@@ -439,7 +445,9 @@ def _bench_export_end_to_end() -> dict:
             n_ok += sum(r.ok for r in results)
             n_total += len(results)
             wall = _time.perf_counter() - t0
-            if wall >= E2E_BUDGET_S or n_total >= E2E_MAX_IMAGES:
+            if n_total >= E2E_MAX_IMAGES:
+                break
+            if wall >= E2E_BUDGET_S and rounds >= E2E_MIN_ROUNDS:
                 break
         if n_ok != n_total:
             return {"e2e_error": f"{n_total - n_ok} exports failed"}

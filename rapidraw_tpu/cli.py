@@ -44,6 +44,10 @@ def _cmd_develop(args) -> int:
     img, is_raw = load_image(args.image)
     if args.adjustments:
         adj = json.loads(Path(args.adjustments).read_text())
+        if isinstance(adj.get("adjustments"), dict):
+            # a full sidecar (.rrdata ImageMetadata) was passed — unwrap it
+            # instead of silently developing with the identity doc
+            adj = adj["adjustments"]
     else:
         adj = load_adjustments(args.image)
 

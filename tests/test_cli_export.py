@@ -27,6 +27,20 @@ def test_cli_develop_with_adjustments(tmp_path):
     assert Image.open(out).size == (64, 48)
 
 
+def test_cli_develop_accepts_sidecar_format_adjustments(tmp_path):
+    """-a with a full .rrdata ImageMetadata file (what the app writes) must
+    unwrap `adjustments`, not silently develop with the identity doc."""
+    src = _make_jpeg(tmp_path / "in.jpg")
+    adj = tmp_path / "meta.rrdata"
+    adj.write_text(json.dumps(
+        {"version": 1, "rating": 3, "adjustments": {"exposure": 2.0}}
+    ))
+    out = tmp_path / "out.jpg"
+    rc = main(["develop", str(src), "-a", str(adj), "-o", str(out)])
+    assert rc == 0
+    assert np.asarray(Image.open(out)).mean() > np.asarray(Image.open(src)).mean()
+
+
 def test_cli_develop_uses_sidecar(tmp_path):
     from rapidraw_tpu.io.sidecar import save_sidecar
 

@@ -195,3 +195,15 @@ def _run_doc_fuzz():
         assert out.min() >= -1e-5 and out.max() <= 1.0 + 1e-5, (
             f"trial {trial}: out of range [{out.min()}, {out.max()}] for {doc}"
         )
+
+
+def test_interleaved_input_raises_clear_error():
+    """The public develop() contract is planar (3, H, W); the classic HWC
+    hand-off must fail loud (it used to silently slice 3 rows as planes)."""
+    params, cfg = parse_adjustments({}, is_raw=False)
+    hwc = jnp.zeros((40, 64, 3), jnp.float32)
+    with pytest.raises(ValueError, match="PLANAR"):
+        develop(hwc, params, cfg)
+    # planar passes — including the degenerate W==3 case (assumed planar)
+    out = develop(jnp.zeros((3, 40, 64), jnp.float32), params, cfg)
+    assert out.shape == (3, 40, 64)
