@@ -107,9 +107,11 @@ def _lib():
             continue
         try:
             lib = ctypes.CDLL(name)
-        except OSError:
+            _declare(lib)
+        except (OSError, AttributeError):
+            # AttributeError: a pre-0.7 libjxl missing the frame-settings
+            # API — available() must report False, not crash the exporter
             continue
-        _declare(lib)
         return lib
     return None
 
@@ -168,7 +170,7 @@ def available() -> bool:
 
 
 def encode_jxl(arr: np.ndarray, quality: int = 90) -> bytes:
-    """Encode an (H, W, 3|4) uint8 array to JPEG XL bytes.
+    """Encode an (H, W, 1|3|4) uint8 array to JPEG XL bytes (1 = grayscale).
 
     quality == 100 → mathematically lossless (matches the reference's
     LosslessConfig path); otherwise distance = max((100 - q)/10, 0.01)
@@ -178,8 +180,8 @@ def encode_jxl(arr: np.ndarray, quality: int = 90) -> bytes:
     if lib is None:
         raise ValueError("format 'jxl': libjxl shared library not found")
     arr = np.ascontiguousarray(arr)
-    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] not in (3, 4):
-        raise ValueError("encode_jxl expects (H, W, 3|4) uint8")
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] not in (1, 3, 4):
+        raise ValueError("encode_jxl expects (H, W, 1|3|4) uint8")
     h, w, c = arr.shape
     lossless = quality >= 100
 
@@ -191,7 +193,7 @@ def encode_jxl(arr: np.ndarray, quality: int = 90) -> bytes:
         lib.JxlEncoderInitBasicInfo(ctypes.byref(info))
         info.xsize, info.ysize = w, h
         info.bits_per_sample = 8
-        info.num_color_channels = 3
+        info.num_color_channels = 1 if c == 1 else 3
         if c == 4:
             info.num_extra_channels = 1
             info.alpha_bits = 8
@@ -200,7 +202,7 @@ def encode_jxl(arr: np.ndarray, quality: int = 90) -> bytes:
         if lib.JxlEncoderSetBasicInfo(enc, ctypes.byref(info)) != JXL_ENC_SUCCESS:
             raise ValueError("JxlEncoderSetBasicInfo rejected (ABI mismatch?)")
         ce = _JxlColorEncoding()
-        lib.JxlColorEncodingSetToSRGB(ctypes.byref(ce), 0)
+        lib.JxlColorEncodingSetToSRGB(ctypes.byref(ce), 1 if c == 1 else 0)
         if lib.JxlEncoderSetColorEncoding(enc, ctypes.byref(ce)) != JXL_ENC_SUCCESS:
             raise ValueError("JxlEncoderSetColorEncoding failed")
         fs = lib.JxlEncoderFrameSettingsCreate(enc, None)
@@ -256,15 +258,25 @@ def decode_jxl(data: bytes) -> np.ndarray:
             if status == JXL_DEC_BASIC_INFO:
                 if lib.JxlDecoderGetBasicInfo(dec, ctypes.byref(info)) != JXL_DEC_SUCCESS:
                     raise ValueError("JxlDecoderGetBasicInfo failed")
-                c = 3 + (1 if info.alpha_bits else 0)
+                # request the stream's own color channel count (grayscale
+                # streams reject a 3-channel format); gray expands below
+                c = (info.num_color_channels or 3) + (1 if info.alpha_bits else 0)
                 fmt = _JxlPixelFormat(c, JXL_TYPE_UINT8, JXL_NATIVE_ENDIAN, 0)
             elif status == JXL_DEC_NEED_IMAGE_OUT_BUFFER:
+                if fmt is None:
+                    raise ValueError("JXL decoder requested a buffer before basic info")
                 size = ctypes.c_size_t()
-                lib.JxlDecoderImageOutBufferSize(dec, ctypes.byref(fmt), ctypes.byref(size))
+                # unchecked failures here would leave the decoder returning
+                # NEED_IMAGE_OUT_BUFFER forever — an infinite loop
+                if lib.JxlDecoderImageOutBufferSize(
+                    dec, ctypes.byref(fmt), ctypes.byref(size)
+                ) != JXL_DEC_SUCCESS or not size.value:
+                    raise ValueError("JxlDecoderImageOutBufferSize failed")
                 buf = np.empty(size.value, np.uint8)
-                lib.JxlDecoderSetImageOutBuffer(
+                if lib.JxlDecoderSetImageOutBuffer(
                     dec, ctypes.byref(fmt), buf.ctypes.data_as(ctypes.c_void_p), size.value
-                )
+                ) != JXL_DEC_SUCCESS:
+                    raise ValueError("JxlDecoderSetImageOutBuffer failed")
             elif status == JXL_DEC_FULL_IMAGE:
                 pass  # frame complete; keep draining until SUCCESS
             elif status == JXL_DEC_SUCCESS:
@@ -273,6 +285,12 @@ def decode_jxl(data: bytes) -> np.ndarray:
                 raise ValueError(f"JxlDecoderProcessInput failed ({status})")
         if buf is None or fmt is None:
             raise ValueError("JXL stream contained no image")
-        return buf.reshape(info.ysize, info.xsize, fmt.num_channels)
+        arr = buf.reshape(info.ysize, info.xsize, fmt.num_channels)
+        if info.num_color_channels == 1:
+            # expand grayscale to the documented RGB(+A) contract
+            arr = np.concatenate(
+                [np.repeat(arr[..., :1], 3, axis=-1), arr[..., 1:]], axis=-1
+            )
+        return arr
     finally:
         lib.JxlDecoderDestroy(dec)

@@ -342,10 +342,14 @@ def generate_thumbnails(
     """Batch thumbnail generation (the worker-pool equivalent).
 
     Cancellation and progress mirror the reference's thumbnail queue
-    (file_management.rs:1440-1568): the walk stops at the next item when
-    the token fires, returning whatever completed. Failures are isolated
-    per image (a corrupt file must not discard the completed batch), like
-    the reference's worker pool and export_images.
+    (file_management.rs:1440-1568): the walk stops at the next item (or
+    next device chunk, the batched analog) when the token fires, returning
+    whatever completed. `progress(done, total, path)` fires after each
+    COMPLETED thumbnail — completion-based, so the bar tracks the real
+    develop/encode work rather than racing ahead during the cheap prep
+    pass — plus one terminal (total, total, "") signal. Failures are
+    isolated per image (a corrupt file must not discard the completed
+    batch), like the reference's worker pool and export_images.
     """
     if app_settings is None:
         from rapidraw_tpu.utils.settings import AppSettings, app_data_dir
@@ -355,12 +359,20 @@ def generate_thumbnails(
     out: dict[str, bytes] = {}
     pending: list[tuple[str, dict]] = []
     cancelled = False
-    for i, p in enumerate(paths):
+    total = len(paths)
+
+    def _done(p):
+        # progress counts COMPLETED thumbnails (the develop/encode work),
+        # not prep-loop iterations — a folder of uncached edits would
+        # otherwise race to total during the cheap hashing pass and then
+        # sit frozen through the actual minutes of develop work
+        if progress:
+            progress(len(out), total, p)
+
+    for p in paths:
         if cancel is not None and cancel.cancelled:
             cancelled = True
             break
-        if progress:
-            progress(i, len(paths), p)
         try:
             prep = _prep_thumbnail(p, resolution, cache_dir, app_settings)
         except Exception as e:  # noqa: BLE001
@@ -370,6 +382,7 @@ def generate_thumbnails(
             continue
         if isinstance(prep, bytes):
             out[p] = prep
+            _done(p)
         else:
             pending.append((p, prep))
 
@@ -411,10 +424,14 @@ def generate_thumbnails(
         try:
             if key[0] == "single" or len(group) == 1:
                 for p, prep in group:
+                    if cancel is not None and cancel.cancelled:
+                        cancelled = True
+                        break
                     o = _jitted_develop(prep["cfg"])(
                         prep["x"], prep["params"], prep["masks"], prep["lut"]
                     )
                     out[p] = _finish_thumbnail(o, prep["cache_file"])
+                    _done(p)
                 continue
             import jax.numpy as jnp
 
@@ -444,6 +461,12 @@ def generate_thumbnails(
                 return jnp.concatenate([mk, z[: cfg_b.mask_count - n]])
 
             for c0 in range(0, len(group), _THUMB_BATCH):
+                if cancel is not None and cancel.cancelled:
+                    # the reference's queue stops at the next item
+                    # (file_management.rs:1440-1568); per-chunk is the
+                    # batched analog of its per-image check
+                    cancelled = True
+                    break
                 chunk = group[c0 : c0 + _THUMB_BATCH]
                 n_real = len(chunk)
                 padded = chunk + [chunk[-1]] * (_THUMB_BATCH - n_real)
@@ -463,6 +486,7 @@ def generate_thumbnails(
                 ))[:n_real]
                 for (p, prep), o in zip(chunk, outs):
                     out[p] = _finish_thumbnail(o, prep["cache_file"])
+                    _done(p)
         except Exception as e:  # noqa: BLE001 — isolate per bucket, then
             # per image: a corrupt entry must not discard the folder
             from rapidraw_tpu.utils.trace import log
@@ -470,11 +494,17 @@ def generate_thumbnails(
             log.warning("thumbnail bucket failed (%s): %s — retrying singly",
                         key, e)
             for p, prep in group:
+                if p in out:  # chunks before the failure already finished
+                    continue
+                if cancel is not None and cancel.cancelled:
+                    cancelled = True
+                    break
                 try:
                     o = _jitted_develop(prep["cfg"])(
                         prep["x"], prep["params"], prep["masks"], prep["lut"]
                     )
                     out[p] = _finish_thumbnail(o, prep["cache_file"])
+                    _done(p)
                 except Exception as e2:  # noqa: BLE001
                     log.warning("thumbnail failed for %s: %s", p, e2)
 

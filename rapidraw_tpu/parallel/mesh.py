@@ -18,6 +18,7 @@ Both are expressed as jit shardings, never hand-written collectives.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -119,8 +120,8 @@ def sharded_develop_batch(mesh: Mesh, cfg: DevelopConfig, blur_bands=None):
             cfg.nr_active
             and (cfg.nr_static_luma is None or cfg.nr_static_color is None)
         )  # mask-driven NR = per-pixel gather path, not SPMD-safe
-        and __import__("os").environ.get("RAPIDRAW_NR_EXACT_JITTER") != "1"
-        and __import__("os").environ.get("RAPIDRAW_SPATIAL_XLA") != "1"
+        and os.environ.get("RAPIDRAW_NR_EXACT_JITTER") != "1"
+        and os.environ.get("RAPIDRAW_SPATIAL_XLA") != "1"
     )
     if fused_ok:
         return _sharded_spatial_fused(mesh, cfg, blur_bands)
@@ -155,11 +156,17 @@ def sharded_develop_batch(mesh: Mesh, cfg: DevelopConfig, blur_bands=None):
 
 
 def spatial_halo(cfg: DevelopConfig, h: int, w: int) -> int:
-    """Static halo width for the fused spatial regime: the maximum support
-    of any active stencil stage (every stencil reads the ORIGINAL input, so
-    supports don't compound). Blur taps span the full radius
-    (blur.wgsl:40), NR taps are bounded by its 16-px kernel halo
-    (ops/nr._NR_HALO), CA shifts by |ca| * max_extent / 2."""
+    """Static halo width for the fused spatial regime.
+
+    Blur levels and CA both read the ORIGINAL input (prepare_inputs:
+    gaussian_blur_multi runs on input_rgb), so their supports are
+    independent: blur taps span the full radius (blur.wgsl:40), CA shifts
+    by |ca| * max_extent / 2. NR, however, reads the CA-CORRECTED image
+    (apply_noise_reduction consumes initial_linear), so its 16-px kernel
+    halo (ops/nr._NR_HALO) COMPOUNDS with the CA shift: an NR tap 16 px
+    into the halo needs CA-gathered data up to the shift further out, and
+    the host-baked CA indices clamp to the slab — an under-sized halo
+    would silently read wrong columns near interior seams."""
     import math
 
     from rapidraw_tpu.params import scales
@@ -174,13 +181,15 @@ def spatial_halo(cfg: DevelopConfig, h: int, w: int) -> int:
     ):
         if flag:
             hp = max(hp, scales.blur_radius(base_r, sc))
+    ca_pad = 0
+    if cfg.ca_active:
+        ca = max(abs(cfg.ca_static_rc), abs(cfg.ca_static_by))
+        ca_pad = int(math.ceil(ca * max(w, h) / 2.0)) + 1
+        hp = max(hp, ca_pad)
     if cfg.nr_active:
         from rapidraw_tpu.ops.nr import _NR_HALO
 
-        hp = max(hp, _NR_HALO)
-    if cfg.ca_active:
-        ca = max(abs(cfg.ca_static_rc), abs(cfg.ca_static_by))
-        hp = max(hp, int(math.ceil(ca * max(w, h) / 2.0)) + 1)
+        hp = max(hp, _NR_HALO + ca_pad)
     return -(-hp // 8) * 8
 
 
@@ -246,6 +255,16 @@ def _sharded_spatial_fused(mesh: Mesh, cfg: DevelopConfig, blur_bands=None):
             raise ValueError(f"W={w} not divisible by mesh x={nx}")
         w_l = w // nx
         hp = spatial_halo(cfg, h, w)
+        if hp > w_l:
+            # the halo exchange sends each neighbor a slice of the LOCAL
+            # shard, so a halo wider than the shard can't be assembled in
+            # one ppermute hop — fail with the remedy instead of an opaque
+            # broadcast error deep inside shard_map
+            raise ValueError(
+                f"spatial halo {hp} px exceeds the {w_l}-px W-shard "
+                f"(W={w} over x={nx}): use fewer spatial shards or the "
+                "XLA-constraint body (RAPIDRAW_SPATIAL_XLA=1)"
+            )
 
         cai = None
         if cfg.ca_active:

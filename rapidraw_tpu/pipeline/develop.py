@@ -251,12 +251,14 @@ def develop(
 
     Returns planar (3, H, W) float32 sRGB in [0, 1].
     """
-    if image.ndim != 3 or (image.shape[0] != 3 and image.shape[-1] == 3):
-        # catch the classic HWC hand-off: shapes are static under jit, so
-        # this costs nothing and fails loud instead of slicing 3 rows
+    if image.ndim != 3 or image.shape[0] != 3:
+        # catch the classic HWC (or HW-RGBA) hand-off: shapes are static
+        # under jit, so this costs nothing and fails loud instead of
+        # slicing the first 3 rows as color planes
         raise ValueError(
             f"develop() expects a PLANAR (3, H, W) image, got {image.shape}; "
-            "convert interleaved (H, W, 3) with np.moveaxis(img, -1, 0)"
+            "convert interleaved (H, W, C) with np.moveaxis(img, -1, 0) "
+            "(and drop alpha)"
         )
     g = params["glob"]
     m = params["mask"]

@@ -405,6 +405,80 @@ def test_spatial_mesh_fused_kernels_parity_at_scale(monkeypatch):
     assert seam < max(5 * interior, 1e-6)
 
 
+def test_spatial_halo_compounds_nr_over_ca(monkeypatch):
+    """NR reads the CA-CORRECTED image (prepare_inputs), so the spatial
+    halo must cover NR's tap reach PLUS the CA shift, not their max: with
+    an under-sized halo the host-baked CA indices clamp at the slab edge
+    and NR taps near off-center seams silently read wrong columns.
+
+    The compounding only BITES at production scale (at 24MP, nx=8, CA
+    slider 100: chroma taps reach ~10 px and the slab-edge shift is ~24 px
+    > the old max(16, ca_pad)=32 halo), where a CPU render test is
+    impractical — so part 1 asserts the coverage inequality analytically
+    at the 24MP shape (the old formula fails it), and part 2 renders a
+    small spatial=4 mesh with CA on BOTH axes + NR (a stencil combination
+    no other mesh test exercises) to pin the halo plumbing end-to-end."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rapidraw_tpu.ops.nr import _nr_static_meta
+    from rapidraw_tpu.params import scales
+    from rapidraw_tpu.params.parse import parse_adjustments
+    from rapidraw_tpu.parallel.mesh import (
+        make_mesh,
+        sharded_develop_batch,
+        spatial_halo,
+    )
+    from rapidraw_tpu.pipeline.batch import develop_batch, stack_params
+
+    monkeypatch.setenv("RAPIDRAW_FUSED", "1")
+    doc = {
+        "exposure": 0.2, "lumaNoiseReduction": 30, "colorNoiseReduction": 20,
+        "chromaticAberrationRedCyan": 100, "chromaticAberrationBlueYellow": -100,
+        "toneMapper": "agx",
+    }
+    p, cfg = parse_adjustments(doc, is_raw=False)
+    params, cfg = stack_params([p], [cfg])
+
+    # part 1: at 24MP on an x=8 mesh, every kept pixel's furthest NR tap
+    # must find CORRECT CA-gathered data inside the slab: the halo has to
+    # cover max_tap + the CA shift at the slab's outer edge
+    h24, w24, nx = 4096, 6144, 8
+    hp = spatial_halo(cfg, h24, w24)
+    meta = _nr_static_meta(
+        cfg.nr_static_luma, cfg.nr_static_color,
+        scales.resolution_scale(w24, h24),
+    )
+    max_tap = max(
+        max(abs(dx), abs(dy)) for dx, dy, _ in
+        meta["luma_taps"] + meta["chroma_taps"]
+    )
+    ca = max(abs(cfg.ca_static_rc), abs(cfg.ca_static_by))
+    w_l = w24 // nx
+    # leftmost interior shard's slab outer edge (worst radial distance)
+    edge_dx = abs((w_l - hp) - w24 / 2.0)
+    shift = int(math.ceil(ca * edge_dx)) + 1
+    assert hp >= max_tap + shift, (hp, max_tap, shift)
+
+    # part 2: end-to-end halo plumbing at spatial=4 with CA both axes + NR
+    rng = np.random.default_rng(11)
+    imgs = jnp.asarray(
+        np.clip(0.4 + rng.normal(0, 0.08, (1, 3, 256, 1024)), 0, 1
+                ).astype(np.float32))
+
+    mesh = make_mesh(jax.devices()[:4], batch=1, spatial=4)
+    fn = sharded_develop_batch(mesh, cfg)
+    sharded = np.asarray(fn(imgs, params))
+    plain = np.asarray(develop_batch(imgs, params, cfg, fused=True))
+
+    d = np.abs(sharded - plain)
+    assert d.mean() < 1e-6, d.mean()
+    assert d.max() < 2e-3, d.max()
+
+
 def test_lut_bucket_shards_on_mesh():
     """A LUT-graded batch must ride the mesh (VERDICT r3 #6): the sharded
     entry takes the LUT as a REPLICATED operand and matches the

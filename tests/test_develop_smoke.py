@@ -201,9 +201,9 @@ def test_interleaved_input_raises_clear_error():
     """The public develop() contract is planar (3, H, W); the classic HWC
     hand-off must fail loud (it used to silently slice 3 rows as planes)."""
     params, cfg = parse_adjustments({}, is_raw=False)
-    hwc = jnp.zeros((40, 64, 3), jnp.float32)
-    with pytest.raises(ValueError, match="PLANAR"):
-        develop(hwc, params, cfg)
+    for bad in ((40, 64, 3), (40, 64, 4), (4, 40, 64)):
+        with pytest.raises(ValueError, match="PLANAR"):
+            develop(jnp.zeros(bad, jnp.float32), params, cfg)
     # planar passes — including the degenerate W==3 case (assumed planar)
     out = develop(jnp.zeros((3, 40, 64), jnp.float32), params, cfg)
     assert out.shape == (3, 40, 64)

@@ -105,3 +105,28 @@ def test_encode_jxl_rejects_bad_shapes():
         jxl.encode_jxl(np.zeros((4, 4), np.uint8))
     with pytest.raises(ValueError):
         jxl.encode_jxl(np.zeros((4, 4, 3), np.float32))
+
+
+@needs_jxl
+def test_grayscale_jxl_round_trip(tmp_path):
+    """A 1-channel .jxl (num_color_channels=1) used to wedge decode_jxl in
+    an infinite loop: the 3-channel output format was rejected by
+    JxlDecoderImageOutBufferSize, whose return code went unchecked, so the
+    decoder kept returning NEED_IMAGE_OUT_BUFFER forever. Grayscale now
+    decodes and expands to the documented RGB contract."""
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, (20, 28, 1), dtype=np.uint8)
+    data = jxl.encode_jxl(gray, 100)
+    out = jxl.decode_jxl(data)
+    assert out.shape == (20, 28, 3)
+    np.testing.assert_array_equal(out[..., 0], gray[..., 0])
+    np.testing.assert_array_equal(out[..., 0], out[..., 1])
+    np.testing.assert_array_equal(out[..., 0], out[..., 2])
+
+    # and through the library loader (the surface that used to hang)
+    from rapidraw_tpu.io.loader import load_ldr
+
+    p = tmp_path / "gray.jxl"
+    p.write_bytes(data)
+    planar = np.asarray(load_ldr(p))
+    assert planar.shape == (3, 20, 28)

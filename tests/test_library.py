@@ -391,14 +391,16 @@ def test_generate_thumbnails_batch_isolation_and_cancel(tmp_path):
     tok = CancellationToken()
     seen = []
 
-    def progress(i, n, p):
-        seen.append(p)
-        if i == 0:
+    def progress(done, n, p):
+        # progress is completion-based: cancel after the FIRST finished
+        # thumbnail — the walk must stop before the second one
+        seen.append((done, p))
+        if done == 1:
             tok.cancel()
 
     out2 = generate_thumbnails([str(good1), str(good2)], resolution=16,
                                cancel=tok, progress=progress)
-    assert len(out2) <= 1 and len(seen) == 1
+    assert len(out2) == 1 and len(seen) == 1
 
 
 def test_generate_thumbnails_batched_matches_serial(tmp_path):
@@ -433,10 +435,17 @@ def test_generate_thumbnails_batched_matches_serial(tmp_path):
     paths = same_shape + [str(odd)]
 
     serial = {p: generate_thumbnail(p, resolution=32) for p in paths}
-    batched = generate_thumbnails(paths, resolution=32)
+    ticks = []
+    batched = generate_thumbnails(
+        paths, resolution=32,
+        progress=lambda done, n, p: ticks.append((done, n)),
+    )
     assert set(batched) == set(paths)
     for p in paths:
         assert batched[p] == serial[p], f"batched != serial for {p}"
+    # per-image progress must survive batching: one completion tick per
+    # image (monotone) + the terminal signal — not one tick per bucket
+    assert ticks == [(1, 4), (2, 4), (3, 4), (4, 4), (4, 4)]
 
 
 def test_thumbnail_honors_app_settings(tmp_path):
