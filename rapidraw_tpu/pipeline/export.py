@@ -48,9 +48,11 @@ def settings_from_preset(preset: dict) -> ExportSettings:
         watermark = WatermarkSettings(
             path=preset["watermark_path"],
             anchor=preset.get("watermark_anchor") or "bottomRight",
-            scale=float(preset.get("watermark_scale", 15)),
-            spacing=float(preset.get("watermark_spacing", 2)),
-            opacity=float(preset.get("watermark_opacity", 100)),
+            # `or` (not a .get default): frontend presets carry explicit
+            # nulls for unset keys, and float(None) would crash the load
+            scale=float(preset.get("watermark_scale") or 15),
+            spacing=float(preset.get("watermark_spacing") or 2),
+            opacity=float(preset.get("watermark_opacity") or 100),
         )
     long_edge = None
     if preset.get("enable_resize") and preset.get("resize_value"):
@@ -433,21 +435,28 @@ def export_images(
 
     # encode side: bounded in-flight frames (each holds one full-res image)
     enc_sem = threading.BoundedSemaphore(n_enc * 2)
-    seq_state = {"seq": 0}
-    appearance: dict = {}
     claimed_paths: set = set()
 
+    # {sequence} and virtual-copy appearance numbers follow INPUT order
+    # (file_management.rs:3264-3292 numbers the request list), not bucket
+    # flush order — flush order depends on the live prepare_window()
+    # reading, so numbering from the render loop made re-exports of the
+    # same list produce different filenames on a RAM-constrained host
+    appearance_by_idx: dict[int, int] = {}
+    _occ: dict[str, int] = {}
+    for _i, _p in enumerate(paths):
+        _real, _ = parse_virtual_path(_p)
+        _occ[_real] = _occ.get(_real, 0) + 1
+        appearance_by_idx[_i] = _occ[_real]
+
     def encode_one(idx, p, planar, dt, n_in_chunk, mask_prep=None):
-        # sequence/appearance/output-path state is assigned in the render
-        # loop (single thread) so filename numbering is deterministic and
-        # two sources that template to the same name can't overwrite each
-        # other (2023/IMG_0001.CR2 + 2024/IMG_0001.CR2 without
+        # output-path claiming happens in the render loop (single thread)
+        # so two sources that template to the same name can't overwrite
+        # each other (2023/IMG_0001.CR2 + 2024/IMG_0001.CR2 without
         # preserve_folders both map to IMG_0001_edited.jpg)
-        seq_state["seq"] += 1
-        seq = seq_state["seq"]
+        seq = idx + 1
         real, vc = parse_virtual_path(p)
-        appearance[real] = appearance.get(real, 0) + 1
-        app = appearance[real]
+        app = appearance_by_idx[idx]
         from rapidraw_tpu.io.exif import get_creation_date
 
         try:
@@ -828,7 +837,7 @@ def estimate_export_sizes(
     from rapidraw_tpu.io.sidecar import load_adjustments
     from rapidraw_tpu.masks.rasterize import rasterize_masks
     from rapidraw_tpu.params.parse import parse_adjustments
-    from rapidraw_tpu.pipeline.develop import develop
+    from rapidraw_tpu.pipeline.batch import stack_params
 
     img, is_raw = load_image(paths[0], app_settings=app_settings)
     adj = dict(load_adjustments(paths[0]))
@@ -878,12 +887,16 @@ def estimate_export_sizes(
             import dataclasses as _dc
 
             cfg = _dc.replace(cfg, has_lut=False)
+    # run the probe through the COMPILED path (a [None] batch of one, like
+    # _export_masks_for_image): eager develop dispatches the whole chain
+    # op-by-op — orders of magnitude slower, stalling the export dialog
+    sp, scfg = stack_params([params], [cfg])
     out = np.asarray(
-        develop(
-            preview, params, cfg,
-            masks=jnp.asarray(masks) if masks is not None else None,
-            lut=lut,
-        )
+        _jitted_develop(scfg)(
+            preview[None], sp,
+            jnp.asarray(masks)[None] if masks is not None else None,
+            lut,
+        )[0]
     )
 
     buf = _io.BytesIO()

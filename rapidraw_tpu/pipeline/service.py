@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import time
 from typing import Any
 
@@ -54,26 +55,19 @@ class PreviewResult:
         return header + self.jpeg
 
 
-_u8_jit = None
-
-
 def _device_u8(x):
     """Quantize to u8 ON DEVICE before readback (same formula as
-    loader.to_uint8_hwc and export._device_u8, so downloading u8 instead
-    of f32 changes no encoded byte): 1/4 the D2H bytes per preview — the
-    dominant cost of an interactive reply on a remote device, and still
-    3/4 of a PCIe copy saved on a real host. Scopes consume the same u8
-    the reply shows, exactly like the reference's analytics thread
-    (gpu_processing.rs:1882-1948 reads back the rendered u8 image)."""
-    global _u8_jit
-    if _u8_jit is None:
-        import jax
-        import jax.numpy as jnp
+    loader.to_uint8_hwc, so downloading u8 instead of f32 changes no
+    encoded byte): 1/4 the D2H bytes per preview — the dominant cost of an
+    interactive reply on a remote device, and still 3/4 of a PCIe copy
+    saved on a real host. Scopes consume the same u8 the reply shows,
+    exactly like the reference's analytics thread
+    (gpu_processing.rs:1882-1948 reads back the rendered u8 image).
+    Delegates to the export path's jit so preview and export quantization
+    can never diverge."""
+    from rapidraw_tpu.pipeline.export import _device_u8 as impl
 
-        _u8_jit = jax.jit(
-            lambda y: (jnp.clip(y, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
-        )
-    return _u8_jit(x)
+    return impl(x)
 
 
 class RenderService:
@@ -88,6 +82,7 @@ class RenderService:
         self._mask_cache = LruCache(50)  # cap like mask_generation.rs:1503
         self._geometry_base = LruCache(6)  # graded geometry-preview base (lib.rs:1007)
         self._warped_cache = LruCache(1)  # full warped image (lib.rs:260-288)
+        self._lut_cache = LruCache(4)  # parsed + device-resident 3D LUTs
         self._jit = {}
 
     # -- loading ----------------------------------------------------------
@@ -121,7 +116,11 @@ class RenderService:
         x, crop_offset = apply_all_transformations(jnp.asarray(img), adjustments)
         full_h, full_w = int(x.shape[1]), int(x.shape[2])
         x = downscale_to_long_edge(x, long_edge)
-        entry = (np.asarray(x), crop_offset, (full_w, full_h), is_raw)
+        # cache the DEVICE array: a host copy here made every cache-hit
+        # frame re-upload the full f32 preview (~28 MB at 1920 long edge)
+        # — the H2D mirror of the D2H cost _device_u8 eliminates. LRU(8)
+        # bounds the held device memory; eviction frees the buffer.
+        entry = (x, crop_offset, (full_w, full_h), is_raw)
         self._transformed.put(key, entry)
         return entry
 
@@ -154,10 +153,18 @@ class RenderService:
         # keyed by image identity + geometry hash as well: color/luminance
         # masks sample the warped IMAGE, so same-shaped defs on a different
         # photo (or after a geometry change) must not hit the same bitmaps
-        # (mask_generation.rs:1459-1511 hashes per image render job)
+        # (mask_generation.rs:1459-1511 hashes per image render job).
+        # Each mask's grading "adjustments" are NOT part of the key — the
+        # rasterizer never reads them, and keying on them re-rasterized
+        # every bitmap on every masked-slider scrub frame.
+        key_defs = [
+            {k: v for k, v in m.items() if k != "adjustments"}
+            if isinstance(m, dict) else m
+            for m in (mask_defs or [])
+        ] or None
         key_src = json.dumps(
             {"p": path, "g": calculate_geometry_hash(adjustments),
-             "m": mask_defs, "w": w, "h": h, "s": scale, "c": crop_offset},
+             "m": key_defs, "w": w, "h": h, "s": scale, "c": crop_offset},
             sort_keys=True, default=str,
         )
         key = hashlib.blake2b(key_src.encode(), digest_size=8).hexdigest()
@@ -392,6 +399,10 @@ class RenderService:
             x = downscale_to_long_edge_np(img, dim)
             neutral = dict(adjustments)
             neutral["crop"] = None
+            # the geometry/crop base renders WITHOUT mask gradings (their
+            # bitmaps are rasterized in crop space, which this view is
+            # changing; develop would assert on mask_count without bitmaps)
+            neutral["masks"] = []
             neutral["rotation"] = 0.0
             neutral["orientationSteps"] = 0
             neutral["flipHorizontal"] = False
@@ -465,10 +476,24 @@ class RenderService:
             return None
         from rapidraw_tpu.io.lut import parse_lut_file
 
+        path = adjustments["lutPath"]
         try:
-            return jnp.asarray(parse_lut_file(adjustments["lutPath"]))
+            # keyed by (path, mtime): re-parsing a 65³ .cube is hundreds of
+            # thousands of text lines and a fresh device upload — paying
+            # that per interactive frame dwarfed the develop itself
+            mtime = os.stat(path).st_mtime_ns
+        except OSError:
+            mtime = None
+        key = (path, mtime)
+        hit = self._lut_cache.get(key)
+        if hit is not None:
+            return hit
+        try:
+            lut = jnp.asarray(parse_lut_file(path))
         except Exception:
             return None
+        self._lut_cache.put(key, lut)
+        return lut
 
     def clear_caches(self) -> None:
         self._decoded.clear()
@@ -476,6 +501,7 @@ class RenderService:
         self._mask_cache.clear()
         self._geometry_base.clear()
         self._warped_cache.clear()
+        self._lut_cache.clear()
 
     def is_image_cached(self, path: str) -> bool:
         """Whether the decoded full image is resident (lib.rs

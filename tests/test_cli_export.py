@@ -325,3 +325,50 @@ def test_settings_from_preset_null_metadata_keys():
     assert s.strip_gps is True
     s2 = settings_from_preset({"keep_metadata": False, "strip_gps": False})
     assert s2.copy_exif is False and s2.strip_gps is False
+
+
+def test_settings_from_preset_null_watermark_fields():
+    """Frontend presets carry explicit nulls for unset keys; the watermark
+    numeric fields used to crash on float(None)."""
+    from rapidraw_tpu.pipeline.export import settings_from_preset
+
+    s = settings_from_preset({
+        "enable_watermark": True, "watermark_path": "/x.png",
+        "watermark_scale": None, "watermark_spacing": None,
+        "watermark_opacity": None, "watermark_anchor": None,
+    })
+    assert s.watermark is not None
+    assert s.watermark.scale == 15 and s.watermark.spacing == 2
+    assert s.watermark.opacity == 100 and s.watermark.anchor == "bottomRight"
+
+
+def test_sequence_numbers_follow_input_order(tmp_path):
+    """{sequence} follows the INPUT list (file_management.rs:3264-3292),
+    not bucket flush order — alternating shapes used to interleave the
+    numbering by render order."""
+    import json as _json
+
+    from rapidraw_tpu.pipeline.export import ExportSettings, export_images
+
+    paths = []
+    for i in range(4):
+        # alternate aspect so consecutive inputs land in DIFFERENT buckets
+        h, w = (32, 48) if i % 2 == 0 else (48, 32)
+        p = tmp_path / f"in{i}.jpg"
+        _make_jpeg(p, h=h, w=w, seed=i)
+        (tmp_path / f"in{i}.jpg.rrdata").write_text(
+            _json.dumps({"version": 1, "adjustments": {"exposure": 0.1}})
+        )
+        paths.append(str(p))
+
+    out_dir = tmp_path / "out"
+    results = export_images(
+        paths, out_dir,
+        ExportSettings(batch_size=2,
+                       filename_template="{original_filename}_s{sequence}"),
+    )
+    assert all(r.ok for r in results)
+    for i in range(4):
+        assert (out_dir / f"in{i}_s{i + 1}.jpg").exists(), sorted(
+            q.name for q in out_dir.iterdir()
+        )

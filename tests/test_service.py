@@ -272,3 +272,102 @@ def test_device_u8_matches_host_encode_quantization():
     np.testing.assert_array_equal(
         to_uint8_hwc(np.asarray(_device_u8(x))), via_host
     )
+
+
+def test_geometry_preview_with_masked_document(tmp_path):
+    """The geometry/crop base renders without mask gradings: a document
+    with a visible mask used to trip develop()'s mask-bitmaps assert and
+    crash the whole crop tool."""
+    from rapidraw_tpu.geometry.params import GeometryParams
+
+    p = _jpg(tmp_path / "gm.jpg")
+    svc = RenderService()
+    adj = {
+        "exposure": 0.2,
+        "masks": [{
+            "visible": True, "invert": False, "opacity": 100.0,
+            "adjustments": {"exposure": 2.0},
+            "subMasks": [{"type": "radial", "visible": True, "mode": "additive",
+                          "parameters": {"centerX": 80, "centerY": 60,
+                                         "radiusX": 40, "radiusY": 30,
+                                         "feather": 0.5}}],
+        }],
+    }
+    jpeg = svc.preview_geometry_transform(p, GeometryParams(rotate=2.0), adj)
+    assert jpeg[:2] == b"\xff\xd8"
+
+
+def test_mask_cache_ignores_grading_changes(tmp_path, monkeypatch):
+    """Scrubbing a masked grading slider must HIT the bitmap cache — the
+    rasterizer never reads the per-mask \"adjustments\", so keying on them
+    re-rasterized every mask per interactive frame."""
+    import rapidraw_tpu.masks.rasterize as rast
+
+    p = _jpg(tmp_path / "mc.jpg")
+    calls = {"n": 0}
+    real = rast.rasterize_masks
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(rast, "rasterize_masks", counting)
+
+    def doc(exposure):
+        return {
+            "masks": [{
+                "visible": True, "invert": False, "opacity": 100.0,
+                "adjustments": {"exposure": exposure},
+                "subMasks": [{"type": "radial", "visible": True,
+                              "mode": "additive",
+                              "parameters": {"centerX": 80, "centerY": 60,
+                                             "radiusX": 40, "radiusY": 30,
+                                             "feather": 0.5}}],
+            }],
+        }
+
+    svc = RenderService()
+    svc.render_preview(p, doc(0.5))
+    assert calls["n"] == 1
+    svc.render_preview(p, doc(1.5))   # grading change only
+    assert calls["n"] == 1            # cache hit — no re-rasterize
+    d2 = doc(1.5)
+    d2["masks"][0]["subMasks"][0]["parameters"]["radiusX"] = 70
+    svc.render_preview(p, d2)         # geometry change
+    assert calls["n"] == 2
+
+
+def test_lut_cached_across_renders(tmp_path, monkeypatch):
+    """The parsed+uploaded 3D LUT is cached by (path, mtime): interactive
+    frames must not re-parse the .cube file per render."""
+    import rapidraw_tpu.io.lut as lutmod
+
+    cube = tmp_path / "t.cube"
+    lines = ["LUT_3D_SIZE 2"]
+    for b in (0.0, 1.0):
+        for g in (0.0, 1.0):
+            for r in (0.0, 1.0):
+                lines.append(f"{r:.1f} {g:.1f} {b:.1f}")
+    cube.write_text("\n".join(lines))
+
+    calls = {"n": 0}
+    real = lutmod.parse_lut_file
+
+    def counting(path):
+        calls["n"] += 1
+        return real(path)
+
+    monkeypatch.setattr(lutmod, "parse_lut_file", counting)
+
+    p = _jpg(tmp_path / "l.jpg")
+    svc = RenderService()
+    adj = {"lutPath": str(cube), "lutAmount": 80, "exposure": 0.1}
+    svc.render_preview(p, adj)
+    svc.render_preview(p, dict(adj, exposure=0.6))
+    assert calls["n"] == 1
+    cube.write_text("\n".join(lines))  # touch: new mtime invalidates
+    import os as _os
+
+    _os.utime(cube, ns=(1, 1))
+    svc.render_preview(p, dict(adj, exposure=0.9))
+    assert calls["n"] == 2
