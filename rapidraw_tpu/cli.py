@@ -26,6 +26,16 @@ def _require_file(path: str) -> None:
         raise SystemExit(f"error: no such file: {path}")
 
 
+def _app_settings():
+    """The app-level settings every image-loading verb must share: RAW
+    develop knobs + tonemapper override. `export` already threaded these
+    (export_processing.rs:637+); the single-image verbs must too, or
+    `develop RAW.dng` and `export RAW.dng` disagree on the same file."""
+    from rapidraw_tpu.utils.settings import AppSettings, app_data_dir
+
+    return AppSettings.load(app_data_dir() / "settings.json")
+
+
 def _cmd_develop(args) -> int:
     import numpy as np
     import jax.numpy as jnp
@@ -41,7 +51,8 @@ def _cmd_develop(args) -> int:
     _require_file(args.image)
     if args.adjustments:  # validate before the (device-touching) load
         _require_file(args.adjustments)
-    img, is_raw = load_image(args.image)
+    app_settings = _app_settings()
+    img, is_raw = load_image(args.image, app_settings=app_settings)
     if args.adjustments:
         adj = json.loads(Path(args.adjustments).read_text())
         if isinstance(adj.get("adjustments"), dict):
@@ -58,7 +69,10 @@ def _cmd_develop(args) -> int:
     warped = resolve_warped_image(img, adj, is_raw)
     masks = rasterize_masks(adj, w, h, scale=1.0, crop_offset=crop_offset,
                             warped_image=warped)
-    params, cfg = parse_adjustments(adj, is_raw=is_raw)
+    params, cfg = parse_adjustments(
+        adj, is_raw=is_raw,
+        tonemapper_override=app_settings.tonemapper_override(is_raw),
+    )
     lut = None
     if cfg.has_lut:
         from rapidraw_tpu.io.lut import parse_lut_file
@@ -147,7 +161,7 @@ def _cmd_auto(args) -> int:
     from rapidraw_tpu.io.loader import load_image
 
     _require_file(args.image)
-    img, _ = load_image(args.image)
+    img, _ = load_image(args.image, app_settings=_app_settings())
     print(json.dumps(calculate_auto_adjustments(img), indent=2, ensure_ascii=False))
     return 0
 
@@ -164,7 +178,7 @@ def _cmd_negative(args) -> int:
     from rapidraw_tpu.io.loader import load_image
 
     _require_file(args.image)
-    img, _ = load_image(args.image)
+    img, _ = load_image(args.image, app_settings=_app_settings())
     params = NegativeConversionParams(
         red_weight=args.red, green_weight=args.green, blue_weight=args.blue,
         exposure=args.exposure, contrast=args.contrast,
@@ -214,9 +228,10 @@ def _cmd_hdr(args) -> int:
     if len(args.images) < 2:
         raise SystemExit("error: need at least two images to merge")
     imgs, exps, isos = [], [], []
+    app_settings = _app_settings()
     for p in args.images:
         _require_file(p)
-        img, is_raw = load_image(p)
+        img, is_raw = load_image(p, app_settings=app_settings)
         x = jnp.asarray(img)
         if not is_raw:
             x = srgb_to_linear(x)  # lib.rs:1433-1435
@@ -242,7 +257,7 @@ def _cmd_denoise(args) -> int:
     from rapidraw_tpu.io.loader import load_image
 
     _require_file(args.image)
-    img, _ = load_image(args.image)
+    img, _ = load_image(args.image, app_settings=_app_settings())
     if args.method == "ai":
         from rapidraw_tpu.ai.denoise import denoise_ai
         from rapidraw_tpu.ai.models import ModelUnavailable
@@ -266,9 +281,11 @@ def _cmd_panorama(args) -> int:
     from rapidraw_tpu.io.encode import encode_image
     from rapidraw_tpu.io.loader import load_image
 
+    app_settings = _app_settings()
     for p in args.images:
         _require_file(p)
-    imgs = [np.asarray(load_image(p)[0]) for p in args.images]
+    imgs = [np.asarray(load_image(p, app_settings=app_settings)[0])
+            for p in args.images]
     try:
         pano = stitch_panorama(imgs)
     except PanoramaError as e:
@@ -306,7 +323,7 @@ def _cmd_histogram(args) -> int:
     from rapidraw_tpu.io.loader import load_image
 
     _require_file(args.image)
-    img, _ = load_image(args.image)
+    img, _ = load_image(args.image, app_settings=_app_settings())
     hist = calculate_histogram(img)
     print(json.dumps({k: [round(float(x), 4) for x in v] for k, v in hist.items()}))
     return 0

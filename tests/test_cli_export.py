@@ -372,3 +372,28 @@ def test_sequence_numbers_follow_input_order(tmp_path):
         assert (out_dir / f"in{i}_s{i + 1}.jpg").exists(), sorted(
             q.name for q in out_dir.iterdir()
         )
+
+
+def test_cli_develop_honors_app_settings(tmp_path, monkeypatch):
+    """`develop` threads AppSettings (tonemapper override) exactly like
+    `export` does — the two verbs must agree on the same file."""
+    import os
+
+    data_dir = tmp_path / "_appdata"
+    data_dir.mkdir(parents=True, exist_ok=True)
+    monkeypatch.setenv("RAPIDRAW_DATA_DIR", str(data_dir))
+    src = _make_jpeg(tmp_path / "in.jpg")
+    adj = tmp_path / "adj.json"
+    adj.write_text(json.dumps({"exposure": 0.8, "contrast": 30}))
+
+    out_default = tmp_path / "d.jpg"
+    assert main(["develop", str(src), "-a", str(adj), "-o", str(out_default)]) == 0
+
+    (data_dir / "settings.json").write_text(json.dumps(
+        {"tonemapperOverrideEnabled": True, "defaultNonRawTonemapper": "agx"}
+    ))
+    out_agx = tmp_path / "a.jpg"
+    assert main(["develop", str(src), "-a", str(adj), "-o", str(out_agx)]) == 0
+    a = np.asarray(Image.open(out_default), dtype=np.int16)
+    b = np.asarray(Image.open(out_agx), dtype=np.int16)
+    assert np.abs(a - b).max() > 2, "tonemapper override had no effect"
