@@ -46,7 +46,6 @@ def _cmd_develop(args) -> int:
     from rapidraw_tpu.io.sidecar import load_adjustments
     from rapidraw_tpu.masks.rasterize import rasterize_masks
     from rapidraw_tpu.params.parse import parse_adjustments
-    from rapidraw_tpu.pipeline.develop import develop
 
     _require_file(args.image)
     if args.adjustments:  # validate before the (device-touching) load
@@ -84,10 +83,21 @@ def _cmd_develop(args) -> int:
 
         out = develop_tiled(np.asarray(timg), params, cfg, masks=masks, lut=lut)
     else:
-        out = develop(
-            timg, params, cfg,
-            masks=jnp.asarray(masks) if masks is not None else None, lut=lut,
-        )
+        # the SAME jitted batch entry export renders through (batch of 1):
+        # `develop X` and `export X` must produce identical bytes, and the
+        # eager per-op dispatch drifts up to ~4e-3 from the compiled graph
+        # (fusion changes the pow/log paths) besides being the slow case
+        # on a remote device
+        from rapidraw_tpu.pipeline.bands import blur_band_rows
+        from rapidraw_tpu.pipeline.batch import stack_params
+        from rapidraw_tpu.pipeline.export import _jitted_develop
+
+        sp, scfg = stack_params([params], [cfg])
+        bands = blur_band_rows(scfg, masks) if masks is not None else None
+        out = _jitted_develop(scfg, bands)(
+            timg[None], sp,
+            jnp.asarray(masks)[None] if masks is not None else None, lut,
+        )[0]
     dst = args.output or str(Path(args.image).with_suffix("")) + "_edited.jpg"
     encode_image(np.asarray(out), dst, quality=args.quality)
     print(dst)

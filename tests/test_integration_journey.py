@@ -101,3 +101,39 @@ def test_export_honors_app_settings_tonemapper(tmp_path):
     b = np.asarray(Image.open(rb[0].output), np.float32)
     assert a.shape == b.shape
     assert np.abs(a - b).max() > 2.0, "tonemapper override must reach export"
+
+
+def test_cli_develop_matches_export_pixels(tmp_path):
+    """`develop` and `export` of the same document must produce identical
+    pixels — one user surface, one render semantics (both verbs now thread
+    the same AppSettings and share the device-u8 quantization)."""
+    from PIL import Image
+
+    from rapidraw_tpu.cli import main
+    from rapidraw_tpu.io.sidecar import save_sidecar
+
+    raw = tmp_path / "shot.orf"
+    _make_orf(raw)
+    save_sidecar(str(raw), {"adjustments": {
+        "exposure": 0.5, "contrast": 15, "saturation": 10,
+        "vignetteAmount": -20,
+        "masks": [{
+            "visible": True, "invert": False, "opacity": 100.0,
+            "adjustments": {"exposure": -0.6},
+            "subMasks": [{"type": "radial", "visible": True,
+                          "mode": "additive",
+                          "parameters": {"centerX": 30, "centerY": 20,
+                                         "radiusX": 18, "radiusY": 12,
+                                         "feather": 0.5}}],
+        }],
+    }})
+
+    dev_out = tmp_path / "dev.png"
+    assert main(["develop", str(raw), "-o", str(dev_out)]) == 0
+    exp_dir = tmp_path / "exp"
+    assert main(["export", str(raw), "-o", str(exp_dir),
+                 "--format", "png"]) == 0
+    [exp_out] = list(exp_dir.glob("*.png"))
+    a = np.asarray(Image.open(dev_out))
+    b = np.asarray(Image.open(exp_out))
+    np.testing.assert_array_equal(a, b)
