@@ -110,7 +110,6 @@ def generate_community_previews(
     from rapidraw_tpu.io.loader import load_image, parse_virtual_path
     from rapidraw_tpu.masks.rasterize import rasterize_masks
     from rapidraw_tpu.params.parse import parse_adjustments
-    from rapidraw_tpu.pipeline.develop import develop
 
     processing_dim = tile_dim * 2
     bases: list[tuple[np.ndarray, bool, float]] = []
@@ -154,12 +153,22 @@ def generate_community_previews(
                     import dataclasses
 
                     cfg = dataclasses.replace(cfg, has_lut=False)
+            # compiled batch-of-1 (the export/CLI entry): per-op eager
+            # dispatch is the slow case on a remote device, and preset
+            # tiles repeat the same cfg across source images so the jit
+            # cache amortizes across the collage
+            from rapidraw_tpu.pipeline.bands import blur_band_rows
+            from rapidraw_tpu.pipeline.batch import stack_params
+            from rapidraw_tpu.pipeline.export import _jitted_develop
+
+            sp, scfg = stack_params([params], [cfg])
+            bands = blur_band_rows(scfg, masks) if masks is not None else None
             out = np.asarray(
-                develop(
-                    timg, params, cfg,
-                    masks=jnp.asarray(masks) if masks is not None else None,
-                    lut=lut,
-                )
+                _jitted_develop(scfg, bands)(
+                    timg[None], sp,
+                    jnp.asarray(masks)[None] if masks is not None else None,
+                    lut,
+                )[0]
             )
             # square center tile
             _, oh, ow = out.shape

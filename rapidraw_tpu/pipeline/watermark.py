@@ -124,10 +124,15 @@ def export_adjustments_as_lut(adjustments: dict, lut_size: int = 33) -> str:
         except Exception:
             cfg = dataclasses.replace(cfg, has_lut=False)
 
+    # local jit (not the shared export cache: that one may hold TPU
+    # executables for the same cfg): the baked LUT must carry the same
+    # compiled-graph numerics the export path renders with — the eager
+    # dispatch drifts up to ~4e-3 from the fused graph
+    baked_fn = jax.jit(lambda x, p, l: develop(x, p, cfg, lut=l))
     if cpu is not None:
         with jax.default_device(cpu):
-            out = np.asarray(develop(planar, params, cfg, lut=lut))
+            out = np.asarray(baked_fn(planar, params, lut))
     else:
-        out = np.asarray(develop(planar, params, cfg, lut=lut))
+        out = np.asarray(baked_fn(planar, params, lut))
     baked = out.transpose(1, 2, 0).reshape(lut_size, lut_size, lut_size, 3).transpose(2, 1, 0, 3)
     return lut_to_cube_text(baked)
