@@ -22,8 +22,24 @@ _EXPORT_FORMATS = ("jpeg", "jpg", "png", "tiff", "tif", "webp", "avif", "jxl")
 
 
 def _require_file(path: str) -> None:
-    if not Path(path).is_file():
+    # virtual-copy paths ('img.jpg?vc=2') are first-class CLI arguments
+    # everywhere the reference accepts them (export_processing.rs:699-718,
+    # parse_virtual_path file_management.rs:165-196): check the REAL file
+    from rapidraw_tpu.io.loader import parse_virtual_path
+
+    if not Path(parse_virtual_path(str(path))[0]).is_file():
         raise SystemExit(f"error: no such file: {path}")
+
+
+def _default_output(image: str, tag: str, ext: str) -> str:
+    """'<real stem>[_vcN]_<tag>.<ext>' beside the source — virtual-copy
+    aware (a '?vc=N' query must not leak into the output filename)."""
+    from rapidraw_tpu.io.loader import parse_virtual_path
+
+    real, vc = parse_virtual_path(str(image))
+    p = Path(real)
+    stem = p.with_suffix("").name + (f"_vc{vc}" if vc else "")
+    return str(p.parent / f"{stem}_{tag}.{ext}")
 
 
 def _app_settings():
@@ -98,7 +114,7 @@ def _cmd_develop(args) -> int:
             timg[None], sp,
             jnp.asarray(masks)[None] if masks is not None else None, lut,
         )[0]
-    dst = args.output or str(Path(args.image).with_suffix("")) + "_edited.jpg"
+    dst = args.output or _default_output(args.image, "edited", "jpg")
     encode_image(np.asarray(out), dst, quality=args.quality)
     print(dst)
     return 0
@@ -194,7 +210,7 @@ def _cmd_negative(args) -> int:
         exposure=args.exposure, contrast=args.contrast,
     )
     out = convert_negative(jnp.asarray(img), params)
-    dst = args.output or str(Path(args.image).with_suffix("")) + "_Positive.tiff"
+    dst = args.output or _default_output(args.image, "Positive", "tiff")
     encode_image(np.asarray(out), dst, quality=95)
     print(dst)
     return 0
@@ -278,7 +294,7 @@ def _cmd_denoise(args) -> int:
             raise SystemExit(f"error: {e}")
     else:
         out = run_bm3d(np.asarray(img), intensity=args.intensity)
-    dst = args.output or str(Path(args.image).with_suffix("")) + "_denoised.png"
+    dst = args.output or _default_output(args.image, "denoised", "png")
     encode_image(out, dst)
     print(dst)
     return 0

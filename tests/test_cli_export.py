@@ -397,3 +397,31 @@ def test_cli_develop_honors_app_settings(tmp_path, monkeypatch):
     a = np.asarray(Image.open(out_default), dtype=np.int16)
     b = np.asarray(Image.open(out_agx), dtype=np.int16)
     assert np.abs(a - b).max() > 2, "tonemapper override had no effect"
+
+
+def test_cli_accepts_virtual_copy_paths(tmp_path):
+    """'img.jpg?vc=N' is a first-class CLI argument (the reference exports
+    virtual copies, export_processing.rs:699-718); _require_file used to
+    reject it as a missing file."""
+    import os
+
+    from rapidraw_tpu.io.sidecar import save_sidecar
+    from rapidraw_tpu.library.catalog import create_virtual_copy
+
+    src = _make_jpeg(tmp_path / "in.jpg")
+    vc = create_virtual_copy(src)
+    assert vc.endswith("?vc=1")
+    save_sidecar(vc, {"adjustments": {"exposure": 1.0}})
+
+    out_dir = tmp_path / "out"
+    assert main(["export", vc, "-o", str(out_dir)]) == 0
+    [out] = list(out_dir.iterdir())
+    assert "VC01" in out.name
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert main(["develop", vc]) == 0
+    finally:
+        os.chdir(cwd)
+    assert (tmp_path / "in_vc1_edited.jpg").exists()
