@@ -242,6 +242,20 @@ class RenderService:
         ph, pw = int(xj.shape[1]), int(xj.shape[2])
 
         roi_px = None
+        if isinstance(roi, dict):
+            # the reference wire format is the 4-array [x, y, w, h]
+            # (useImageProcessing.ts:116), but its Rust-side Roi struct
+            # names the fields (gpu_processing.rs:17-22) — accept that
+            # spelling too instead of a KeyError
+            try:
+                roi = (roi["x"], roi["y"],
+                       roi["width"] if "width" in roi else roi["w"],
+                       roi["height"] if "height" in roi else roi["h"])
+            except KeyError as e:
+                raise ValueError(
+                    "roi dict needs x/y/width/height keys (or pass the "
+                    "normalized 4-sequence [x, y, w, h])"
+                ) from e
         if roi is not None:
             # normalized ROI (lib.rs:448-457) clamped into the preview;
             # rx/ry cap at dim-1 so the crop is never empty
@@ -557,6 +571,18 @@ def _draw_straightening_guides(planar: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(vis.transpose(2, 0, 1))
 
 
+def _safe_callback(cb, arg) -> None:
+    """Deliver a worker result without letting a raising embedder callback
+    kill the worker thread (the reference's workers loop forever,
+    lib.rs:650-683 / gpu_processing.rs:1882-1948)."""
+    try:
+        cb(arg)
+    except Exception:  # noqa: BLE001
+        from rapidraw_tpu.utils.trace import log
+
+        log.exception("worker callback raised")
+
+
 class PreviewWorker:
     """Coalescing preview worker (lib.rs:650-683): one background thread,
     a single-slot latest-job queue — submitting while a render is in
@@ -593,9 +619,11 @@ class PreviewWorker:
             try:
                 result = self._service.render_preview(path, adjustments, **kwargs)
             except Exception as e:  # surfaced to the embedder, worker survives
-                self._callback(e)
+                _safe_callback(self._callback, e)
                 continue
-            self._callback(result)
+            # a raising embedder callback must not kill the worker thread:
+            # the reference's preview worker loops forever (lib.rs:650-683)
+            _safe_callback(self._callback, result)
 
     def close(self) -> None:
         with self._cond:
@@ -637,12 +665,14 @@ class AnalyticsWorker:
                 planar = self._pending
                 self._pending = None
             try:
-                self._callback({
+                scopes = {
                     "histogram": calculate_histogram(planar),
                     "waveform": calculate_waveform(planar),
-                })
+                }
             except Exception as e:
-                self._callback(e)
+                _safe_callback(self._callback, e)
+                continue
+            _safe_callback(self._callback, scopes)
 
     def close(self) -> None:
         with self._cond:

@@ -371,3 +371,74 @@ def test_lut_cached_across_renders(tmp_path, monkeypatch):
     _os.utime(cube, ns=(1, 1))
     svc.render_preview(p, dict(adj, exposure=0.9))
     assert calls["n"] == 2
+
+
+def test_roi_accepts_struct_spelling(tmp_path):
+    """ROI arrives as the reference's 4-array wire format, but the
+    Roi-struct field spelling {x, y, width, height} must work too
+    (gpu_processing.rs:17-22) instead of crashing with KeyError."""
+    import pytest
+
+    p = _jpg(tmp_path / "roi.jpg")
+    svc = RenderService()
+    adj = {"exposure": 0.3}
+    a = svc.render_preview(p, adj, interactive=True, roi=[0.25, 0.25, 0.5, 0.5])
+    b = svc.render_preview(
+        p, adj, interactive=True,
+        roi={"x": 0.25, "y": 0.25, "width": 0.5, "height": 0.5},
+    )
+    assert a.jpeg == b.jpeg and a.roi == b.roi
+    with pytest.raises(ValueError, match="roi dict"):
+        svc.render_preview(p, adj, interactive=True, roi={"x": 0.2, "y": 0.2})
+
+
+def test_workers_survive_raising_callbacks(tmp_path):
+    """A raising embedder callback must not kill the worker thread — the
+    reference's preview/analytics workers loop forever (lib.rs:650-683)."""
+    import time
+
+    from rapidraw_tpu.pipeline.service import AnalyticsWorker, PreviewWorker
+
+    p = _jpg(tmp_path / "wk.jpg")
+    svc = RenderService()
+
+    got = []
+
+    def bad_then_good(r):
+        got.append(r)
+        if len(got) == 1:
+            raise RuntimeError("embedder bug")
+
+    pw = PreviewWorker(svc, bad_then_good)
+    pw.submit(p, {"exposure": 0.2})
+    for _ in range(100):
+        if got:
+            break
+        time.sleep(0.1)
+    pw.submit(p, {"exposure": 0.6})
+    for _ in range(100):
+        if len(got) >= 2:
+            break
+        time.sleep(0.1)
+    pw.close()
+    assert len(got) == 2 and all(hasattr(r, "jpeg") for r in got)
+
+    seen = []
+
+    def scope_cb(s):
+        seen.append(s)
+        raise RuntimeError("embedder bug")
+
+    aw = AnalyticsWorker(scope_cb)
+    aw.submit(np.zeros((3, 16, 24), np.float32))
+    for _ in range(100):
+        if seen:
+            break
+        time.sleep(0.1)
+    aw.submit(np.ones((3, 16, 24), np.float32))
+    for _ in range(100):
+        if len(seen) >= 2:
+            break
+        time.sleep(0.1)
+    aw.close()
+    assert len(seen) == 2 and all("histogram" in s for s in seen)
