@@ -423,7 +423,9 @@ def _cmd_lib(args) -> int:
 
 
 def _cmd_exif(args) -> int:
-    from rapidraw_tpu.io.exif import read_exif_tags, update_exif_fields
+    # read the EFFECTIVE tags (sidecar exif block first — where --set
+    # persists, and what exports write through), not just the file bytes
+    from rapidraw_tpu.io.exif import effective_exif_tags, update_exif_fields
 
     if args.set:
         for kv in args.set:
@@ -434,7 +436,7 @@ def _cmd_exif(args) -> int:
         updates = dict(kv.split("=", 1) for kv in args.set)
         update_exif_fields(args.paths, updates)
     for p in args.paths:
-        print(json.dumps({p: read_exif_tags(p)}, ensure_ascii=False))
+        print(json.dumps({p: effective_exif_tags(p)}, ensure_ascii=False))
     return 0
 
 

@@ -515,6 +515,22 @@ def get_creation_date(path: str | Path):
         return _dt.datetime.now()
 
 
+def effective_exif_tags(path: str | Path) -> dict:
+    """The tags a user actually sees: the sidecar's exif block (where
+    update_exif_fields persists edits, file_management.rs:235-277) takes
+    precedence, then the .rrexif companion, then the file's own EXIF —
+    the same seeding order update_exif_fields uses."""
+    from rapidraw_tpu.io.sidecar import load_sidecar
+
+    exif = load_sidecar(path).get("exif")
+    if isinstance(exif, dict):
+        return dict(exif)
+    rr = load_rrexif_sidecar(path)
+    if rr and isinstance(rr.get("exif"), dict):
+        return dict(rr["exif"])
+    return read_exif_tags(path)
+
+
 def update_exif_fields(paths: list[str | Path], updates: dict[str, str]) -> None:
     """Field-level EXIF edits persisted to the .rrdata sidecar
     (file_management.rs:235-277): seed the dict from the sidecar's exif

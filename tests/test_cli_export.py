@@ -425,3 +425,25 @@ def test_cli_accepts_virtual_copy_paths(tmp_path):
     finally:
         os.chdir(cwd)
     assert (tmp_path / "in_vc1_edited.jpg").exists()
+
+
+def test_cli_exif_set_visible_in_read(tmp_path):
+    """`exif --set` persists to the sidecar (file_management.rs:235-277);
+    the read-back must show the EFFECTIVE tags (sidecar-first — what
+    exports write through), not just the file bytes."""
+    import io
+    from contextlib import redirect_stdout
+
+    src = _make_jpeg(tmp_path / "e.jpg")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["exif", str(src), "--set", "Artist=Tester",
+                     "Make=CamCo"]) == 0
+    tags = json.loads(buf.getvalue())[str(src)]
+    assert tags["Artist"] == "Tester" and tags["Make"] == "CamCo"
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["exif", str(src), "--set", "Make="]) == 0
+    tags = json.loads(buf.getvalue())[str(src)]
+    assert "Make" not in tags and tags["Artist"] == "Tester"
