@@ -377,12 +377,16 @@ def _enable_persistent_jit_cache() -> None:
 
 
 def _cmd_tag(args) -> int:
+    from rapidraw_tpu.ai.models import ModelUnavailable
     from rapidraw_tpu.ai.tagging import index_folder_tags
 
-    n = index_folder_tags(
-        args.folder, custom_tags=args.custom, max_tags=args.max_tags,
-        progress=lambda c, t: print(f"\r{c}/{t}", end="", flush=True),
-    )
+    try:
+        n = index_folder_tags(
+            args.folder, custom_tags=args.custom, max_tags=args.max_tags,
+            progress=lambda c, t: print(f"\r{c}/{t}", end="", flush=True),
+        )
+    except ModelUnavailable as e:  # actionable message, not a traceback
+        raise SystemExit(f"error: {e}")
     print(f"\ntagged {n} image(s)")
     return 0
 
