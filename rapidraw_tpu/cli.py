@@ -92,7 +92,14 @@ def _cmd_develop(args) -> int:
     if cfg.has_lut:
         from rapidraw_tpu.io.lut import parse_lut_file
 
-        lut = jnp.asarray(parse_lut_file(adj["lutPath"]))
+        try:
+            lut = jnp.asarray(parse_lut_file(adj["lutPath"]))
+        except Exception as e:  # degrade exactly like export._prepare_one
+            import dataclasses as _dc
+
+            print(f"warning: LUT unavailable ({e}); developing without it",
+                  file=sys.stderr)
+            cfg = _dc.replace(cfg, has_lut=False)
     if max(timg.shape[1], timg.shape[2]) > 8192:
         # beyond the reference's texture cap: host-side 2048/128 tiling
         from rapidraw_tpu.pipeline.tiled import develop_tiled
