@@ -76,6 +76,11 @@ def _cmd_develop(args) -> int:
             adj = adj["adjustments"]
     else:
         adj = load_adjustments(args.image)
+    # develop writes a FINAL file: the clipping overlay is an editor aid
+    # and must never bake into output, exactly like every export entry
+    # (export_processing.rs:250 forces show_clipping=0)
+    adj = dict(adj)
+    adj["showClipping"] = False
 
     timg, crop_offset = apply_all_transformations(jnp.asarray(img), adj)
     _, h, w = timg.shape
@@ -111,16 +116,9 @@ def _cmd_develop(args) -> int:
         # eager per-op dispatch drifts up to ~4e-3 from the compiled graph
         # (fusion changes the pow/log paths) besides being the slow case
         # on a remote device
-        from rapidraw_tpu.pipeline.bands import blur_band_rows
-        from rapidraw_tpu.pipeline.batch import stack_params
-        from rapidraw_tpu.pipeline.export import _jitted_develop
+        from rapidraw_tpu.pipeline.export import develop_single_compiled
 
-        sp, scfg = stack_params([params], [cfg])
-        bands = blur_band_rows(scfg, masks) if masks is not None else None
-        out = _jitted_develop(scfg, bands)(
-            timg[None], sp,
-            jnp.asarray(masks)[None] if masks is not None else None, lut,
-        )[0]
+        out = develop_single_compiled(timg, params, cfg, masks=masks, lut=lut)
     dst = args.output or _default_output(args.image, "edited", "jpg")
     encode_image(np.asarray(out), dst, quality=args.quality)
     print(dst)

@@ -157,18 +157,10 @@ def generate_community_previews(
             # dispatch is the slow case on a remote device, and preset
             # tiles repeat the same cfg across source images so the jit
             # cache amortizes across the collage
-            from rapidraw_tpu.pipeline.bands import blur_band_rows
-            from rapidraw_tpu.pipeline.batch import stack_params
-            from rapidraw_tpu.pipeline.export import _jitted_develop
+            from rapidraw_tpu.pipeline.export import develop_single_compiled
 
-            sp, scfg = stack_params([params], [cfg])
-            bands = blur_band_rows(scfg, masks) if masks is not None else None
             out = np.asarray(
-                _jitted_develop(scfg, bands)(
-                    timg[None], sp,
-                    jnp.asarray(masks)[None] if masks is not None else None,
-                    lut,
-                )[0]
+                develop_single_compiled(timg, params, cfg, masks=masks, lut=lut)
             )
             # square center tile
             _, oh, ow = out.shape

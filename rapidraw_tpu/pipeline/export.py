@@ -45,14 +45,20 @@ def settings_from_preset(preset: dict) -> ExportSettings:
     if preset.get("enable_watermark") and preset.get("watermark_path"):
         from rapidraw_tpu.pipeline.watermark import WatermarkSettings
 
+        def _num(key, default):
+            # frontend presets carry explicit nulls for unset keys
+            # (float(None) would crash) — but 0 is a MEANINGFUL value
+            # (spacing 0 = flush to the corner, opacity 0 = transparent),
+            # so only None falls back, not falsy values
+            v = preset.get(key)
+            return float(default if v is None else v)
+
         watermark = WatermarkSettings(
             path=preset["watermark_path"],
             anchor=preset.get("watermark_anchor") or "bottomRight",
-            # `or` (not a .get default): frontend presets carry explicit
-            # nulls for unset keys, and float(None) would crash the load
-            scale=float(preset.get("watermark_scale") or 15),
-            spacing=float(preset.get("watermark_spacing") or 2),
-            opacity=float(preset.get("watermark_opacity") or 100),
+            scale=_num("watermark_scale", 15),
+            spacing=_num("watermark_spacing", 2),
+            opacity=_num("watermark_opacity", 100),
         )
     long_edge = None
     if preset.get("enable_resize") and preset.get("resize_value"):
@@ -119,6 +125,25 @@ def _jitted_develop(cfg, blur_bands=None):
             )
         )
     return _jit_cache[key]
+
+
+def develop_single_compiled(timg, params, cfg, masks=None, lut=None):
+    """One image through the SAME compiled batch-of-1 entry an export
+    chunk renders with — the single-image render path for every surface
+    that must match export byte-for-byte (CLI develop, community preset
+    tiles, the export size probe). Centralized so the un/rebatching and
+    band-restriction boilerplate can't drift between call sites. Returns
+    a planar (3, H, W) float device array."""
+    from rapidraw_tpu.pipeline.bands import blur_band_rows
+    from rapidraw_tpu.pipeline.batch import stack_params
+
+    sp, scfg = stack_params([params], [cfg])
+    bands = blur_band_rows(scfg, masks) if masks is not None else None
+    return _jitted_develop(scfg, bands)(
+        jnp.asarray(timg)[None], sp,
+        jnp.asarray(masks)[None] if masks is not None else None,
+        jnp.asarray(lut) if lut is not None else None,
+    )[0]
 
 
 def _render_chunk(imgs, params, masks, lut, cfg, blur_bands=None) -> np.ndarray:
@@ -732,7 +757,6 @@ def _export_masks_for_image(path: str, main_output: Path, settings: ExportSettin
     from rapidraw_tpu.masks.rasterize import rasterize_masks
     from rapidraw_tpu.io.loader import parse_virtual_path
     from rapidraw_tpu.params.parse import parse_adjustments
-    from rapidraw_tpu.pipeline.batch import stack_params
 
     real, _vc = parse_virtual_path(path)
     from rapidraw_tpu.io.loader import is_raw_file
@@ -778,12 +802,11 @@ def _export_masks_for_image(path: str, main_output: Path, settings: ExportSettin
         params, cfg = parse_adjustments(
             single, is_raw=is_raw, tonemapper_override=tm
         )
-        sp, scfg = stack_params([params], [cfg])
-        # the jitted develop cache (a 24MP eager op-by-op dispatch is
-        # orders of magnitude slower than the compiled path)
+        # the compiled single-image entry (a 24MP eager op-by-op dispatch
+        # is orders of magnitude slower than the compiled path)
         out = np.asarray(
-            _jitted_develop(scfg)(timg[None], sp, jnp.asarray(white)[None], None)
-        )[0]
+            develop_single_compiled(timg, params, cfg, masks=white)
+        )
         if settings.long_edge:
             out = _resize_long_edge_host(out, settings.long_edge)
         if settings.watermark is not None:
@@ -837,7 +860,6 @@ def estimate_export_sizes(
     from rapidraw_tpu.io.sidecar import load_adjustments
     from rapidraw_tpu.masks.rasterize import rasterize_masks
     from rapidraw_tpu.params.parse import parse_adjustments
-    from rapidraw_tpu.pipeline.batch import stack_params
 
     img, is_raw = load_image(paths[0], app_settings=app_settings)
     adj = dict(load_adjustments(paths[0]))
@@ -887,16 +909,12 @@ def estimate_export_sizes(
             import dataclasses as _dc
 
             cfg = _dc.replace(cfg, has_lut=False)
-    # run the probe through the COMPILED path (a [None] batch of one, like
-    # _export_masks_for_image): eager develop dispatches the whole chain
-    # op-by-op — orders of magnitude slower, stalling the export dialog
-    sp, scfg = stack_params([params], [cfg])
+    # run the probe through the COMPILED path (batch of one, the same
+    # entry the real export renders with): eager develop dispatches the
+    # whole chain op-by-op — orders of magnitude slower, stalling the
+    # export dialog
     out = np.asarray(
-        _jitted_develop(scfg)(
-            preview[None], sp,
-            jnp.asarray(masks)[None] if masks is not None else None,
-            lut,
-        )[0]
+        develop_single_compiled(preview, params, cfg, masks=masks, lut=lut)
     )
 
     buf = _io.BytesIO()

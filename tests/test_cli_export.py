@@ -447,3 +447,36 @@ def test_cli_exif_set_visible_in_read(tmp_path):
         assert main(["exif", str(src), "--set", "Make="]) == 0
     tags = json.loads(buf.getvalue())[str(src)]
     assert "Make" not in tags and tags["Artist"] == "Tester"
+
+
+def test_settings_from_preset_explicit_zero_watermark_fields():
+    """0 is a meaningful watermark value (spacing 0 = flush corner,
+    opacity 0 = transparent) — only None may fall back to defaults."""
+    from rapidraw_tpu.pipeline.export import settings_from_preset
+
+    s = settings_from_preset({
+        "enable_watermark": True, "watermark_path": "/x.png",
+        "watermark_scale": 30, "watermark_spacing": 0,
+        "watermark_opacity": 0,
+    })
+    assert s.watermark.scale == 30
+    assert s.watermark.spacing == 0
+    assert s.watermark.opacity == 0
+
+
+def test_cli_develop_strips_clipping_overlay(tmp_path):
+    """The clipping overlay is an editor aid: a doc carrying
+    showClipping=true must NOT bake red/blue overlays into the developed
+    file (export_processing.rs:250 forces show_clipping=0)."""
+    src = _make_jpeg(tmp_path / "in.jpg")
+    adj = tmp_path / "adj.json"
+    # exposure 3 clips plenty of highlights — the overlay would paint red
+    adj.write_text(json.dumps({"exposure": 3.0, "showClipping": True}))
+    out_a = tmp_path / "clip.png"
+    out_b = tmp_path / "noclip.png"
+    assert main(["develop", str(src), "-a", str(adj), "-o", str(out_a)]) == 0
+    adj.write_text(json.dumps({"exposure": 3.0}))
+    assert main(["develop", str(src), "-a", str(adj), "-o", str(out_b)]) == 0
+    a = np.asarray(Image.open(out_a))
+    b = np.asarray(Image.open(out_b))
+    np.testing.assert_array_equal(a, b)
