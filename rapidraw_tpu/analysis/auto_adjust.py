@@ -15,6 +15,13 @@ import numpy as np
 _LUMA = (0.2126, 0.7152, 0.0722)
 
 
+def _round_half_up(x: np.ndarray) -> np.ndarray:
+    """Rust's f32/f64 `.round()` rounds halves AWAY from zero; np.round
+    rounds half-to-even. All inputs here are >= 0, so floor(x+0.5) matches
+    the reference exactly on the .5 boundary bins."""
+    return np.floor(x + 0.5)
+
+
 def _percentile(hist: np.ndarray, total: float, p: float) -> int:
     target = int(total * p)
     c = np.cumsum(hist)
@@ -35,15 +42,19 @@ def perform_auto_analysis(image: np.ndarray) -> dict[str, float]:
     if max(h, w) > 1024:
         image = np.asarray(downscale(jnp.asarray(image, jnp.float32), 1024, 1024))
 
+    # reference runs on rgb8 via DynamicImage::to_rgb8 (image_processing.rs
+    # :3051): the image crate's f32->u8 component conversion ROUNDS
+    # ((x.clamp(0,1)*255).round()), unlike the scopes' Rgb32F branch which
+    # truncates with `as usize` (:2581-2583) — so round here, truncate there
     px = np.clip(image.astype(np.float32), 0.0, 1.0) * 255.0
-    px = px.astype(np.uint8).astype(np.float32)  # reference runs on rgb8
+    px = _round_half_up(px).astype(np.uint8).astype(np.float32)
 
     _, h, w = px.shape
     total = float(h * w)
     r, g, b = px[0], px[1], px[2]
     luma_f = _LUMA[0] * r + _LUMA[1] * g + _LUMA[2] * b
     luma_hist = np.bincount(
-        np.minimum(np.round(luma_f).astype(np.int64), 255).reshape(-1), minlength=256
+        np.minimum(_round_half_up(luma_f).astype(np.int64), 255).reshape(-1), minlength=256
     )[:256]
 
     rn, gn, bn = r / 255.0, g / 255.0, b / 255.0
@@ -107,7 +118,7 @@ def perform_auto_analysis(image: np.ndarray) -> dict[str, float]:
     luma2 = luma2 + exposure
     luma2 = (luma2 - 128.0) * (1.0 + contrast / 100.0) + 128.0
     adj_hist = np.bincount(
-        np.round(np.clip(luma2, 0.0, 255.0)).astype(np.int64).reshape(-1), minlength=256
+        _round_half_up(np.clip(luma2, 0.0, 255.0)).astype(np.int64).reshape(-1), minlength=256
     )[:256]
     adj_p1 = _percentile(adj_hist, total, 0.01)
     adj_p50 = _percentile(adj_hist, total, 0.50)

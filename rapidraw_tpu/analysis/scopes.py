@@ -44,7 +44,8 @@ def _gaussian_smooth(hist: np.ndarray, sigma: float = 2.0) -> np.ndarray:
 def _normalize_range(hist: np.ndarray, percentile_clip: float = 0.99) -> np.ndarray:
     """Normalize to the percentile-clipped max, capping at 1 (:2686-2707)."""
     s = np.sort(hist)
-    clip_index = int(round((s.size - 1) * percentile_clip))
+    # f32 .round() (half away from zero), like the reference's clip_index
+    clip_index = int(np.floor(np.float32(s.size - 1) * np.float32(percentile_clip) + 0.5))
     max_val = s[min(clip_index, s.size - 1)]
     if max_val > 1e-6:
         return np.minimum(hist / max_val, 1.0).astype(np.float32)
@@ -95,7 +96,13 @@ def calculate_waveform(image: np.ndarray, active_channel: str | None = None) -> 
     b = px[..., 2].astype(np.int64)
 
     xs = np.arange(w)
-    x_bucket = np.minimum((xs * (SCOPE_W / w)).astype(np.int64), SCOPE_W - 1)
+    # f32 bucket math, exactly like the reference (:2750-2757): x_scale is
+    # an f32 ratio and the product truncates; f64 here can flip a boundary
+    # column into the neighboring bucket on large widths
+    x_scale = np.float32(SCOPE_W) / np.float32(w)
+    x_bucket = np.minimum(
+        (xs.astype(np.float32) * x_scale).astype(np.int64), SCOPE_W - 1
+    )
     xb = np.broadcast_to(x_bucket, (h, w))
 
     W = SCOPE_W
@@ -133,7 +140,9 @@ def calculate_waveform(image: np.ndarray, active_channel: str | None = None) -> 
         out["luma"] = None
 
     if do_parade:
-        rel = (xs / w * 82.0).astype(np.int64) % 82
+        rel = (
+            (xs.astype(np.float32) / np.float32(w)) * np.float32(82.0)
+        ).astype(np.int64) % 82
         pr = np.broadcast_to(rel, (h, w))
         pg = np.broadcast_to(87 + rel, (h, w))
         pb = np.broadcast_to(174 + rel, (h, w))

@@ -150,6 +150,8 @@ def _cmd_export(args) -> int:
         format=args.format,
         quality=args.quality,
         long_edge=args.long_edge,
+        resize_mode=args.resize_mode,
+        dont_enlarge=not args.allow_enlarge,
         batch_size=args.batch_size,
         watermark=watermark,
         filename_template=args.template,
@@ -499,7 +501,12 @@ def main(argv=None) -> int:
     e.add_argument("-o", "--output", required=True)
     e.add_argument("--format", default="jpeg")
     e.add_argument("-q", "--quality", type=int, default=90)
-    e.add_argument("--long-edge", type=int)
+    e.add_argument("--long-edge", type=int, dest="long_edge",
+                   help="resize value (edge picked by --resize-mode)")
+    e.add_argument("--resize-mode", default="longEdge",
+                   choices=["longEdge", "shortEdge", "width", "height"])
+    e.add_argument("--allow-enlarge", action="store_true",
+                   help="also upscale images smaller than the resize value")
     e.add_argument("--batch-size", type=int, default=4)
     e.add_argument("--watermark", help="watermark image path")
     e.add_argument("--watermark-anchor", default="bottomRight")

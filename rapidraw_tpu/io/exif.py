@@ -282,35 +282,51 @@ def splice_exif_into_webp(webp_path: str | Path, exif_payload: bytes) -> None:
 
 
 def merge_exif_into_tiff(tiff_path: str | Path, exif_payload: bytes) -> None:
-    """Write EXIF tags into an exported TIFF by re-saving with a merged
-    IFD0 (TIFF is lossless, so the re-encode is exact). Main-IFD and
-    Exif-IFD tags are flattened into IFD0 (legal per TIFF/EP; the
-    reference writes through little_exif, exif_processing.rs:669-1073)."""
+    """Write EXIF tags into an exported TIFF with a merged IFD0. Main-IFD
+    and Exif-IFD tags are flattened into IFD0 (legal per TIFF/EP; the
+    reference writes through little_exif, exif_processing.rs:669-1073).
+
+    16-bit exports (the default TIFF depth, export_processing.rs:455-459)
+    are rewritten through io.encode.write_tiff16 — a PIL re-save would
+    silently truncate the pixels to 8 bits. 8-bit TIFFs keep the lossless
+    PIL re-encode."""
     from PIL import Image
-    from PIL.TiffImagePlugin import ImageFileDirectory_v2
 
     exif = Image.Exif()
     exif.load(exif_payload)
     p = Path(tiff_path)
+    merged = dict(exif)
+    try:
+        merged.update(exif.get_ifd(0x8769))
+    except Exception:
+        pass
+    # never carry over structural tags describing the SOURCE encoding
+    skip = {0x8769, _GPS_IFD_TAG, 0x0100, 0x0101, 0x0102, 0x0103,
+            0x0106, 0x0111, 0x0115, 0x0116, 0x0117, 0x011C}
+    tags = {
+        tag: value
+        for tag, value in merged.items()
+        if tag not in skip and not isinstance(value, dict)
+    }
+    tags[0x0112] = 1  # pixels are upright (exif_processing.rs:1064)
+
+    from rapidraw_tpu.io.encode import read_tiff16_rgb, write_tiff16
+
+    arr16 = read_tiff16_rgb(p)
+    if arr16 is not None:
+        write_tiff16(p, arr16, extra_tags=tags)
+        return
+
+    from PIL.TiffImagePlugin import ImageFileDirectory_v2
+
     with Image.open(p) as im:
         im.load()
         ifd = ImageFileDirectory_v2()
-        merged = dict(exif)
-        try:
-            merged.update(exif.get_ifd(0x8769))
-        except Exception:
-            pass
-        # never carry over structural tags describing the SOURCE encoding
-        skip = {0x8769, _GPS_IFD_TAG, 0x0100, 0x0101, 0x0102, 0x0103,
-                0x0106, 0x0111, 0x0115, 0x0116, 0x0117, 0x011C}
-        for tag, value in merged.items():
-            if tag in skip or isinstance(value, dict):
-                continue
+        for tag, value in tags.items():
             try:
                 ifd[tag] = value
             except Exception:
                 continue
-        ifd[0x0112] = 1  # pixels are upright (exif_processing.rs:1064)
         out = im.copy()
         out.save(p, "TIFF", tiffinfo=ifd)
 

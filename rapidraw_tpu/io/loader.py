@@ -87,6 +87,16 @@ def load_ldr(path: str | Path):
         arr = decode_jxl(Path(path).read_bytes())[..., :3]
         return _u8_hwc_to_planar_device(np.ascontiguousarray(arr))
 
+    if ext in ("png", "tif", "tiff"):
+        # 16-bit sources decode at full depth like the reference's image
+        # crate (PIL's convert("RGB") silently truncates them to 8 bits);
+        # our own PNG/TIFF exports are 16-bit (export_processing.rs:446-462)
+        deep = _load_deep_u16(path, ext)
+        if deep is not None:
+            arr16, orientation = deep
+            arr16 = _apply_exif_orientation(arr16, orientation)
+            return _u16_hwc_to_planar_device(np.ascontiguousarray(arr16))
+
     with Image.open(path) as im:
         try:
             orientation = im.getexif().get(0x0112, 1) or 1
@@ -95,6 +105,62 @@ def load_ldr(path: str | Path):
         arr = np.asarray(im.convert("RGB"), np.uint8)
     arr = _apply_exif_orientation(arr, int(orientation))
     return _u8_hwc_to_planar_device(np.ascontiguousarray(arr))
+
+
+def _load_deep_u16(path, ext: str):
+    """((H, W, 3) u16, orientation) for a 16-bit PNG/TIFF, else None."""
+    from PIL import Image
+
+    try:
+        if ext in ("tif", "tiff"):
+            from rapidraw_tpu.io.encode import read_tiff16_rgb
+
+            arr = read_tiff16_rgb(path)
+        else:
+            with open(path, "rb") as f:
+                head = f.read(26)
+            if len(head) < 26 or head[24] != 16:
+                return None
+            try:
+                import cv2
+            except ImportError:
+                return None
+            arr = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
+            if arr is None or arr.dtype != np.uint16:
+                return None
+            if arr.ndim == 2:
+                arr = np.stack([arr] * 3, axis=-1)
+            elif arr.shape[-1] >= 3:
+                arr = arr[..., [2, 1, 0]]  # BGR(A) -> RGB
+            else:
+                return None
+        if arr is None:
+            return None
+    except Exception:  # noqa: BLE001 — malformed deep file: 8-bit fallback
+        return None
+    try:
+        with Image.open(path) as im:
+            orientation = int(im.getexif().get(0x0112, 1) or 1)
+    except Exception:
+        orientation = 1
+    return arr, orientation
+
+
+_U16_TO_PLANAR_JIT = None
+
+
+def _u16_hwc_to_planar_device(arr_u16_hwc: np.ndarray):
+    """(H, W, 3) u16 host -> (3, H, W) f32 [0,1] device, one jitted
+    dispatch (half the upload bytes of f32)."""
+    global _U16_TO_PLANAR_JIT
+    import jax
+    import jax.numpy as jnp
+
+    if _U16_TO_PLANAR_JIT is None:
+        _U16_TO_PLANAR_JIT = jax.jit(
+            lambda a: jnp.transpose(a.astype(jnp.float32), (2, 0, 1)) / 65535.0
+        )
+    return _U16_TO_PLANAR_JIT(jnp.asarray(arr_u16_hwc))
 
 
 _U8_TO_PLANAR_JIT = None

@@ -26,7 +26,9 @@ import jax.numpy as jnp
 class ExportSettings:
     format: str = "jpeg"
     quality: int = 90
-    long_edge: int | None = None  # resize target (None = full res)
+    long_edge: int | None = None  # resize value (None = resize disabled)
+    resize_mode: str = "longEdge"  # longEdge | shortEdge | width | height (rs:42-47)
+    dont_enlarge: bool = True  # skip resize when the mode's edge already fits (rs:165-175)
     filename_template: str = "{original_filename}_edited"
     batch_size: int = 4
     watermark: "object | None" = None  # pipeline.watermark.WatermarkSettings
@@ -64,6 +66,12 @@ def settings_from_preset(preset: dict) -> ExportSettings:
     if preset.get("enable_resize") and preset.get("resize_value"):
         long_edge = int(preset["resize_value"])
     return ExportSettings(
+        resize_mode=preset.get("resize_mode") or "longEdge",
+        # plain bool in the schema (app_settings.rs:226); explicit null
+        # reads like a missing key, and the frontend default is True
+        dont_enlarge=bool(
+            True if preset.get("dont_enlarge") is None else preset["dont_enlarge"]
+        ),
         # presets saved by the frontend carry explicit nulls for unset keys
         format=str(preset.get("file_format") or "jpeg").lower(),
         quality=int(preset.get("jpeg_quality") or 90),
@@ -100,6 +108,20 @@ _jit_cache: dict = {}
 
 
 _u8_jit = None
+_u16_jit = None
+
+
+def _device_u16(x):
+    """u16 quantization ON DEVICE for the 16-bit output formats (PNG from
+    float renders, TIFF — the reference encodes Rgb16 there,
+    export_processing.rs:446-462). Same rounding as the image crate's
+    f32->u16 component conversion; half the wire bytes of f32."""
+    global _u16_jit
+    if _u16_jit is None:
+        _u16_jit = jax.jit(
+            lambda y: (jnp.clip(y, 0.0, 1.0) * 65535.0 + 0.5).astype(jnp.uint16)
+        )
+    return _u16_jit(x)
 
 
 def _device_u8(x):
@@ -146,7 +168,9 @@ def develop_single_compiled(timg, params, cfg, masks=None, lut=None):
     )[0]
 
 
-def _render_chunk(imgs, params, masks, lut, cfg, blur_bands=None) -> np.ndarray:
+def _render_chunk(
+    imgs, params, masks, lut, cfg, blur_bands=None, out_dtype="u8"
+) -> np.ndarray:
     """Develop one export chunk, sharded across every visible chip.
 
     Multi-device: images/params/masks shard over the mesh batch axis and
@@ -157,7 +181,11 @@ def _render_chunk(imgs, params, masks, lut, cfg, blur_bands=None) -> np.ndarray:
     model for "the TPU money path" (export_processing.rs:637-1004: the
     reference fans out across CPU threads but serializes on one GPU).
     Single device: plain jitted develop_batch.
+
+    out_dtype: "u8" for 8-bit targets, "u16" for the 16-bit ones (PNG from
+    float renders, TIFF) — quantized on device either way before readback.
     """
+    quant = _device_u16 if out_dtype == "u16" else _device_u8
     if jax.device_count() > 1:
         from rapidraw_tpu.parallel.mesh import make_mesh, sharded_develop_batch
 
@@ -178,9 +206,9 @@ def _render_chunk(imgs, params, masks, lut, cfg, blur_bands=None) -> np.ndarray:
             params = jax.tree.map(rep, params)
             if masks is not None:
                 masks = rep(masks)
-        return np.asarray(_device_u8(fn(imgs, params, masks, lut)))[:b]
+        return np.asarray(quant(fn(imgs, params, masks, lut)))[:b]
     return np.asarray(
-        _device_u8(_jitted_develop(cfg, blur_bands)(imgs, params, masks, lut))
+        quant(_jitted_develop(cfg, blur_bands)(imgs, params, masks, lut))
     )
 
 
@@ -310,18 +338,76 @@ def _restore_timestamps(source: str, dst: Path, created=None) -> None:
         pass
 
 
-def _resize_long_edge_host(planar: np.ndarray, long_edge: int) -> np.ndarray:
-    """Lanczos3 output resize, host-side (export_processing.rs:194-211)."""
+def calculate_resize_target(
+    w: int, h: int, settings: ExportSettings
+) -> tuple[int, int] | None:
+    """Final output dims for the export resize, or None if no resize applies.
+
+    Reproduces both stages of the reference (export_processing.rs:160-211):
+    calculate_resize_target picks the mode-fixed edge (longEdge/shortEdge/
+    width/height, f32 ratio + .round()) after the dont_enlarge early-out,
+    then DynamicImage::resize FITS the image inside that box preserving
+    aspect (the image crate's resize_dimensions: f64 min-ratio, .round(),
+    floor at 1) — resize with dont_enlarge=False can ENLARGE."""
+    if not settings.long_edge:
+        return None
+    value = int(settings.long_edge)
+    mode = settings.resize_mode or "longEdge"
+    if settings.dont_enlarge:
+        exceeds = {
+            "longEdge": max(w, h) > value,
+            "shortEdge": min(w, h) > value,
+            "width": w > value,
+            "height": h > value,
+        }.get(mode, max(w, h) > value)
+        if not exceeds:
+            return None
+    fix_width = {
+        "longEdge": w >= h,
+        "shortEdge": w <= h,
+        "width": True,
+        "height": False,
+    }.get(mode, w >= h)
+    if fix_width:
+        tw = value
+        th = int(np.floor(np.float32(value) * (np.float32(h) / np.float32(w)) + 0.5))
+    else:
+        tw = int(np.floor(np.float32(value) * (np.float32(w) / np.float32(h)) + 0.5))
+        th = value
+    if (tw, th) == (w, h):
+        return None
+    ratio = min(tw / w, th / h)
+    nw = max(1, int(np.floor(w * ratio + 0.5)))
+    nh = max(1, int(np.floor(h * ratio + 0.5)))
+    if (nw, nh) == (w, h):
+        return None
+    return nw, nh
+
+
+def _resize_host(planar: np.ndarray, settings: ExportSettings) -> np.ndarray:
+    """Lanczos3 output resize, host-side (export_processing.rs:194-211).
+
+    Resamples in FLOAT (PIL 'F' mode per channel), like the reference's
+    DynamicImage::resize on an Rgb32F — precision survives into the
+    16-bit PNG/TIFF encodes instead of being clipped to 8 bits here."""
     from PIL import Image
 
     _, h, w = planar.shape
-    if max(h, w) <= long_edge:
+    tgt = calculate_resize_target(w, h, settings)
+    if tgt is None:
         return planar
-    scale = long_edge / max(h, w)
-    nw, nh = max(1, round(w * scale)), max(1, round(h * scale))
-    arr = (np.clip(planar, 0, 1) * 255.0 + 0.5).astype(np.uint8).transpose(1, 2, 0)
-    out = np.asarray(Image.fromarray(arr).resize((nw, nh), Image.LANCZOS))
-    return out.transpose(2, 0, 1).astype(np.float32) / 255.0
+    nw, nh = tgt
+    chans = [
+        np.asarray(
+            Image.fromarray(
+                np.ascontiguousarray(planar[c], dtype=np.float32), mode="F"
+            ).resize((nw, nh), Image.LANCZOS)
+        )
+        for c in range(3)
+    ]
+    # Lanczos overshoots; the reference's f32 buffer carries that until the
+    # encode clamp — clamp here so the watermark composite sees [0,1]
+    return np.clip(np.stack(chans, axis=0), 0.0, 1.0)
 
 
 def _available_ram_bytes() -> int:
@@ -504,11 +590,13 @@ def export_images(
             t_enc = time.perf_counter()
             try:
                 out = planar
-                if (settings.long_edge or settings.watermark is not None) \
-                        and out.dtype == np.uint8:
-                    out = out.astype(np.float32) / 255.0
+                if settings.long_edge or settings.watermark is not None:
+                    if out.dtype == np.uint8:
+                        out = out.astype(np.float32) / 255.0
+                    elif out.dtype == np.uint16:
+                        out = out.astype(np.float32) / 65535.0
                 if settings.long_edge:
-                    out = _resize_long_edge_host(out, settings.long_edge)
+                    out = _resize_host(out, settings)
                 if settings.watermark is not None:
                     from rapidraw_tpu.pipeline.watermark import apply_watermark
 
@@ -628,7 +716,11 @@ def export_images(
             masks = jnp.asarray(mnp)
         lut = jnp.asarray(chunk[0]["lut"]) if chunk[0]["lut"] is not None else None
 
-        out = _render_chunk(imgs, params, masks, lut, cfg, blur_bands=blur_bands)
+        out = _render_chunk(
+            imgs, params, masks, lut, cfg, blur_bands=blur_bands,
+            out_dtype="u16" if settings.format.lower() in ("png", "tif", "tiff")
+            else "u8",
+        )
         dt = time.perf_counter() - t0
         _stat_add("render_s", dt)
         _stat_add("frames", len(chunk))
@@ -808,7 +900,7 @@ def _export_masks_for_image(path: str, main_output: Path, settings: ExportSettin
             develop_single_compiled(timg, params, cfg, masks=white)
         )
         if settings.long_edge:
-            out = _resize_long_edge_host(out, settings.long_edge)
+            out = _resize_host(out, settings)
         if settings.watermark is not None:
             from rapidraw_tpu.pipeline.watermark import apply_watermark
 
@@ -851,10 +943,12 @@ def estimate_export_sizes(
         return 0
 
     import io as _io
+    import os
 
     import jax.numpy as jnp
     from PIL import Image
 
+    from rapidraw_tpu.io.encode import encode_image
     from rapidraw_tpu.geometry.transforms import apply_all_transformations
     from rapidraw_tpu.io.loader import load_image, to_uint8_hwc
     from rapidraw_tpu.io.sidecar import load_adjustments
@@ -917,18 +1011,32 @@ def estimate_export_sizes(
         develop_single_compiled(preview, params, cfg, masks=masks, lut=lut)
     )
 
-    buf = _io.BytesIO()
-    fmt = "JPEG" if settings.format.lower() in ("jpeg", "jpg") else settings.format.upper()
-    pil = Image.fromarray(to_uint8_hwc(out))
+    # probe through the REAL encoder (the reference sizes the preview with
+    # encode_image_to_bytes, export_processing.rs:1138-1143) so 16-bit
+    # PNG/TIFF estimates carry their actual depth
+    import tempfile as _tempfile
+
     try:
-        pil.save(buf, format=fmt, quality=settings.quality)
-    except (KeyError, OSError, ValueError):
-        pil.save(buf, format="PNG")
-    preview_bytes = buf.tell()
+        with _tempfile.NamedTemporaryFile(
+            suffix=f".{settings.format.lower()}", delete=False
+        ) as tf:
+            probe_path = tf.name
+        try:
+            encode_image(out, probe_path, settings.format, settings.quality)
+            preview_bytes = os.path.getsize(probe_path)
+        finally:
+            try:
+                os.unlink(probe_path)
+            except OSError:
+                pass
+    except ValueError:
+        buf = _io.BytesIO()
+        Image.fromarray(to_uint8_hwc(out)).save(buf, format="PNG")
+        preview_bytes = buf.tell()
 
     out_h, out_w = fh, fw
-    if settings.long_edge and max(fh, fw) > settings.long_edge:
-        s = settings.long_edge / max(fh, fw)
-        out_h, out_w = max(1, round(fh * s)), max(1, round(fw * s))
+    tgt = calculate_resize_target(fw, fh, settings)
+    if tgt is not None:
+        out_w, out_h = tgt
     ratio = (out_h * out_w) / float(ph * pw)
     return int(preview_bytes * ratio) * len(paths)

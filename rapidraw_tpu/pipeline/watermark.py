@@ -35,26 +35,37 @@ def apply_watermark(planar: np.ndarray, settings: WatermarkSettings) -> np.ndarr
     wm = Image.open(settings.path).convert("RGBA")
     _, base_h, base_w = planar.shape
     base_min = min(base_w, base_h)
-    factor = (base_min * (settings.scale / 100.0)) / max(wm.width, 1)
-    new_w = round(wm.width * factor)
-    new_h = round(wm.height * factor)
+    # f32 scale math + .round() (half away from zero), like the reference
+    # (export_processing.rs:109-112); Python round() is half-to-even
+    factor = np.float32(base_min * (settings.scale / 100.0)) / np.float32(max(wm.width, 1))
+    new_w = int(np.floor(np.float32(wm.width) * factor + 0.5))
+    new_h = int(np.floor(np.float32(wm.height) * factor + 0.5))
     if new_w == 0 or new_h == 0:
         return planar
     wm = wm.resize((new_w, new_h), Image.LANCZOS)
-    wm_arr = np.asarray(wm, np.float32) / 255.0
-    wm_arr[..., 3] *= min(max(settings.opacity / 100.0, 0.0), 1.0)
+    wm_u8 = np.asarray(wm)
+    # the reference scales the u8 alpha IN PLACE with a truncating cast
+    # (:122-125) before compositing — quantize the same way
+    opacity = min(max(settings.opacity / 100.0, 0.0), 1.0)
+    alpha_u8 = (wm_u8[..., 3].astype(np.float32) * np.float32(opacity)).astype(np.uint8)
+    wm_arr = wm_u8.astype(np.float32) / 255.0
+    wm_arr[..., 3] = alpha_u8.astype(np.float32) / 255.0
 
     spacing = int(base_min * (settings.spacing / 100.0))
+    # i64 division truncates toward zero (the reference's `/ 2`), which
+    # differs from Python's floor `//` when an oversize watermark makes
+    # the centered offset negative
+    trunc2 = lambda v: int(v / 2)
     if settings.anchor in ("topLeft", "centerLeft", "bottomLeft"):
         x = spacing
     elif settings.anchor in ("topCenter", "center", "bottomCenter"):
-        x = (base_w - new_w) // 2
+        x = trunc2(base_w - new_w)
     else:
         x = base_w - new_w - spacing
     if settings.anchor in ("topLeft", "topCenter", "topRight"):
         y = spacing
     elif settings.anchor in ("centerLeft", "center", "centerRight"):
-        y = (base_h - new_h) // 2
+        y = trunc2(base_h - new_h)
     else:
         y = base_h - new_h - spacing
 

@@ -129,6 +129,139 @@ def test_export_resize_long_edge(tmp_path):
     assert Image.open(results[0].output).size == (48, 32)
 
 
+def test_calculate_resize_target_modes():
+    """All four reference resize modes + dont_enlarge (export_processing.rs
+    :160-192; the shipped 'Fast (Web)' preset uses mode=width,
+    app_settings.rs:273)."""
+    from rapidraw_tpu.pipeline.export import ExportSettings, calculate_resize_target
+
+    # width mode on a portrait fixes the WIDTH...
+    s = ExportSettings(long_edge=2048, resize_mode="width")
+    assert calculate_resize_target(3000, 4000, s) == (2048, 2731)
+    # ...where longEdge on the same portrait fixes the HEIGHT
+    s = ExportSettings(long_edge=2048, resize_mode="longEdge")
+    assert calculate_resize_target(3000, 4000, s) == (1536, 2048)
+    s = ExportSettings(long_edge=1000, resize_mode="shortEdge")
+    assert calculate_resize_target(3000, 4000, s) == (1000, 1333)
+    s = ExportSettings(long_edge=500, resize_mode="height")
+    assert calculate_resize_target(3000, 4000, s) == (375, 500)
+    # dont_enlarge (default) tests the MODE's edge: width 3500 does not
+    # exceed 3000, but longEdge 3500 < 4000 does
+    s = ExportSettings(long_edge=3500, resize_mode="width")
+    assert calculate_resize_target(3000, 4000, s) is None
+    s = ExportSettings(long_edge=3500, resize_mode="longEdge")
+    assert calculate_resize_target(3000, 4000, s) == (2625, 3500)
+    # dont_enlarge=False upscales (DynamicImage::resize enlarges too)
+    s = ExportSettings(long_edge=6000, resize_mode="width", dont_enlarge=False)
+    assert calculate_resize_target(3000, 4000, s) == (6000, 8000)
+
+
+def test_export_resize_width_mode(tmp_path):
+    from rapidraw_tpu.pipeline.export import ExportSettings, export_images
+
+    p = _make_jpeg(tmp_path / "big.jpg", h=64, w=96)
+    results = export_images(
+        [str(p)], tmp_path / "out",
+        ExportSettings(long_edge=48, resize_mode="width"),
+    )
+    assert results[0].ok
+    assert Image.open(results[0].output).size == (48, 32)
+    # longEdge 48 of the same image gives (48, 32) too; height mode differs
+    results = export_images(
+        [str(p)], tmp_path / "out2",
+        ExportSettings(long_edge=32, resize_mode="height"),
+    )
+    assert results[0].ok
+    assert Image.open(results[0].output).size == (48, 32)
+
+
+def test_encode_16bit_png_tiff(tmp_path):
+    """Float renders encode as 16-bit PNG/TIFF like the reference's Rgb16
+    writes (export_processing.rs:446-462); u8 sources stay 8-bit for PNG
+    but upgrade x*257 for TIFF (to_rgb16)."""
+    import cv2
+
+    from rapidraw_tpu.io.encode import encode_image
+
+    rng = np.random.default_rng(0)
+    img = rng.random((3, 8, 8), dtype=np.float32)
+    exp = np.floor(np.clip(img, 0, 1) * 65535.0 + 0.5).astype(np.uint16)
+    exp = exp.transpose(1, 2, 0)
+
+    encode_image(img, tmp_path / "x.png")
+    head = (tmp_path / "x.png").read_bytes()
+    assert head[24] == 16 and head[25] == 2  # IHDR: bit depth 16, RGB
+    back = cv2.imread(str(tmp_path / "x.png"), cv2.IMREAD_UNCHANGED)[..., ::-1]
+    assert back.dtype == np.uint16 and (back == exp).all()
+
+    encode_image(img, tmp_path / "x.tif")
+    back = cv2.imread(str(tmp_path / "x.tif"), cv2.IMREAD_UNCHANGED)[..., ::-1]
+    assert back.dtype == np.uint16 and (back == exp).all()
+
+    u8 = (img * 255).astype(np.uint8)
+    encode_image(u8, tmp_path / "u.png")
+    assert (tmp_path / "u.png").read_bytes()[24] == 8
+    encode_image(u8, tmp_path / "u.tif")
+    back = cv2.imread(str(tmp_path / "u.tif"), cv2.IMREAD_UNCHANGED)[..., ::-1]
+    assert back.dtype == np.uint16
+    assert (back == u8.transpose(1, 2, 0).astype(np.uint16) * 257).all()
+
+
+def test_load_ldr_reads_16bit_at_full_depth(tmp_path):
+    """16-bit PNG/TIFF inputs decode at full depth (the reference's image
+    crate decodes Rgb16; PIL's convert('RGB') would truncate to 8 bits)."""
+    import cv2
+
+    from rapidraw_tpu.io.encode import write_tiff16
+    from rapidraw_tpu.io.loader import load_ldr
+
+    # values that straddle u8 quantization steps: 300/65535 is ~1.17 u8 LSB
+    a = np.full((4, 4, 3), 300, np.uint16)
+    a[0, 0] = (100, 200, 300)
+    write_tiff16(tmp_path / "d.tif", a)
+    got = np.asarray(load_ldr(tmp_path / "d.tif"))
+    exp = a.astype(np.float32).transpose(2, 0, 1) / 65535.0
+    assert np.allclose(got, exp, atol=1e-7)  # would be 0 after a u8 round
+
+    cv2.imwrite(str(tmp_path / "d.png"), a[..., ::-1])
+    got = np.asarray(load_ldr(tmp_path / "d.png"))
+    assert np.allclose(got, exp, atol=1e-7)
+
+    # 8-bit files keep the u8 path
+    from PIL import Image
+    Image.fromarray(np.full((4, 4, 3), 128, np.uint8)).save(tmp_path / "s.png")
+    got8 = np.asarray(load_ldr(tmp_path / "s.png"))
+    assert np.allclose(got8, 128 / 255.0)
+
+
+def test_export_pipeline_png_16bit(tmp_path):
+    """PNG export rides the device-u16 readback end to end."""
+    from rapidraw_tpu.pipeline.export import ExportSettings, export_images
+
+    p = _make_jpeg(tmp_path / "a.jpg", h=32, w=48)
+    res = export_images([str(p)], tmp_path / "out", ExportSettings(format="png"))
+    assert res[0].ok
+    data = Path(res[0].output).read_bytes()
+    assert data[24] == 16 and data[25] == 2
+
+
+def test_settings_from_preset_resize_mode():
+    from rapidraw_tpu.pipeline.export import settings_from_preset
+
+    s = settings_from_preset({
+        "file_format": "jpeg", "jpeg_quality": 80,
+        "enable_resize": True, "resize_mode": "width", "resize_value": 2048,
+        "dont_enlarge": False,
+    })
+    assert s.resize_mode == "width" and s.long_edge == 2048 and not s.dont_enlarge
+    # explicit nulls fall back to the frontend defaults (longEdge, True)
+    s2 = settings_from_preset({
+        "file_format": "jpeg", "enable_resize": True, "resize_value": 100,
+        "resize_mode": None, "dont_enlarge": None,
+    })
+    assert s2.resize_mode == "longEdge" and s2.dont_enlarge
+
+
 def test_cli_auto_and_histogram(tmp_path, capsys):
     src = _make_jpeg(tmp_path / "in.jpg")
     assert main(["auto", str(src)]) == 0

@@ -106,6 +106,19 @@ def test_auto_adjust_dark_image_boosts_exposure():
     json.dumps(adj)  # must be serializable
 
 
+def test_auto_adjust_rounds_halves_away_from_zero():
+    # Rust's f32/f64 .round() rounds halves AWAY from zero (2.5 -> 3);
+    # np.round rounds half-to-even (2.5 -> 2). Both histogram passes of
+    # perform_auto_analysis bin with the Rust semantics
+    # (image_processing.rs:3074 luma_f.round(), :3203 luma.round()).
+    from rapidraw_tpu.analysis.auto_adjust import _round_half_up
+
+    x = np.array([0.5, 1.5, 2.5, 3.49, 3.5, 254.5], np.float64)
+    assert (_round_half_up(x) == [1, 2, 3, 3, 4, 255]).all()
+    # np.round would give [0, 2, 2, 3, 4, 254] — the divergence being pinned
+    assert (np.round(x) != _round_half_up(x)).any()
+
+
 def test_negative_conversion_inverts():
     # a film negative's dark areas become bright
     neg = np.full((3, 64, 64), 0.8, np.float32)  # thin (bright) negative
